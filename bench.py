@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Query set: the generation-heavy flagship (the reference's core purpose),
+one query per operator family (agg/join/window/dedup/similarity/text),
+and a raw-generation throughput probe — so a regression in any family
+moves the headline number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("datafusion_randgen_spark_bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from datafusion_randgen_spark import queries as cat
+
+    def gen_probe(spark, _sf_dir):
+        """Raw generation throughput: 5M rows × 4 randgen columns via the
+        pure-Catalyst fast path (the 100 TB generation shape)."""
+        from pyspark.sql import functions as F
+
+        from datafusion_randgen_spark.functions import exprs, seeded
+
+        df = spark.range(0, 5_000_000, 1, int(cpus)).select(
+            exprs.int64_uniform_expr(F.lit(1), F.lit(1_000_000)).alias("a"),
+            exprs.float64_normal_expr(F.lit(0.0), F.lit(1.0)).alias("b"),
+            seeded.seeded_int64_uniform(F.col("id"), 1, 100, seed=1).alias("c"),
+            exprs.bool_bernoulli_expr(F.lit(0.5)).alias("d"),
+        )
+        return df.selectExpr(
+            "count(*) AS n", "min(a) AS lo", "max(a) AS hi", "avg(b) AS m"
+        )
+
+    def gen_probe_pandas_udf(spark, _sf_dir):
+        """Parity pandas-UDF path at 1M rows (Arrow round-trip cost)."""
+        from datafusion_randgen_spark import add_udfs
+
+        add_udfs(spark)
+        return spark.sql(
+            "SELECT count(*) AS n, min(x) AS lo, max(x) AS hi FROM "
+            "(SELECT randgen_int64_uniform(1, 1000000) AS x FROM range(0, 1000000))"
+        )
+
+    bench_queries = {
+        "flagship_randgen_graft": cat.flagship,
+        "gen_expr_5m_rows": gen_probe,
+        "gen_pandas_udf_1m_rows": gen_probe_pandas_udf,
+        "q1_pricing_summary": cat.QUERIES["q1_pricing_summary"],
+        "q3_topk_revenue": cat.QUERIES["q3_topk_revenue"],
+        "q5_regional_revenue": cat.QUERIES["q5_regional_revenue"],
+        "q_window_topk_per_group": cat.QUERIES["q_window_topk_per_group"],
+        "q_sessionization": cat.QUERIES["q_sessionization"],
+        "q_asof_join": cat.QUERIES["q_asof_join"],
+        "d_exact_dedup": cat.QUERIES["d_exact_dedup"],
+        "d_minhash_lsh_pairs": cat.QUERIES["d_minhash_lsh_pairs"],
+        "s_ann_bruteforce_topk": cat.QUERIES["s_ann_bruteforce_topk"],
+        "t_token_stats": cat.QUERIES["t_token_stats"],
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize fully
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Text-analysis column builders — pure Catalyst expressions.
+
+Everything here is built from ``pyspark.sql.functions`` string/array
+primitives so it codegens JVM-side: at 100 TB the per-document cost is a
+handful of vectorized ops, no Python workers, no shuffle (all are
+row-local ``withColumn`` transforms).
+
+Oracle note: each builder has a deliberately SQL-expressible definition
+so the DuckDB oracle can compute the identical quantity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language marker lexicons for the n-gram/stopword heuristic
+# language ID.  Chosen to be expressible identically in ANSI SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "und", "die", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "de", "que", "los", "es"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "is", "in", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty strings filtered)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: split on word/number/punct boundaries.
+
+    A deterministic regex proxy for subword tokenizers: words count
+    ceil(len/4) pieces, digits and punctuation count one each.
+    """
+    words = F.filter(F.split(text, r"[^A-Za-z]+"), lambda t: t != "")
+    word_pieces = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int")
+    )
+    non_word = F.length(F.regexp_replace(text, r"[A-Za-z\s]+", ""))
+    return (word_pieces + non_word).cast("long")
+
+
+def marker_hits(text: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whole token, via padded-LIKE counting:
+    (len(s) - len(replace(s, w))) / len(w) over ' '||s||' ' — the exact
+    formulation the DuckDB oracle uses."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    score = F.lit(0).cast("long")
+    for w in LANG_MARKERS[lang]:
+        score = score + marker_hits(text, w)
+    return score
+
+
+def predict_lang(text: Column) -> Column:
+    """Argmax language over marker scores; deterministic tie-break by
+    language code order (en < de < fr < es < zh priority = insertion
+    order, ties go to the earlier entry)."""
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = lang_score(text, langs[0])
+    for lang in langs[1:]:
+        s = lang_score(text, lang)
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return best
+
+
+def stopword_ratio(text: Column) -> Column:
+    hits = F.lit(0).cast("long")
+    for w in STOPWORDS_EN:
+        hits = hits + marker_hits(text, w)
+    return hits.cast("double") / F.greatest(token_count(text).cast("double"), F.lit(1.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double") / F.greatest(
+        F.length(text).cast("double"), F.lit(1.0)
+    )
+
+
+def upper_ratio(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("double") / F.greatest(
+        F.length(text).cast("double"), F.lit(1.0)
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    t = tokens(text)
+    return F.aggregate(t, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast(
+        "double"
+    ) / F.greatest(F.size(t).cast("double"), F.lit(1.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation
+    noise, healthy stopword ratio, sane mean token length."""
+    len_ok = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(10.0), F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    tok = mean_token_len(text)
+    tok_ok = F.when((tok >= 3.0) & (tok <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_ok + punct_ok + stop_ok + tok_ok) / F.lit(4.0), 6)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of ``text`` — the dedup/similarity unit.
+
+    Built with transform over a sequence of start offsets; stays JVM-side.
+    """
+    t = tokens(F.lower(text))
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]))
+    )

@@ -1,0 +1,272 @@
+"""Deduplication operators for document corpora.
+
+Five strategies, each a real large-scale design (not a toy):
+
+* **exact** — hash-groupBy on a normalization key.  One shuffle on the
+  digest (not the document body!), map-side partial aggregation.
+* **n-gram Jaccard** — shingle → explode → self-join **on the shingle**
+  → per-pair intersection counts.  This is the classic
+  inverted-index-join: cost is Σ(docs per shingle)², never the O(n²)
+  cross join, so it survives 100× scale-up wherever shingle frequencies
+  stay bounded (a frequency cap drops degenerate stop-shingles).
+* **MinHash + LSH** — per-doc signature via k independent xxhash64
+  streams (JVM-side, no Python), banded into buckets; candidate pairs
+  come from an equi-join on (band, bucket-hash), then exact-Jaccard
+  verification.  Shuffle volume = signatures, not documents.
+* **SimHash** — 64-bit weighted-bit fingerprint; Hamming-ball matching
+  by banding the fingerprint into 4×16-bit chunks (Hamming ≤ 3 ⇒ at
+  least one chunk equal) — again an equi-join, no cross product.
+* **embedding cosine** — exact near-dup on the embeddings table (see
+  ``operators.similarity`` for the ANN path).
+
+All hash functions are Catalyst ``xxhash64`` — deterministic, seedable
+via literal salt, identical across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from datafusion_randgen_spark.functions.text import word_shingles
+
+
+def normalize_text(col):
+    """Dedup normalization key: lowercase, collapse whitespace, strip
+    non-alphanumerics.  Same expression is used by the DuckDB oracle."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized-text group.
+
+    Scale: shuffles (digest, id) pairs only — the 256-bit digest stands
+    in for the document body, so shuffle bytes are O(n × 32B) even for
+    multi-MB documents.
+    """
+    key = F.sha2(normalize_text(F.col(text_col)), 256).alias("dedup_key")
+    return (
+        docs.select(F.col(id_col), key)
+        .groupBy("dedup_key")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
+    )
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via inverted-index join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs (stop-shingles): at web scale a handful of ubiquitous shingles
+    would otherwise quadratically dominate the join.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_freq is not None:
+        keep = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+            F.col("df") <= max_shingle_freq
+        )
+        sh = sh.join(keep.select("shingle"), "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """(id, array<long> signature): sig[i] = min over shingles of
+    xxhash64(shingle, seed, i).  All JVM-side; one row per doc."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH bucket.
+
+    Buckets are hash(band_id, band-slice-of-signature); the join is a
+    pure equi-join on the bucket key, so Catalyst shuffles bucket keys
+    only.  P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands.
+    """
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select("id", F.explode(slices).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    docs: DataFrame,
+    threshold: float,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """LSH candidates → exact-Jaccard verification → (id_a, id_b, jaccard).
+
+    The verification join re-derives shingle sets only for candidate ids
+    (a semi-join prune), so verification cost tracks candidate volume.
+    """
+    cands = minhash_lsh_candidates(
+        minhash_signatures(docs, num_perm, k, text_col, id_col, seed), bands, rows_per_band
+    )
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    )
+    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of token-hash bits.
+
+    Implemented as explode(tokens) → per-(doc, bit) vote via bitwise ops
+    → reassemble.  Pure Catalyst integer arithmetic.
+    """
+    from datafusion_randgen_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    h = tok.withColumn("h", F.xxhash64(F.col("tok"), F.lit(seed)))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return votes.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Banding: split the 64-bit fingerprint into 4 16-bit chunks; Hamming
+    ≤ 3 guarantees ≥ 1 identical chunk (pigeonhole), so candidates come
+    from 4 equi-joins (union), then an exact popcount filter.
+    """
+    fps = simhash(docs, **kw)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

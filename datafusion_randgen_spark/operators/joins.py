@@ -1,0 +1,159 @@
+"""Joins Spark lacks natively: as-of join and bounded range (interval)
+join — both expressed as compositions of built-in operators so Catalyst
+keeps optimizing them (SURVEY.md §2.C: joins are absent in the reference;
+these serve the north-star pipeline surface).
+
+Scale design:
+
+* **as-of join** — the union-and-carry-forward trick: tag left/right
+  rows, union, sort within (keys, time) partitions, carry the last right
+  row forward with ``last(..., ignorenulls)`` over an unbounded-preceding
+  window, keep left rows.  ONE shuffle on the join keys (the window's
+  partitionBy), versus a naive inequality join's O(n·m) expansion.
+  Matches DuckDB's ``ASOF JOIN`` semantics: greatest right.ts <= left.ts.
+* **range join** — bucketize the range key to ``bucket_width``; pairs
+  within ``max_gap`` must sit in the same or adjacent bucket, so the
+  cross product collapses to an equi-join on (keys, bucket) over 2
+  bucket offsets, then an exact filter.  Shuffle is linear in rows;
+  bucket width tunes the candidate blow-up factor.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.right_time <= left.left_time``, per ``on`` group.
+
+    Right-side ties on the timestamp resolve to the row that sorts last
+    (matching DuckDB ASOF JOIN's arbitrary-among-equals, then pinned
+    deterministic by ordering on the value columns as final sort keys).
+    """
+    lt = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_values],
+    )
+    rt = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+    )
+    unioned = lt.unionByName(rt)
+    # right rows (__is_left=0) sort before left rows at equal timestamps,
+    # so a right row AT the left row's timestamp is visible to it (<=).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "__is_left",
+        "__lrow",
+        *[
+            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
+            for c in right_values
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__rv_{c}").alias(f"{c}{suffix}") for c in right_values],
+    )
+    return out
+
+
+def range_self_join(
+    df: DataFrame,
+    on: Sequence[str],
+    time_col: str,
+    max_gap_seconds: float,
+    id_col: str,
+) -> DataFrame:
+    """All pairs (a, b) in the same ``on`` group with
+    ``0 < b.time - a.time <= max_gap_seconds`` — via time-bucket
+    equi-join, not an inequality cross join.
+
+    Returns (on…, id_a, id_b, gap_us) — the gap in integer microseconds
+    (exact; float seconds would round differently across engines).
+    """
+    bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(int(max_gap_seconds * 1_000_000)))
+    base = df.select(
+        *on, F.col(id_col).alias("id"), F.col(time_col).alias("t"), bucket.alias("b")
+    )
+    # candidate buckets: b and b+1 (a pair within max_gap spans at most
+    # one bucket boundary) — 2× row expansion instead of O(n²).
+    probe = base.select(
+        *on, "id", "t", F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("b")
+    )
+    a, p = base.alias("a"), probe.alias("p")
+    cond = (F.col("a.b") == F.col("p.b")) & (F.col("a.id") != F.col("p.id"))
+    for c in on:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"p.{c}"))
+    gap_us = F.unix_micros(F.col("a.t")) - F.unix_micros(F.col("p.t"))
+    return (
+        a.join(p, cond)
+        .withColumn("gap_us", gap_us)
+        .filter((F.col("gap_us") > 0) & (F.col("gap_us") <= int(max_gap_seconds * 1_000_000)))
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in on],
+            F.col("p.id").alias("id_a"),
+            F.col("a.id").alias("id_b"),
+            F.col("gap_us"),
+        )
+        .distinct()
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    on: Sequence[str],
+    time_col: str,
+    gap_minutes: float,
+    agg_value: str | None = None,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    gap since the previous event in the group exceeds ``gap_minutes``.
+
+    Returns one row per session: (on…, session_id, session_start,
+    session_end, n_events[, sum_value]).  One shuffle on ``on``.
+    """
+    w = Window.partitionBy(*on).orderBy(time_col)
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    flagged = df.withColumn(
+        "__new",
+        (
+            F.unix_micros(F.col(time_col))
+            - F.unix_micros(F.lag(time_col).over(w))
+            > gap_us
+        )
+        .cast("int")
+        .alias("__new"),
+    ).withColumn("__new", F.coalesce("__new", F.lit(1)))
+    sessions = flagged.withColumn(
+        "session_id", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    aggs = [
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ]
+    if agg_value:
+        aggs.append(F.round(F.sum(agg_value), 6).alias("sum_value"))
+    return sessions.groupBy(*on, "session_id").agg(*aggs)

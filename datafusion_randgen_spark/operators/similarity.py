@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths:
+
+* **Brute-force cosine top-k** — the exact baseline: broadcast the
+  (small) query set, score every corpus vector, window-rank per query.
+  At scale this is one broadcast + a single map stage + a top-k
+  aggregation; no O(n²) shuffle.  Used as the recall oracle.
+* **LSH-bucketed ANN** — random-hyperplane (sign) LSH: ``nbits``
+  deterministic hyperplanes (seeded hash, not stored), vectors hash to
+  code buckets; neighbors are sought in matching buckets across
+  ``ntables`` independent tables.  Candidate generation is an equi-join
+  on (table, code) — shuffle volume is codes, not vectors.  This is the
+  100 TB path: bucket sizes stay bounded, and probing more tables trades
+  cost for recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_randgen_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    Self-matches excluded.  Ties broken by neighbor id on the ROUNDED
+    similarity so results are reproducible across float reassociation.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, table: int, bit: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random unit hyperplane — splitmix64-ish hash
+    of (seed, table, bit, dim_index) mapped to [-1, 1).  Recomputable
+    anywhere (driver or executor) without storing state."""
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        idx = np.arange(dim, dtype=np.uint64)
+        x = (
+            idx
+            + np.uint64(0x9E3779B97F4A7C15) * np.uint64(1 + bit)
+            + np.uint64(0xBF58476D1CE4E5B9) * np.uint64(1 + table)
+            + np.uint64(seed)
+        )
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return (x.astype(np.float64) / 2.0**63) - 1.0
+
+
+def hyperplane_codes(
+    df: DataFrame,
+    dim: int,
+    nbits: int = 8,
+    ntables: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, code): sign-LSH code per hash table.
+
+    One Arrow-batched pandas UDF does ALL tables' codes with a single
+    (batch × dim) @ (dim × ntables·nbits) matmul — the hyperplanes are
+    recomputed inside the worker from (seed, table, bit), so nothing is
+    broadcast or stored.  (A first attempt unrolled the dot products as
+    ~4k Catalyst expressions per row — codegen exploded; a matmul in
+    NumPy is the right tool at any scale.)
+    """
+    planes = np.stack(
+        [_hyperplane(dim, t, b, seed) for t in range(ntables) for b in range(nbits)],
+        axis=1,
+    )  # (dim, ntables*nbits)
+    bit_weights = (1 << np.arange(nbits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def codes_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())[:, :dim].astype(np.float64)  # (n, dim)
+        signs = (mat @ planes) > 0  # (n, ntables*nbits)
+        per_table = signs.reshape(len(mat), ntables, nbits)
+        codes = (per_table * bit_weights).sum(axis=2)  # (n, ntables)
+        return pd.Series(list(codes))
+
+    return (
+        df.select(F.col(id_col).alias("id"), codes_udf(F.col(vec_col)).alias("codes"))
+        .select("id", F.posexplode("codes").alias("table", "code"))
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    nbits: int = 8,
+    ntables: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates from matching (table, code) buckets,
+    exact cosine on candidates only, window-rank.  Recall grows with
+    ntables; cost grows with bucket collision volume."""
+    c_codes = hyperplane_codes(corpus, dim, nbits, ntables, seed, id_col, vec_col)
+    q_codes = hyperplane_codes(queries, dim, nbits, ntables, seed, id_col, vec_col)
+    cand = (
+        c_codes.alias("c")
+        .join(
+            q_codes.alias("q"),
+            (F.col("c.table") == F.col("q.table")) & (F.col("c.code") == F.col("q.code")),
+        )
+        .filter(F.col("c.id") != F.col("q.id"))
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("sim", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    For bounded corpora this is a block cross join; the scale path is
+    ``lsh_ann_topk``-style bucketing first (same code path, threshold
+    filter instead of top-k).
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,1029 @@
+"""The judge-facing query catalog: every implemented operator as a
+``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle SQL string.
+
+Two oracle styles:
+
+* **exact** — deterministic queries (TPC-H-style, dedup, text, vectors):
+  the oracle is the same computation in ANSI SQL; the driver hash-matches
+  values.  Floating aggregates are ``round()``ed on BOTH sides so IEEE
+  reassociation can't flip the hash.
+* **property** — volatile randgen queries: the Spark side reduces its
+  random output to deterministic invariants (row counts, in-range
+  counts, null-mask agreement, moment checks as booleans); the oracle
+  states the expected constants.  This mirrors the reference's own
+  property-test strategy (bounds + null matrix,
+  ``/root/reference/src/randgen/int64_uniform.rs:166-275``) — golden
+  values are impossible for a volatile RNG.
+
+Column names are aliased identically on both sides (the driver sorts
+columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_randgen_spark import add_udfs
+from datafusion_randgen_spark.functions import exprs, seeded, text, vectors
+from datafusion_randgen_spark.operators import dedup, joins, multimodal, similarity
+from datafusion_randgen_spark.sources import load_table, register_views
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _prep(spark: SparkSession, sf_dir: str) -> None:
+    add_udfs(spark)
+    register_views(spark, sf_dir)
+
+
+# =========================================================================
+# R — randgen parity family (property oracles, reference semantics)
+# =========================================================================
+
+@query(
+    "r_int64_uniform_props",
+    oracle="SELECT 10000 AS n_rows, 10000 AS n_in_range, 0 AS n_null, true AS many_distinct",
+)
+def r_int64_uniform_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds + volatility invariants of randgen_int64_uniform
+    (reference tests int64_uniform.rs:166-178)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count_if(x BETWEEN 1 AND 10) AS n_in_range,
+               count_if(x IS NULL) AS n_null,
+               count(DISTINCT x) > 1 AS many_distinct
+        FROM (SELECT randgen_int64_uniform(1, 10) AS x FROM range(1, 10001))
+        """
+    )
+
+
+@query(
+    "r_int64_uniform_column_bounds",
+    oracle="SELECT 10000 AS n_rows, 0 AS n_out_of_bounds, 0 AS n_null",
+)
+def r_int64_uniform_column_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row bound check with column arguments — the array×array kernel
+    (int64_uniform.rs:140-153), asserted per row (stronger than the
+    reference's union-range check)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count_if(x < lo OR x > hi) AS n_out_of_bounds,
+               count_if(x IS NULL) AS n_null
+        FROM (SELECT lo, hi, randgen_int64_uniform(lo, hi) AS x
+              FROM (SELECT 1 + id % 10 AS lo, 11 + id % 10 AS hi FROM range(1, 10001)))
+        """
+    )
+
+
+@query(
+    "r_null_propagation_matrix",
+    oracle="SELECT 10000 AS n_rows, 0 AS n_null_mismatch, 0 AS n_out_of_bounds",
+)
+def r_null_propagation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL in either bound → NULL out, exactly (int64_uniform.rs:222-275
+    plus nulls *inside* columns, which the reference never tests)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count_if((x IS NULL) != (lo IS NULL OR hi IS NULL)) AS n_null_mismatch,
+               count_if(x IS NOT NULL AND (x < lo OR x > hi)) AS n_out_of_bounds
+        FROM (SELECT lo, hi, randgen_int64_uniform(lo, hi) AS x
+              FROM (SELECT IF(id % 3 = 0, NULL, 1 + id % 10) AS lo,
+                           IF(id % 4 = 0, NULL, 11 + id % 10) AS hi
+                    FROM range(1, 10001)))
+        """
+    )
+
+
+@query(
+    "r_inclusive_endpoints",
+    oracle="SELECT true AS lo_reached, true AS hi_reached, 7 AS degenerate_point",
+)
+def r_inclusive_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform::new_inclusive parity: both endpoints reachable; a
+    degenerate range [7,7] yields exactly 7 (int64_uniform.rs:99)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT (SELECT min(x) = 1 FROM (SELECT randgen_int64_uniform(1, 2) AS x FROM range(1, 3001))) AS lo_reached,
+               (SELECT max(x) = 2 FROM (SELECT randgen_int64_uniform(1, 2) AS x FROM range(1, 3001))) AS hi_reached,
+               (SELECT max(x) FROM (SELECT randgen_int64_uniform(7, 7) AS x FROM range(1, 101))) AS degenerate_point
+        """
+    )
+
+
+@query(
+    "r_int64_uniform_moments",
+    oracle="SELECT 100000 AS n_rows, true AS mean_ok, true AS spread_ok",
+)
+def r_int64_uniform_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical sanity at n=100k: mean of U[1,100] ≈ 50.5 (se≈0.09)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               abs(avg(x) - 50.5) < 1.0 AS mean_ok,
+               abs(stddev(x) - 28.866) < 1.0 AS spread_ok
+        FROM (SELECT randgen_int64_uniform(1, 100) AS x FROM range(1, 100001))
+        """
+    )
+
+
+@query(
+    "r_float64_uniform_props",
+    oracle="SELECT 50000 AS n_rows, 50000 AS n_in_range, true AS mean_ok, 0 AS n_null",
+)
+def r_float64_uniform_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count_if(x >= -2.5 AND x <= 7.5) AS n_in_range,
+               abs(avg(x) - 2.5) < 0.1 AS mean_ok,
+               count_if(x IS NULL) AS n_null
+        FROM (SELECT randgen_float64_uniform(-2.5, 7.5) AS x FROM range(1, 50001))
+        """
+    )
+
+
+@query(
+    "r_float64_normal_props",
+    oracle="SELECT 100000 AS n_rows, true AS mean_ok, true AS std_ok",
+)
+def r_float64_normal_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               abs(avg(x) - 10.0) < 0.1 AS mean_ok,
+               abs(stddev(x) - 2.0) < 0.1 AS std_ok
+        FROM (SELECT randgen_float64_normal(10.0, 2.0) AS x FROM range(1, 100001))
+        """
+    )
+
+
+@query(
+    "r_bool_bernoulli_props",
+    oracle="SELECT 50000 AS n_rows, true AS frac_ok, 0 AS n_null",
+)
+def r_bool_bernoulli_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               abs(avg(IF(x, 1.0, 0.0)) - 0.25) < 0.02 AS frac_ok,
+               count_if(x IS NULL) AS n_null
+        FROM (SELECT randgen_bool_bernoulli(0.25) AS x FROM range(1, 50001))
+        """
+    )
+
+
+@query(
+    "r_string_alpha_props",
+    oracle="SELECT 5000 AS n_rows, 5000 AS n_len_ok, 5000 AS n_alpha_ok, true AS many_distinct",
+)
+def r_string_alpha_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count_if(length(s) = 12) AS n_len_ok,
+               count_if(s RLIKE '^[a-z]+$') AS n_alpha_ok,
+               count(DISTINCT s) > 4990 AS many_distinct
+        FROM (SELECT randgen_string_alpha(12) AS s FROM range(1, 5001))
+        """
+    )
+
+
+@query(
+    "r_timestamp_uniform_props",
+    oracle="SELECT 5000 AS n_rows, 5000 AS n_in_range, true AS many_distinct",
+)
+def r_timestamp_uniform_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count_if(t BETWEEN timestamp'2024-01-01 00:00:00' AND timestamp'2024-02-01 00:00:00') AS n_in_range,
+               count(DISTINCT t) > 4900 AS many_distinct
+        FROM (SELECT randgen_timestamp_uniform(timestamp'2024-01-01 00:00:00',
+                                               timestamp'2024-02-01 00:00:00') AS t
+              FROM range(1, 5001))
+        """
+    )
+
+
+@query(
+    "r_element_from_props",
+    oracle="SELECT 3 AS n_distinct, 9000 AS n_member",
+)
+def r_element_from_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(DISTINCT x) AS n_distinct,
+               count_if(x IN ('a','b','c')) AS n_member
+        FROM (SELECT randgen_element_from_string(array('a','b','c')) AS x FROM range(1, 9001))
+        """
+    )
+
+
+@query(
+    "r_expr_fastpath_props",
+    oracle="SELECT 50000 AS n_rows, 50000 AS n_in_range, true AS many_distinct, 0 AS n_null",
+)
+def r_expr_fastpath_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-Catalyst fast path (functions.exprs): same invariants as
+    the pandas parity UDF, zero Python workers in the plan."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count_if(x BETWEEN 1 AND 1000) AS n_in_range,
+               count(DISTINCT x) = 1000 AS many_distinct,
+               count_if(x IS NULL) AS n_null
+        FROM (SELECT randgen_int64_uniform_expr(1, 1000) AS x FROM range(1, 50001))
+        """
+    )
+
+
+@query(
+    "r_seeded_reproducible",
+    oracle="SELECT 20000 AS n_rows, 0 AS n_mismatch, 0 AS n_out_of_range",
+)
+def r_seeded_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded mode: two independent evaluations with different partition
+    counts must agree exactly (functions.seeded — hash-based, stateless)."""
+    _prep(spark, sf_dir)
+    a = spark.range(1, 20001, 1, 4).select(
+        "id", seeded.seeded_int64_uniform(F.col("id"), 1, 1000000, seed=42).alias("xa")
+    )
+    b = spark.range(1, 20001, 1, 13).select(
+        "id", seeded.seeded_int64_uniform(F.col("id"), 1, 1000000, seed=42).alias("xb")
+    )
+    return a.join(b, "id").select(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("xa") != F.col("xb")).alias("n_mismatch"),
+        F.count_if((F.col("xa") < 1) | (F.col("xa") > 1000000)).alias("n_out_of_range"),
+    )
+
+
+@query(
+    "r_generate_series_parity",
+    oracle="SELECT count(*) AS n_rows, min(r) AS lo, max(r) AS hi, sum(r) AS total "
+    "FROM (SELECT unnest(generate_series(1, 100)) AS r)",
+)
+def r_generate_series_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's row source: DataFusion generate_series(1,100) is
+    INCLUSIVE (int64_uniform.rs:170); sources.generate_series reproduces
+    that on spark.range (end-exclusive, hence +1)."""
+    from datafusion_randgen_spark.sources import generate_series
+
+    _prep(spark, sf_dir)
+    return generate_series(spark, 1, 100).select(
+        F.count("*").alias("n_rows"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.sum("value").alias("total"),
+    )
+
+
+# =========================================================================
+# Q — host-engine query surface (exact DuckDB oracles)
+# =========================================================================
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg
+    (partial+final).  One shuffle, 4-6 grouped rows."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_topk_revenue",
+    oracle="""
+    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < timestamp '1995-03-15 00:00:00'
+      AND l_shipdate > timestamp '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join fact → agg → top-k.
+    customer is broadcast (small side); lineitem never shuffles whole —
+    only the grouped aggregates do.  Deterministic tie-break on key."""
+    _prep(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with small dims broadcast; the only
+    large-large join (lineitem ⋈ orders) shuffles on the join key."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        """
+    )
+
+
+@query(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part) t
+    WHERE rk <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window + filter = top-k per group (no global sort)."""
+    _prep(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+@query(
+    "q_window_running_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           round(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def q_window_running_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum frame, lag, rank — one shuffle on
+    the partition key serves all three."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wt.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_spend"),
+        F.round(F.lag("o_totalprice").over(wt), 2).alias("prev_price"),
+        F.rank().over(wr).alias("price_rank"),
+    )
+
+
+@query(
+    "q_rollup_aggregates",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@query(
+    "q_semi_anti_joins",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer WHERE EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+      (SELECT count(*) FROM customer WHERE NOT EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders,
+      (SELECT count(*) FROM customer) AS n_customers
+    """,
+)
+def q_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti — EXISTS / NOT EXISTS as real join types."""
+    _prep(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    n_semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").count()
+    n_anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").count()
+    n_all = cust.count()
+    return spark.createDataFrame(
+        [(n_semi, n_anti, n_all)], "n_with_orders long, n_without_orders long, n_customers long"
+    )
+
+
+@query(
+    "q_set_operations",
+    oracle="""
+    WITH li_parts AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+         all_parts AS (SELECT p_partkey AS k FROM part)
+    SELECT
+      (SELECT count(*) FROM (SELECT k FROM li_parts UNION SELECT k FROM all_parts)) AS n_union,
+      (SELECT count(*) FROM (SELECT k FROM all_parts INTERSECT SELECT k FROM li_parts)) AS n_intersect,
+      (SELECT count(*) FROM (SELECT k FROM all_parts EXCEPT SELECT k FROM li_parts)) AS n_except
+    """,
+)
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT distinct set semantics."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k")).distinct()
+    pt = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    return spark.createDataFrame(
+        [(li.union(pt).distinct().count(), pt.intersect(li).count(), pt.exceptAll(li.distinct()).distinct().count())],
+        "n_union long, n_intersect long, n_except long",
+    )
+
+
+@query(
+    "q_distinct_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q_scalar_function_sampler",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 3)) AS prio3,
+           length(o_orderstatus) AS status_len,
+           round(abs(o_totalprice) / 100.0, 4) AS scaled,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           concat(o_orderstatus, '-', o_orderpriority) AS tag
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def q_scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar library over one scan (all codegen'd)."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.length("o_orderstatus").cast("int").alias("status_len"),
+        F.round(F.abs(F.col("o_totalprice")) / 100.0, 4).alias("scaled"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+    )
+
+
+@query(
+    "q_events_hourly_windows",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time windows over the events table (batch twin of the
+    streaming windowed aggregation in datafusion_randgen_spark.streaming)."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (operators.joins.sessionize),
+    30-minute inactivity gap."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    return joins.sessionize(ev, ["user_id"], "ts", gap_minutes=30.0).select(
+        "user_id", "session_id", "session_start", "session_end", "n_events"
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest 'view' at-or-before each 'purchase' per user
+    (operators.joins.asof_join — union + carry-forward window, one
+    shuffle; DuckDB's native ASOF JOIN is the oracle)."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = joins.asof_join(
+        purchases, views, on=["user_id"], left_time="ts", right_time="ts", right_values=["ts"]
+    )
+    return out.select("event_id", "user_id", "ts", F.col("ts_asof").alias("signup_ts"))
+
+
+@query(
+    "q_range_join_pairs",
+    oracle="""
+    SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id != b.event_id
+     AND b.ts > a.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    """,
+)
+def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range self-join: event pairs of the same user within 5
+    minutes — bucketized equi-join (operators.joins.range_self_join),
+    never an O(n²) inequality join."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    return joins.range_self_join(
+        ev, on=["user_id"], time_col="ts", max_gap_seconds=300.0, id_col="event_id"
+    ).select("user_id", "id_a", "id_b", "gap_us")
+
+
+# =========================================================================
+# D — dedup family (documents table)
+# =========================================================================
+
+@query(
+    "d_exact_dedup",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS group_size
+    FROM norm GROUP BY norm_text
+    """,
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text; shuffles 32-byte digests, not
+    document bodies (operators.dedup.exact_dedup)."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "group_size")
+
+
+@query(
+    "d_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
+    """,
+)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.2 via inverted-index join
+    (operators.dedup.shingle_jaccard_pairs)."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_jaccard_pairs(docs, threshold=0.2, k=3)
+
+
+@query("d_minhash_lsh_pairs")  # rows-only: LSH bucketing isn't ANSI-SQL
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16×4 LSH banding → candidates → exact-Jaccard
+    verify (threshold 0.2).  P(miss | j=0.5) < 1e-6 per pair."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup_pairs(docs, threshold=0.2)
+
+
+@query("d_simhash_near_pairs")  # rows-only: bit-vote fingerprint not ANSI-SQL
+def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming <= 6 via 4×16-bit banding."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=6)
+
+
+@query(
+    "d_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-duplicates (>= 0.4; the fixture corpus has no
+    true dups — max pairwise cosine ≈ 0.51) over the embeddings table;
+    double-precision zip_with/aggregate dot products, JVM-side."""
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# =========================================================================
+# S — similarity search (embeddings table)
+# =========================================================================
+
+@query(
+    "s_ann_bruteforce_topk",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 20
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def s_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 20: broadcast the
+    query set, one map stage over the corpus, window-rank."""
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@query(
+    "s_ann_lsh_recall",
+    oracle="SELECT 20 AS n_queries, true AS recall_ok",
+)
+def s_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (sign-random-projection, 5 bits × 12 tables):
+    property oracle — recall@5 vs in-Spark brute force must be >= 0.5
+    (measured 0.63-0.66 on the fixture corpora).  Everything is
+    seeded/deterministic, so the boolean is stable."""
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    approx = similarity.lsh_ann_topk(emb, queries_df, dim=64, k=5, nbits=5, ntables=12).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return spark.createDataFrame(
+        [(queries_df.count(), hits.count() / exact.count() >= 0.5)],
+        "n_queries long, recall_ok boolean",
+    )
+
+
+# =========================================================================
+# T — text analysis (documents table)
+# =========================================================================
+
+@query(
+    "t_token_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM toks GROUP BY lang
+    """,
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + per-language corpus stats."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", text.token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def _duckdb_marker_hits(word: str) -> str:
+    pad = f" {word} "
+    return (
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', '{pad}', ''))) / {len(pad)} AS BIGINT)"
+    )
+
+
+def _duckdb_lang_score(lang: str) -> str:
+    return " + ".join(_duckdb_marker_hits(w) for w in text.LANG_MARKERS[lang])
+
+
+def _langid_oracle() -> str:
+    langs = list(text.LANG_MARKERS)
+    score_cols = ",\n".join(f"{_duckdb_lang_score(lg)} AS s_{lg}" for lg in langs)
+    # same argmax + insertion-order tie-break as functions.text.predict_lang
+    pred = f"'{langs[0]}'"
+    best = f"s_{langs[0]}"
+    for lg in langs[1:]:
+        pred = f"CASE WHEN s_{lg} > {best} THEN '{lg}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lg} > {best} THEN s_{lg} ELSE {best} END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents),
+    pred AS (SELECT doc_id, lang, {pred} AS predicted FROM scored)
+    SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted
+    """
+
+
+@query("t_language_id", oracle=_langid_oracle())
+def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (functions.text.predict_lang) —
+    confusion counts against the labeled lang column."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted", text.predict_lang(F.col("text")))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _quality_oracle() -> str:
+    stop_hits = " + ".join(_duckdb_marker_hits(w) for w in text.STOPWORDS_EN)
+    n_tokens = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
+    mean_tok = (
+        "list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''),"
+        f" x -> length(x))) * 1.0 / greatest({n_tokens}, 1)"
+    )
+    return f"""
+    WITH q AS (
+      SELECT doc_id,
+             least(length(text) / 200.0, 1.0) AS len_ok,
+             1.0 - least((length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                          / greatest(length(text), 1)) * 10.0, 1.0) AS punct_ok,
+             least(({stop_hits}) * 1.0 / greatest({n_tokens}, 1) * 5.0, 1.0) AS stop_ok,
+             CASE WHEN ({mean_tok}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS tok_ok
+      FROM documents
+    )
+    SELECT CAST(floor(round((len_ok + punct_ok + stop_ok + tok_ok) / 4.0, 6) * 10) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM q GROUP BY 1
+    """
+
+
+@query("t_quality_scores", oracle=_quality_oracle())
+def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score histogram (decile buckets)."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("q", text.quality_score(F.col("text")))
+        .select(F.floor(F.col("q") * 10).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("t_fingerprints")  # rows-only: xxhash64 winnowing not ANSI-SQL
+def t_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprints: xxhash64 over word
+    5-grams, keep per-doc minima (4 rotating salts) as the sketch."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(text.word_shingles(F.col("text"), 5)).alias("gram")
+    )
+    return sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"fp{i}") for i in range(4)]
+    )
+
+
+@query(
+    "t_bpe_token_estimate",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^A-Za-z]+'), x -> x != '') AS w,
+             length(regexp_replace(text, '[A-Za-z\\s]+', '', 'g')) AS non_word
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(w, x -> ceil(length(x) / 4.0)))
+                + non_word AS BIGINT) AS bpe_tokens
+    FROM words
+    """,
+)
+def t_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token estimator (functions.text.bpe_ish_token_count)."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+# =========================================================================
+# M — multimodal plumbing (documents as fake payload carrier)
+# =========================================================================
+
+@query(
+    "m_media_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, encode(text) AS media,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+             octet_length(encode(text)) AS byte_len
+      FROM documents
+    )
+    SELECT doc_id, media_type, byte_len,
+           CAST(64 + byte_len % 640 AS INTEGER) AS width,
+           CAST(64 + (byte_len // 7) % 480 AS INTEGER) AS height
+    FROM m
+    """,
+)
+def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + mapInPandas feature extraction (decode step
+    is a deterministic fake — real codecs unavailable; the Arrow/batch
+    plumbing is the real thing).  Checksum column dropped here so the
+    oracle stays ANSI (it's covered by tests instead)."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs)
+    return multimodal.extract_features(media).select(
+        "doc_id", "media_type", "byte_len", "width", "height"
+    )
+
+
+# =========================================================================
+# entry points used by __spark_entry__.py
+# =========================================================================
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: graft randgen + seeded columns onto lineitem, then a
+    grouped summary — generation fused into a real scan+agg pipeline."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    enriched = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        exprs.int64_uniform_expr(F.lit(1), F.lit(100)).alias("sampled_weight"),
+        seeded.seeded_float64_uniform(F.col("l_orderkey"), 0.0, 1.0, seed=42).alias("holdout_u"),
+    )
+    return (
+        enriched.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.min("sampled_weight").alias("min_w"),
+            F.max("sampled_weight").alias("max_w"),
+            F.round(F.avg("holdout_u"), 4).alias("avg_holdout"),
+            F.count_if(F.col("holdout_u") < 0.1).alias("n_holdout"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

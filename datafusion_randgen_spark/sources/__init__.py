@@ -1,0 +1,62 @@
+"""Sources: the row-generating sequence source the reference queries use,
+parquet fixture loading, and synthetic-table writers."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def generate_series(spark: SparkSession, start: int, end: int, num_partitions: int | None = None) -> DataFrame:
+    """DataFusion's ``generate_series(start, end)`` table function
+    (reference test source, ``src/randgen/int64_uniform.rs:170``):
+    *inclusive* of ``end`` — Spark's ``range`` is end-exclusive, hence +1.
+
+    ``num_partitions`` is the scale knob: generation is embarrassingly
+    parallel, so at cluster scale pass ~2-3× total cores.
+    """
+    if num_partitions:
+        return spark.range(start, end + 1, 1, num_partitions).withColumnRenamed("id", "value")
+    return spark.range(start, end + 1).withColumnRenamed("id", "value")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan — columnar, filter/column pushdown handled by Catalyst.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read it as long (``nanosAsLong``) and convert
+    to a microsecond timestamp (same truncation DuckDB applies).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        # integer `div`, NOT floor(x/1000.0): ~1.7e18 ns exceeds double's
+        # exact-integer range, and the rounding error shifts ±1µs.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view named after itself."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

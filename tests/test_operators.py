@@ -1,0 +1,151 @@
+"""Direct tests of the composed operators (dedup / similarity / joins /
+multimodal) against small in-memory fixtures with hand-checkable truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_randgen_spark.operators import dedup, joins, multimodal, similarity
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The quick  brown fox jumps over the lazy dog!"),  # dup after normalize
+        (4, "a completely different document about spark engines"),
+        (5, "the quick brown fox jumps over the sleepy dog"),  # near dup of 1
+        (6, "entirely unrelated text with unique words here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.group_size for r in dedup.exact_dedup(docs).collect()}
+    assert out == {1: 3, 4: 1, 5: 1, 6: 1}
+
+
+def test_shingle_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.shingle_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and 0.4 <= pairs[(1, 5)] < 1.0
+    assert (4, 6) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_dedup_pairs(docs, threshold=0.4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs
+    assert all(j >= 0.4 for j in pairs.values())
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert (1, 2) in pairs  # identical docs -> identical fingerprints
+    assert (4, 6) not in pairs
+
+
+def test_simhash_identical_zero_hamming(docs):
+    fps = {r.id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert fps[1] == fps[2]
+
+
+@pytest.fixture()
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.95, 0.05]),  # close to 3
+        (5, [-1.0, 0.0, 0.0]),   # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vecs):
+    out = similarity.brute_force_topk(vecs, vecs.filter("vec_id = 1"), k=2).collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
+    assert out[0].sim > 0.99
+
+
+def test_embedding_near_dup(vecs):
+    pairs = {(r.id_a, r.id_b) for r in similarity.embedding_near_dup_pairs(vecs, 0.9).collect()}
+    assert pairs == {(1, 2), (3, 4)}
+
+
+def test_lsh_ann_subset_of_corpus(vecs):
+    out = similarity.lsh_ann_topk(vecs, vecs.filter("vec_id = 1"), dim=3, k=2, nbits=4, ntables=6)
+    rows = out.collect()
+    assert all(r.query_id == 1 and r.neighbor_id != 1 for r in rows)
+    # vec 2 is nearly collinear with vec 1 -> same sign pattern in every table
+    assert 2 in {r.neighbor_id for r in rows}
+
+
+def test_asof_join(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", 10.0), (5, "A", 11.0), (3, "B", 20.0)], "t long, sym string, px double"
+    ).select(F.timestamp_seconds("t").alias("ts"), "sym", "px")
+    quotes = spark.createDataFrame(
+        [(0, "A", 9.5), (4, "A", 10.5), (9, "A", 12.0), (4, "B", 19.5)],
+        "t long, sym string, bid double",
+    ).select(F.timestamp_seconds("t").alias("ts"), "sym", "bid")
+    out = joins.asof_join(
+        trades, quotes, on=["sym"], left_time="ts", right_time="ts", right_values=["bid"]
+    )
+    got = {(r.sym, r.px): r.bid_asof for r in out.collect()}
+    assert got == {("A", 10.0): 9.5, ("A", 11.0): 10.5, ("B", 20.0): None}
+
+
+def test_asof_join_tie_at_equal_ts(spark):
+    left = spark.createDataFrame([(5, "A")], "t long, sym string").select(
+        F.timestamp_seconds("t").alias("ts"), "sym"
+    )
+    right = spark.createDataFrame([(5, "A", 1.0)], "t long, sym string, v double").select(
+        F.timestamp_seconds("t").alias("ts"), "sym", "v"
+    )
+    out = joins.asof_join(left, right, ["sym"], "ts", "ts", ["v"]).collect()
+    assert out[0].v_asof == 1.0  # right row AT left ts is visible (<=)
+
+
+def test_range_self_join(spark):
+    ev = spark.createDataFrame(
+        [(1, 100, 0), (2, 100, 200), (3, 100, 400), (4, 200, 0), (5, 100, 10_000)],
+        "event_id long, user_id long, t long",
+    ).select("event_id", "user_id", F.timestamp_seconds("t").alias("ts"))
+    out = joins.range_self_join(ev, ["user_id"], "ts", max_gap_seconds=300.0, id_col="event_id")
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(1, 2), (2, 3)}  # (1,3) gap=400s > 300; user 200 alone
+
+
+def test_sessionize(spark):
+    ev = spark.createDataFrame(
+        [(1, 0), (1, 60), (1, 4000), (2, 0)], "user_id long, t long"
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"))
+    out = joins.sessionize(ev, ["user_id"], "ts", gap_minutes=30.0).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [1, 2] and per_user[2] == [1]
+
+
+def test_multimodal_features_roundtrip(spark):
+    docs = spark.createDataFrame([(1, "abc"), (2, "zzzz")], "doc_id long, text string")
+    media = multimodal.attach_fake_media(docs)
+    out = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+    assert out[1].byte_len == 3 and out[1].checksum == sum(b"abc")
+    assert out[2].checksum == sum(b"zzzz")
+    assert out[1].media_type == "audio/wav" and out[2].media_type == "image/png"
+    assert out[1].width == 64 + 3 % 640
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"\x89PNG", "image/png")

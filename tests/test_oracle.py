@@ -1,0 +1,95 @@
+"""Mini-driver: run every catalog query on Spark AND its DuckDB oracle,
+compare row count + schema-insensitive sorted values.  This mirrors the
+real driver's t2 correctness gate so mismatches surface before rounds.
+
+Run against sf0.001 by default (fast); set SPARK_GRAFT_TEST_SF to
+/root/testdata/sf0.01 to replicate the driver's exact data.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    try:  # decimals -> float
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except Exception:
+        pass
+    return v
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr), [colnames[i] for i in order]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    assert len(srows) >= 0  # smoke: executes
+
+    if name not in ORACLES:
+        assert len(srows) > 0, f"{name}: rows-only check returned empty"
+        return
+
+    con = _duck(SF_DIR)
+    ddf = con.sql(ORACLES[name])
+    drows = ddf.fetchall()
+    dcols = list(ddf.columns)
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    s_norm, _ = _normalize([tuple(r) for r in srows], scols)
+    d_norm, _ = _normalize(drows, dcols)
+    mismatches = [i for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: "
+        f"spark={s_norm[mismatches[0]]} duck={d_norm[mismatches[0]]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"n", "sum_qty", "min_w", "max_w"} <= set(df.columns)

@@ -1,0 +1,182 @@
+"""Property tests for the extension generator grid (SURVEY.md §2.D):
+parity pandas UDFs, expression fast paths, seeded deterministic mode."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_randgen_spark.functions import exprs, seeded
+
+
+def col0(spark, sql):
+    return [r[0] for r in spark.sql(sql).collect()]
+
+
+# --- parity pandas UDFs --------------------------------------------------
+
+def test_float64_uniform_bounds_and_nulls(spark):
+    xs = col0(spark, "SELECT randgen_float64_uniform(-2.5, 7.5) FROM range(1, 5001)")
+    assert all(-2.5 <= x <= 7.5 for x in xs) and len(set(xs)) > 4990
+    assert all(
+        x is None
+        for x in col0(spark, "SELECT randgen_float64_uniform(CAST(NULL AS DOUBLE), 1.0) FROM range(1, 101)")
+    )
+
+
+def test_float64_normal_moments(spark):
+    row = spark.sql(
+        "SELECT avg(x) AS m, stddev(x) AS s FROM "
+        "(SELECT randgen_float64_normal(10.0, 2.0) AS x FROM range(1, 100001))"
+    ).collect()[0]
+    assert abs(row.m - 10.0) < 0.1 and abs(row.s - 2.0) < 0.1
+
+
+def test_int64_normal_rounds(spark):
+    xs = col0(spark, "SELECT randgen_int64_normal(100, 0.1) FROM range(1, 1001)")
+    assert all(isinstance(x, int) and 98 <= x <= 102 for x in xs)
+
+
+def test_bool_bernoulli(spark):
+    xs = col0(spark, "SELECT randgen_bool_bernoulli(0.25) FROM range(1, 20001)")
+    frac = sum(xs) / len(xs)
+    assert 0.2 < frac < 0.3
+    assert set(col0(spark, "SELECT randgen_bool_bernoulli(0.0) FROM range(1, 101)")) == {False}
+    assert set(col0(spark, "SELECT randgen_bool_bernoulli(1.0) FROM range(1, 101)")) == {True}
+    with pytest.raises(Exception, match="p must be in"):
+        spark.sql("SELECT randgen_bool_bernoulli(1.5) FROM range(1, 11)").collect()
+
+
+def test_string_alpha(spark):
+    xs = col0(spark, "SELECT randgen_string_alpha(12) FROM range(1, 501)")
+    assert all(len(x) == 12 and x.isascii() and x.isalpha() and x.islower() for x in xs)
+    assert len(set(xs)) > 495
+    # per-row lengths from a column
+    rows = spark.sql(
+        "SELECT id, randgen_string_alpha(id % 5) AS s FROM range(1, 101)"
+    ).collect()
+    assert all(len(r.s) == r.id % 5 for r in rows)
+
+
+def test_timestamp_uniform(spark):
+    xs = col0(
+        spark,
+        "SELECT randgen_timestamp_uniform(timestamp'2024-01-01 00:00:00', "
+        "timestamp'2024-02-01 00:00:00') FROM range(1, 2001)",
+    )
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 1)
+    hi = datetime.datetime(2024, 2, 1)
+    assert all(lo <= x <= hi for x in xs) and len(set(xs)) > 1990
+
+
+def test_element_from(spark):
+    xs = col0(spark, "SELECT randgen_element_from_string(array('a','b','c')) FROM range(1, 3001)")
+    assert set(xs) == {"a", "b", "c"}
+    assert col0(spark, "SELECT randgen_element_from_int64(array(5)) FROM range(1, 11)") == [5] * 10
+    assert set(col0(spark, "SELECT randgen_element_from_int64(CAST(NULL AS ARRAY<BIGINT>)) FROM range(1, 11)")) == {None}
+
+
+# --- expression fast paths (pure Catalyst) -------------------------------
+
+def test_expr_int64_uniform(spark):
+    df = spark.range(1, 5001).select(exprs.int64_uniform_expr(F.lit(1), F.lit(10)).alias("x"))
+    xs = [r.x for r in df.collect()]
+    assert all(1 <= x <= 10 for x in xs) and set(xs) == set(range(1, 11))
+    # stays JVM-side: no Python evaluation node in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_expr_sql_fastpaths_registered(spark):
+    xs = col0(spark, "SELECT randgen_int64_uniform_expr(1, 10) FROM range(1, 1001)")
+    assert all(1 <= x <= 10 for x in xs)
+    xs = col0(spark, "SELECT randgen_float64_uniform_expr(0.0, 1.0) FROM range(1, 101)")
+    assert all(0.0 <= x < 1.0 for x in xs)
+    assert all(
+        x is None for x in col0(spark, "SELECT randgen_int64_uniform_expr(1, NULL) FROM range(1, 101)")
+    )
+    with pytest.raises(Exception, match="min > max"):
+        spark.sql("SELECT randgen_int64_uniform_expr(10, 1) FROM range(1, 11)").collect()
+
+
+def test_expr_normal_and_bernoulli(spark):
+    row = (
+        spark.range(1, 100001)
+        .select(exprs.float64_normal_expr(F.lit(0.0), F.lit(1.0)).alias("z"))
+        .agg(F.avg("z").alias("m"), F.stddev("z").alias("s"))
+        .collect()[0]
+    )
+    assert abs(row.m) < 0.05 and abs(row.s - 1.0) < 0.05
+
+
+# --- seeded deterministic generators --------------------------------------
+
+def test_seeded_reproducible_and_partition_invariant(spark):
+    def gen(parts):
+        return (
+            spark.range(1, 10001, 1, parts)
+            .select("id", seeded.seeded_int64_uniform(F.col("id"), 1, 100, seed=42).alias("x"))
+        )
+
+    a = {r.id: r.x for r in gen(2).collect()}
+    b = {r.id: r.x for r in gen(16).collect()}
+    assert a == b  # same values regardless of partitioning
+    assert all(1 <= v <= 100 for v in a.values())
+    c = {r.id: r.x for r in gen(2).collect()}
+    assert a == c  # reproducible across runs
+
+
+def test_seeded_different_seeds_differ(spark):
+    df = spark.range(1, 1001).select(
+        seeded.seeded_int64_uniform(F.col("id"), 1, 1000000, seed=1).alias("a"),
+        seeded.seeded_int64_uniform(F.col("id"), 1, 1000000, seed=2).alias("b"),
+    )
+    assert df.filter("a = b").count() < 5
+
+
+def test_seeded_unit_uniform_range_and_mean(spark):
+    row = (
+        spark.range(1, 100001)
+        .select(seeded.seeded_unit_uniform(F.col("id"), 7).alias("u"))
+        .agg(F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("m"))
+        .collect()[0]
+    )
+    assert 0.0 <= row.lo and row.hi < 1.0 and abs(row.m - 0.5) < 0.01
+
+
+def test_seeded_normal_moments(spark):
+    row = (
+        spark.range(1, 100001)
+        .select(seeded.seeded_float64_normal(F.col("id"), 5.0, 3.0, seed=9).alias("z"))
+        .agg(F.avg("z").alias("m"), F.stddev("z").alias("s"))
+        .collect()[0]
+    )
+    assert abs(row.m - 5.0) < 0.15 and abs(row.s - 3.0) < 0.15
+
+
+def test_seeded_bernoulli(spark):
+    n = (
+        spark.range(1, 20001)
+        .select(seeded.seeded_bool_bernoulli(F.col("id"), 0.1, seed=3).alias("b"))
+        .filter("b")
+        .count()
+    )
+    assert 1700 < n < 2300
+
+
+def test_seeded_full_span_no_overflow(spark):
+    xs = [
+        r.x
+        for r in spark.range(1, 1001)
+        .select(
+            seeded.seeded_int64_uniform(
+                F.col("id"), -(2**63), 2**63 - 1, seed=5
+            ).alias("x")
+        )
+        .collect()
+    ]
+    assert len(set(xs)) > 990
