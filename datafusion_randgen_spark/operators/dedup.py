@@ -67,10 +67,7 @@ def shingle_jaccard_pairs(
     docs (stop-shingles): at web scale a handful of ubiquitous shingles
     would otherwise quadratically dominate the join.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    ).distinct()
+    sh = _exploded_shingles(docs, k, text_col, id_col)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
         keep = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
@@ -101,6 +98,38 @@ def shingle_jaccard_pairs(
     )
 
 
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
+
+
+def _affine_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i = (a*h + b) mod p — the classic
+    minhash permutation family.  Derived from a splitmix64-ish recurrence
+    so they're stable across runs without an RNG."""
+    params = []
+    x = (seed * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) & (2**64 - 1)
+    for _ in range(num_perm):
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & (2**64 - 1)
+        a = (x % (_MERSENNE31 - 1)) + 1
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & (2**64 - 1)
+        b = x % _MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def _exploded_shingles(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+    # repartition() first: small corpora arrive as ONE parquet split, and
+    # the shingle construction (interpreted HOF) is the pipeline's
+    # costliest per-row op — spread it across all cores before exploding.
+    return (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_perm: int = 64,
@@ -109,17 +138,21 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seed: int = 0,
 ) -> DataFrame:
-    """(id, array<long> signature): sig[i] = min over shingles of
-    xxhash64(shingle, seed, i).  All JVM-side; one row per doc."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    )
+    """(id, array<long> signature): classic affine-permutation minhash.
+
+    Each shingle is hashed ONCE (``xxhash64`` → mod 2^31-1); the
+    ``num_perm`` permutations are ``(a_i*h + b_i) mod p`` — plain long
+    arithmetic that stays inside whole-stage codegen and cannot overflow
+    (a, h < 2^31 ⇒ product < 2^62).  An earlier version called xxhash64
+    ``num_perm`` times per shingle — 64× the string hashing for nothing.
+    """
+    sh = _exploded_shingles(docs, k, text_col, id_col)
+    base = sh.withColumn("h", F.pmod(F.xxhash64("shingle", F.lit(seed)), F.lit(_MERSENNE31)))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_affine_params(num_perm, seed))
     ]
-    agg = sh.groupBy("id").agg(*mins)
+    agg = base.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
 
 
@@ -175,29 +208,48 @@ def minhash_lsh_dedup_pairs(
     The verification join re-derives shingle sets only for candidate ids
     (a semi-join prune), so verification cost tracks candidate volume.
     """
-    cands = minhash_lsh_candidates(
-        minhash_signatures(docs, num_perm, k, text_col, id_col, seed), bands, rows_per_band
+    # persist: the exploded shingles feed the signature agg AND both
+    # sides of the verification join (small relative to the corpus —
+    # ids + shingle strings; LRU-evicted when memory is needed).
+    sh = _exploded_shingles(docs, k, text_col, id_col).persist()
+    base = sh.withColumn(
+        "h", F.pmod(F.xxhash64("shingle", F.lit(seed)), F.lit(_MERSENNE31))
     )
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_affine_params(num_perm, seed))
+    ]
+    sig = base.groupBy("id").agg(*mins).select(
+        "id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
     )
-    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
-    b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+    cands = minhash_lsh_candidates(sig, bands, rows_per_band)
+    # exact verification: shingle-join restricted to candidate ids —
+    # reuses the cached exploded shingles instead of re-deriving the
+    # arrays (the HOF shingle construction is the expensive part).
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cands.join(sa, "id_a").join(sb, ["id_b", "shingle"]).groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return out
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 0) -> DataFrame:
@@ -208,7 +260,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", see
     """
     from datafusion_randgen_spark.functions.text import tokens
 
-    tok = docs.select(
+    tok = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )

@@ -23,7 +23,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datafusion_randgen_spark.functions.vectors import cosine_similarity
+from datafusion_randgen_spark.functions.vectors import cosine_similarity  # noqa: F401 (API)
+
+
+@F.pandas_udf(T.DoubleType())
+def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise cosine over two array columns, one numpy matmul per Arrow
+    batch.  The Catalyst HOF version (``functions.vectors``) is
+    CodegenFallback — interpreted per element, ~1000× slower on wide
+    scoring joins — so every scoring hot path goes through this UDF.
+    Math is float64, matching the DuckDB oracle to ~1e-15 (rounded to 6
+    decimals before any comparison)."""
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    return pd.Series(num / den)
 
 
 def brute_force_topk(
@@ -45,7 +60,7 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("sim", F.round(_cosine_batch(F.col("q_vec"), F.col("c_vec")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -142,7 +157,7 @@ def lsh_ann_topk(
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .withColumn("sim", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("sim", F.round(_cosine_batch(F.col("q_vec"), F.col("c_vec")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -168,7 +183,7 @@ def embedding_near_dup_pairs(
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn("sim", F.round(_cosine_batch(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
