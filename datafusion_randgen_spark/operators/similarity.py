@@ -52,19 +52,50 @@ def brute_force_topk(
 
     Self-matches excluded.  Ties broken by neighbor id on the ROUNDED
     similarity so results are reproducible across float reassociation.
+
+    Scale shape: the query matrix rides inside the mapInPandas closure
+    (queries are small by contract — that's what makes brute force
+    sane), so the corpus streams through ONCE as Arrow batches and each
+    batch does a single (batch × dim)·(dim × n_queries) matmul + a
+    batch-local top-k.  Only n_batches × n_queries × k candidate rows
+    ever leave Python — versus a crossJoin's corpus × queries rows.
+    The final global top-k is a window over those candidates.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(_cosine_batch(F.col("q_vec"), F.col("c_vec")), 6))
-    )
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            M = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            S = np.round(M @ Qn.T, 6)  # (n, q) — rounded BEFORE ranking
+            kk = min(k, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                s = np.where(ids == qid, -np.inf, S[:, j])
+                # top-k by (sim desc, neighbor_id asc): lexsort is stable
+                order = np.lexsort((ids, -s))[:kk]
+                keep = order[np.isfinite(s[order])]
+                out_q.append(np.full(len(keep), qid))
+                out_n.append(ids[keep])
+                out_s.append(s[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(score, "query_id long, neighbor_id long, sim double")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
@@ -148,6 +179,105 @@ def lsh_ann_topk(
             q_codes.alias("q"),
             (F.col("c.table") == F.col("q.table")) & (F.col("c.code") == F.col("q.code")),
         )
+        .filter(F.col("c.id") != F.col("q.id"))
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("sim", F.round(_cosine_batch(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id): assign each vector to its ``n_probe`` nearest
+    centroids by cosine.  One pandas-UDF matmul per Arrow batch against
+    the (small, broadcast-in-closure) centroid matrix — a pure map
+    stage, no shuffle, no per-centroid join."""
+    cent_ids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    cent_mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])
+    cent_mat = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    probe = min(n_probe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = mat @ cent_mat.T  # (n, n_centroids)
+        top = np.argsort(-sims, axis=1)[:, :probe]
+        return pd.Series(list(cent_ids[top]))
+
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(assign_udf(F.col(vec_col))).alias("centroid_id")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid seeds: the ``n_clusters`` corpus vectors
+    with the smallest ``xxhash64(id, seed)`` — an unbiased seeded sample
+    computed with one top-k (takeOrdered-style limit), no k-means
+    iterations.  At 100 TB the sample is a single scan + tiny limit;
+    refining with one Lloyd step is an optional extra scan."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_clusters)
+        .collect()
+    )
+    return [(int(r.id), [float(x) for x in r.v]) for r in rows]
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into ``n_clusters`` inverted
+    lists (nearest-centroid assignment), probe each query's ``n_probe``
+    closest lists, exact-score only the probed candidates.
+
+    Scale shape: corpus assignment is one map stage; the candidate join
+    is an equi-join on centroid_id (shuffle volume = corpus rows ×
+    1, queries × n_probe — never O(n²)); scoring is the batched-matmul
+    UDF on candidates only.  Everything is seeded → deterministic, so
+    recall properties are stable for the oracle.
+    """
+    cents = ivf_centroids(corpus, n_clusters, seed, id_col, vec_col)
+    c_assign = ivf_assign(corpus, cents, 1, id_col, vec_col)
+    q_assign = ivf_assign(queries, cents, n_probe, id_col, vec_col)
+    cand = (
+        c_assign.alias("c")
+        .join(F.broadcast(q_assign.alias("q")), "centroid_id")
         .filter(F.col("c.id") != F.col("q.id"))
         .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
         .distinct()
