@@ -42,11 +42,15 @@ def add_udfs(spark: SparkSession) -> None:
     Mirrors the reference entry point ``add_udfs(&mut SessionContext)``
     (``src/lib.rs:8-10``): pure catalog mutation, no execution.
     """
-    from datafusion_randgen_spark.functions.randgen import register_parity_udfs
     from datafusion_randgen_spark.functions.exprs import register_sql_fastpaths
+    from datafusion_randgen_spark.functions.randgen import register_parity_udfs
+    from datafusion_randgen_spark.functions.udaf import register_udafs
+    from datafusion_randgen_spark.functions.udtf import register_udtfs
 
     register_parity_udfs(spark)
     register_sql_fastpaths(spark)
+    register_udtfs(spark)
+    register_udafs(spark)
 
 
 __all__ = ["add_udfs", "__version__"]

@@ -93,6 +93,88 @@ def timestamp_uniform_expr(lo: ColumnOrName, hi: ColumnOrName) -> Column:
     return F.timestamp_micros(int64_uniform_expr(lo_us, hi_us))
 
 
+def date_uniform_expr(lo: ColumnOrName, hi: ColumnOrName) -> Column:
+    """Uniform date in [lo, hi] inclusive."""
+    lo_c, hi_c = _c(lo), _c(hi)
+    lo_d, hi_d = lo_c.cast("date"), hi_c.cast("date")
+    return F.date_add(lo_d, int64_uniform_expr(F.lit(0), F.datediff(hi_d, lo_d)).cast("int"))
+
+
+def float64_exponential_expr(rate: ColumnOrName) -> Column:
+    """Exponential(rate) via inverse CDF: -ln(1 - u) / rate; mean 1/rate."""
+    r_c = _c(rate)
+    draw = -F.log(F.lit(1.0) - F.rand()) / r_c.cast("double")
+    return (
+        F.when(r_c.isNull(), F.lit(None).cast("double"))
+        .when(r_c <= 0, F.raise_error(F.lit("float64_exponential_expr: rate <= 0")).cast("double"))
+        .otherwise(draw)
+    )
+
+
+def float64_lognormal_expr(mu: ColumnOrName, sigma: ColumnOrName) -> Column:
+    """LogNormal(mu, sigma): exp(N(mu, sigma)); median = e^mu."""
+    return F.exp(float64_normal_expr(mu, sigma))
+
+
+def int64_zipf_expr(n: ColumnOrName, s: ColumnOrName) -> Column:
+    """Approximate Zipf(s) rank in [1, n] via the continuous inverse CDF
+    ``floor(((n^(1-s) - 1)·u + 1)^(1/(1-s)))`` (s ≠ 1; clamped to [1, n]).
+
+    This is the standard generator for *skewed synthetic join keys* —
+    the tool you reach for when testing salting / AQE skew handling at
+    scale.  The rank-frequency curve tracks an exact Zipf to within a
+    few percent; the heavy head (rank 1 most frequent) is exact.
+    """
+    n_c, s_c = _c(n), _c(s)
+    u = F.rand()
+    one_minus_s = F.lit(1.0) - s_c.cast("double")
+    x = F.pow(
+        (F.pow(n_c.cast("double"), one_minus_s) - F.lit(1.0)) * u + F.lit(1.0),
+        F.lit(1.0) / one_minus_s,
+    )
+    draw = F.least(F.greatest(F.floor(x).cast("long"), F.lit(1)), n_c.cast("long"))
+    return (
+        F.when(n_c.isNull() | s_c.isNull(), F.lit(None).cast("long"))
+        .when((n_c < 1) | (s_c <= 0) | (s_c == 1.0),
+              F.raise_error(F.lit("int64_zipf_expr: need n >= 1, s > 0, s != 1")).cast("long"))
+        .otherwise(draw)
+    )
+
+
+def element_from_weighted_expr(values: list, weights: list[float]) -> Column:
+    """Weighted categorical draw from Python-side (values, weights).
+
+    Compiles to a codegen'd CASE over cumulative probabilities — no HOF,
+    no UDF; the per-row cost is a handful of double compares.  This is
+    the deliberate design for synthetic-data category columns (country,
+    event_type, label): the domain is plan-time metadata, not data.
+    """
+    if len(values) != len(weights) or not values:
+        raise ValueError("element_from_weighted_expr: values/weights must be same nonzero length")
+    if any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError("element_from_weighted_expr: weights must be >= 0 with positive sum")
+    total = float(sum(weights))
+    # Index = Σ 1[u >= cum_i], all terms evaluated UNCONDITIONALLY over
+    # copies of ONE same-seeded Rand.  A CASE WHEN chain would be wrong
+    # here: branch conditions evaluate conditionally, so the per-branch
+    # Rand copies desynchronize (branch 2 only advances on rows where
+    # branch 1 failed) and branches compare DIFFERENT uniforms.  An
+    # unconditional sum advances every copy once per row in lockstep,
+    # so all comparisons see the same draw.  (Distinct F.rand() calls
+    # would be wrong differently: independent seeds → independent
+    # indicators → not a categorical distribution.)
+    cums: list[float] = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        cums.append(acc)
+    if not cums:
+        return F.lit(values[0])
+    u = F.rand()  # one seed, copied into every indicator below
+    idx = sum(((u >= F.lit(c)).cast("int") for c in cums), F.lit(0))
+    return F.element_at(F.array(*[F.lit(v) for v in values]), idx + 1)
+
+
 _SQL_FASTPATHS = {
     "randgen_int64_uniform_expr": (
         "(lo BIGINT, hi BIGINT) RETURNS BIGINT RETURN "

@@ -202,6 +202,25 @@ def _timestamp_uniform_kernel(lo: pd.Series, hi: pd.Series) -> pd.Series:
     return ts.mask(pd.Series(mask)) if mask.any() else ts
 
 
+def _int64_poisson_kernel(lam: pd.Series) -> pd.Series:
+    """Poisson(λ) — no closed-form inverse CDF, so this lives only in the
+    pandas family (NumPy's transformed-rejection sampler); the exprs fast
+    path intentionally omits it."""
+    l_v, mask = _float64_parts(lam)
+    if np.any(~mask & (l_v < 0)):
+        raise ValueError("randgen_int64_poisson: lambda must be >= 0")
+    out = _rng().poisson(np.where(mask, 0.0, l_v)).astype(np.int64)
+    return _masked_int_result(out, mask)
+
+
+def _float64_exponential_kernel(rate: pd.Series) -> pd.Series:
+    r_v, mask = _float64_parts(rate)
+    if np.any(~mask & (r_v <= 0)):
+        raise ValueError("randgen_float64_exponential: rate must be > 0")
+    out = _rng().exponential(1.0 / np.where(mask, 1.0, r_v))
+    return pd.Series(np.where(mask, np.nan, out))
+
+
 def _element_from_kernel(arr: pd.Series) -> pd.Series:
     # arr: Series of lists / ndarrays; NULL array or empty array -> NULL.
     rng = _rng()
@@ -221,6 +240,8 @@ randgen_string_alpha = F.pandas_udf(_string_alpha_kernel, T.StringType()).asNond
 randgen_timestamp_uniform = F.pandas_udf(_timestamp_uniform_kernel, T.TimestampType()).asNondeterministic()
 randgen_element_from_string = F.pandas_udf(_element_from_kernel, T.StringType()).asNondeterministic()
 randgen_element_from_int64 = F.pandas_udf(_element_from_kernel, T.LongType()).asNondeterministic()
+randgen_int64_poisson = F.pandas_udf(_int64_poisson_kernel, T.LongType()).asNondeterministic()
+randgen_float64_exponential = F.pandas_udf(_float64_exponential_kernel, T.DoubleType()).asNondeterministic()
 
 
 _PARITY_UDFS = {
@@ -233,6 +254,8 @@ _PARITY_UDFS = {
     "randgen_timestamp_uniform": randgen_timestamp_uniform,
     "randgen_element_from_string": randgen_element_from_string,
     "randgen_element_from_int64": randgen_element_from_int64,
+    "randgen_int64_poisson": randgen_int64_poisson,
+    "randgen_float64_exponential": randgen_float64_exponential,
 }
 
 

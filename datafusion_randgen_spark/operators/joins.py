@@ -157,3 +157,37 @@ def sessionize(
     if agg_value:
         aggs.append(F.round(F.sum(agg_value), 6).alias("sum_value"))
     return sessions.groupBy(*on, "session_id").agg(*aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: salt the (large, skewed) fact side with a
+    uniform salt in ``[0, n_salts)`` and replicate the dim side once per
+    salt, so one hot key's rows spread over ``n_salts`` shuffle
+    partitions instead of hammering one reducer.
+
+    Semantically identical to ``fact.join(dim, on, how)`` for inner /
+    left joins keyed on the fact side.  AQE's skew-join split handles
+    moderate skew automatically; explicit salting is the tool when one
+    key alone exceeds an executor (zipf-style synthetic keys, §north-star)
+    or when a deterministic layout is needed.  Cost: dim side is
+    duplicated ``n_salts``× (keep it the broadcast-sized side).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join: unsupported how={how!r} (fact-keyed joins only)")
+    keys = [on] if isinstance(on, str) else list(on)
+    # Salt off a hash of the key columns plus spark_partition_id so rows
+    # of the SAME hot key still fan out (a pure key hash would not split
+    # it); any assignment is correct, spread is all that matters.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    ).cast("int")
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return f.join(d, [*keys, "__salt"], how).drop("__salt")

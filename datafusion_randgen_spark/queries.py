@@ -267,6 +267,183 @@ def r_expr_fastpath_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_int64_poisson_props",
+    oracle="SELECT 100000 AS n_rows, 0 AS n_negative, true AS mean_ok, true AS var_ok",
+)
+def r_int64_poisson_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(4): mean ≈ var ≈ 4 (se of mean ≈ 0.0063 at n=100k)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count_if(x < 0) AS n_negative,
+               abs(avg(x) - 4.0) < 0.1 AS mean_ok,
+               abs(var_samp(x) - 4.0) < 0.3 AS var_ok
+        FROM (SELECT randgen_int64_poisson(4.0) AS x FROM range(1, 100001))
+        """
+    )
+
+
+@query(
+    "r_float64_exponential_props",
+    oracle="SELECT 100000 AS n_rows, 0 AS n_negative, true AS mean_ok, true AS median_ok",
+)
+def r_float64_exponential_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential(rate=0.5) via the Catalyst fast path: mean ≈ 2,
+    median ≈ ln(2)/rate ≈ 1.386."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.functions import exprs
+
+    x = spark.range(1, 100001).select(exprs.float64_exponential_expr(F.lit(0.5)).alias("x"))
+    return x.select(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("x") < 0).alias("n_negative"),
+        (F.abs(F.avg("x") - 2.0) < 0.05).alias("mean_ok"),
+        (F.abs(F.median("x") - 1.3863) < 0.05).alias("median_ok"),
+    )
+
+
+@query(
+    "r_zipf_skew_props",
+    oracle="SELECT 100000 AS n_rows, 100000 AS n_in_domain, 1 AS top_rank, true AS head_heavy",
+)
+def r_zipf_skew_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf(s=1.2, n=1000): every draw in [1,1000]; rank 1 is the modal
+    value and carries a heavy head share — the skewed-join-key generator
+    the salting/AQE tests need."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.functions import exprs
+
+    x = spark.range(1, 100001).select(exprs.int64_zipf_expr(F.lit(1000), F.lit(1.2)).alias("x"))
+    freq = x.groupBy("x").agg(F.count("*").alias("n"))
+    top = freq.orderBy(F.desc("n"), F.asc("x")).limit(1)
+    return x.select(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("x").between(1, 1000)).alias("n_in_domain"),
+    ).crossJoin(
+        top.select(
+            F.col("x").alias("top_rank"), (F.col("n") > 10000).alias("head_heavy")
+        )
+    )
+
+
+@query(
+    "r_weighted_element_props",
+    oracle="SELECT 100000 AS n_rows, 100000 AS n_member, true AS ratio_ok",
+)
+def r_weighted_element_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """element_from_weighted: draws land in the domain and the 5:2:3
+    weight ratio shows up in the empirical frequencies."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.functions import exprs
+
+    x = spark.range(1, 100001).select(
+        exprs.element_from_weighted_expr(["US", "DE", "IN"], [5.0, 2.0, 3.0]).alias("x")
+    )
+    return x.select(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("x").isin("US", "DE", "IN")).alias("n_member"),
+        (
+            (F.abs(F.count_if(F.col("x") == "US") / F.count("*") - 0.5) < 0.02)
+            & (F.abs(F.count_if(F.col("x") == "DE") / F.count("*") - 0.2) < 0.02)
+            & (F.abs(F.count_if(F.col("x") == "IN") / F.count("*") - 0.3) < 0.02)
+        ).alias("ratio_ok"),
+    )
+
+
+@query(
+    "r_date_uniform_props",
+    oracle="SELECT 20000 AS n_rows, 20000 AS n_in_range, true AS many_distinct, true AS endpoints",
+)
+def r_date_uniform_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.functions import exprs
+
+    d = spark.range(1, 20001).select(
+        exprs.date_uniform_expr(F.lit("2024-01-01"), F.lit("2024-12-31")).alias("d")
+    )
+    return d.select(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("d").between(F.lit("2024-01-01"), F.lit("2024-12-31"))).alias("n_in_range"),
+        (F.count_distinct(F.col("d")) > 300).alias("many_distinct"),
+        (
+            (F.min("d") == F.lit("2024-01-01").cast("date"))
+            & (F.max("d") == F.lit("2024-12-31").cast("date"))
+        ).alias("endpoints"),
+    )
+
+
+@query(
+    "r_synthetic_table_reproducible",
+    oracle="SELECT 50000 AS n_rows, 0 AS n_mismatch, 50000 AS n_in_bounds, true AS skew_ok",
+)
+def r_synthetic_table_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative generator: one spec, two partition layouts, seeded
+    — outputs must agree cell-for-cell; bounds + zipf skew hold."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.sources.synthetic import synthetic_table
+
+    spec = {
+        "user_id": {"kind": "int64_uniform", "lo": 1, "hi": 1_000_000},
+        "score": {"kind": "float64_normal", "mean": 0.0, "std": 1.0},
+        "country": {"kind": "element_from_weighted", "values": ["US", "DE", "IN"], "weights": [5, 2, 3]},
+        "hot_key": {"kind": "zipf", "n": 100, "s": 1.5},
+        "joined": {"kind": "date_uniform", "lo": "2024-01-01", "hi": "2024-12-31"},
+    }
+    a = synthetic_table(spark, 50_000, spec, seed=7, num_partitions=4)
+    b = synthetic_table(spark, 50_000, spec, seed=7, num_partitions=17)
+    joined = a.alias("a").join(b.alias("b"), "id")
+    mism = (
+        (F.col("a.user_id") != F.col("b.user_id"))
+        | (F.col("a.score") != F.col("b.score"))
+        | (F.col("a.country") != F.col("b.country"))
+        | (F.col("a.hot_key") != F.col("b.hot_key"))
+        | (F.col("a.joined") != F.col("b.joined"))
+    )
+    return joined.select(
+        F.count("*").alias("n_rows"),
+        F.count_if(mism).alias("n_mismatch"),
+        F.count_if(
+            F.col("a.user_id").between(1, 1_000_000) & F.col("a.hot_key").between(1, 100)
+        ).alias("n_in_bounds"),
+        (
+            F.count_if(F.col("a.hot_key") == 1) > F.count_if(F.col("a.hot_key") == 50) * 5
+        ).alias("skew_ok"),
+    )
+
+
+@query(
+    "r_write_parquet_roundtrip",
+    oracle="SELECT 20000 AS n_rows, 2 AS n_partitions, 0 AS n_mismatch",
+)
+def r_write_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink path: generate seeded → write partitioned parquet →
+    read back; row-for-row identical to regeneration (write/read is
+    lossless, partition pruning columns intact)."""
+    import tempfile
+
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.sources.synthetic import synthetic_table, write_synthetic
+
+    spec = {
+        "v": {"kind": "int64_uniform", "lo": 1, "hi": 10_000},
+        "bucket": {"kind": "element_from", "values": ["a", "b"]},
+    }
+    path = tempfile.mkdtemp(prefix="randgen_sink_") + "/t"
+    write_synthetic(spark, path, 20_000, spec, seed=11, num_partitions=4, partition_by=["bucket"])
+    back = spark.read.parquet(path)
+    regen = synthetic_table(spark, 20_000, spec, seed=11, num_partitions=4)
+    j = back.alias("r").join(regen.alias("g"), "id")
+    return j.select(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("r.bucket")).alias("n_partitions"),
+        F.count_if(
+            (F.col("r.v") != F.col("g.v")) | (F.col("r.bucket") != F.col("g.bucket"))
+        ).alias("n_mismatch"),
+    )
+
+
+@query(
     "r_seeded_reproducible",
     oracle="SELECT 20000 AS n_rows, 0 AS n_mismatch, 0 AS n_out_of_range",
 )
@@ -483,6 +660,52 @@ def q_rollup_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube_aggregates",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 grouping combinations in one pass
+    (Spark expands to a single shuffle with grouping-id)."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "q_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS f_total,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2) AS o_total,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2) AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order status → columns.  Values enumerated up front so the
+    single-pass pivot plan needs no extra distinct-scan."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("f_total"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("o_total"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("p_total"),
+    )
+
+
+@query(
     "q_semi_anti_joins",
     oracle="""
     SELECT
@@ -575,6 +798,346 @@ def q_scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("order_month"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+    )
+
+
+@query(
+    "q_exists_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+      AND o_orderdate < timestamp '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then one small agg.
+    The semi join shuffles only (orderkey) pairs, never lineitem rows."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_selective_filter_agg",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+      AND l_shipdate < timestamp '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24
+    """,
+)
+def q_selective_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: all predicates push to the parquet scan; the agg
+    is a single partial+final reduction with no grouped shuffle."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.04, 0.08)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q_outer_join_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q_outer_join_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with an ON-clause residual
+    predicate (not a WHERE — null-extended rows must survive), then a
+    two-level aggregation."""
+    _prep(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"), "left_outer"
+    )
+    counts = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_having_in_subquery",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total_price,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    HAVING sum(l_quantity) > 250
+    """,
+)
+def q_having_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders.  Aggregate lineitem FIRST
+    (shrinks ~6 rows/order to 1 before any join), filter on the raw sum,
+    then join the ~1% survivors to orders/customer."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .filter(F.col("qty_raw") > 250)
+        .select("l_orderkey", F.round("qty_raw", 2).alias("total_qty"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q_correlated_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+    FROM part p
+    WHERE p_retailprice > 1.2 * (SELECT avg(p2.p_retailprice)
+                                 FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into one
+    per-brand aggregate + a broadcast join back onto the scan (verify
+    with .explain: no per-row re-execution)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+        FROM part p
+        WHERE p_retailprice > 1.2 * (SELECT avg(p2.p_retailprice)
+                                     FROM part p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@query(
+    "u_udtf_generate_series",
+    oracle="""
+    SELECT count(*) AS n, min(v) AS lo, max(v) AS hi,
+           CAST(sum(v) AS BIGINT) AS total
+    FROM generate_series(1, 1000) t(v)
+    """,
+)
+def u_udtf_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF parity for DataFusion's generate_series table
+    function (reference src/randgen/int64_uniform.rs:170): inclusive
+    bounds, SQL FROM-clause position."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        "SELECT count(*) AS n, min(value) AS lo, max(value) AS hi, "
+        "sum(value) AS total FROM randgen_series(1, 1000)"
+    )
+
+
+@query(
+    "u_udtf_random_rows",
+    oracle="SELECT 1000 AS n_rows, 1000 AS n_in_range, 0 AS n_null, true AS many_distinct",
+)
+def u_udtf_random_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatile random-row table function: the reference's flagship
+    one-liner without FROM-range scaffolding (property oracle)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count_if(x BETWEEN 1 AND 1000) AS n_in_range,
+               count_if(x IS NULL) AS n_null,
+               count(DISTINCT x) > 500 AS many_distinct
+        FROM randgen_uniform_rows(1000, 1, 1000)
+        """
+    )
+
+
+@query(
+    "u_udaf_gmean",
+    oracle="""
+    SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS gmean_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def u_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (grouped-agg pandas UDF) vs its closed-form SQL
+    oracle: geometric mean per group.  (Grouped-agg pandas UDFs cannot
+    share an ``agg`` with JVM aggregates — INVALID_PANDAS_UDF_PLACEMENT —
+    so the query is UDAF-only.)"""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.functions.udaf import gmean
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(gmean(F.col("l_quantity")), 6).alias("gmean_qty"),
+    )
+
+
+@query(
+    "u_udaf_trimmed_mean",
+    oracle="""
+    SELECT l_returnflag, round(avg(l_extendedprice), 2) AS trimmed_price
+    FROM (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+    GROUP BY l_returnflag
+    """,
+)
+def u_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean as a grouped-agg pandas UDF; the oracle spells
+    the same trim out with window functions."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.functions.udaf import trimmed_mean_10
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(trimmed_mean_10(F.col("l_extendedprice")), 2).alias("trimmed_price")
+    )
+
+
+@query(
+    "q_csv_json_roundtrip",
+    oracle="""
+    SELECT (SELECT count(*) FROM nation) AS n_rows,
+           0 AS n_csv_mismatch, 0 AS n_json_mismatch
+    """,
+)
+def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector surface beyond parquet: write nation to CSV and JSON,
+    read both back with explicit schemas, verify losslessness."""
+    import tempfile
+
+    _prep(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="randgen_fmt_")
+    n.write.mode("overwrite").option("header", True).csv(base + "/csv")
+    n.write.mode("overwrite").json(base + "/json")
+    back_csv = spark.read.schema(n.schema).option("header", True).csv(base + "/csv")
+    back_json = spark.read.schema(n.schema).json(base + "/json")
+
+    def n_mismatch(back: DataFrame) -> int:
+        j = back.alias("b").join(n.alias("o"), "n_nationkey", "full_outer")
+        return j.filter(
+            (F.col("b.n_name") != F.col("o.n_name"))
+            | (F.col("b.n_regionkey") != F.col("o.n_regionkey"))
+            | F.col("b.n_name").isNull()
+            | F.col("o.n_name").isNull()
+        ).count()
+
+    return spark.createDataFrame(
+        [(back_csv.count(), n_mismatch(back_csv), n_mismatch(back_json))],
+        "n_rows long, n_csv_mismatch long, n_json_mismatch long",
+    )
+
+
+@query(
+    "q_salted_skew_join",
+    oracle="SELECT 200000 AS n_rows, true AS same_count, true AS same_sum",
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling: a zipf(1.3) key (rank 1 ≈ 20% of all rows) joined
+    to a dim table via ``salted_join`` must agree exactly with the plain
+    join while spreading the hot key over n_salts reducers."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.sources.synthetic import synthetic_table
+
+    fact = synthetic_table(
+        spark,
+        200_000,
+        {
+            "k": {"kind": "zipf", "n": 100, "s": 1.3},
+            "v": {"kind": "int64_uniform", "lo": 1, "hi": 1000},
+        },
+        seed=5,
+    )
+    dim = spark.range(1, 101).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    plain = fact.join(F.broadcast(dim), "k").agg(
+        F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    ).collect()[0]
+    salted = joins.salted_join(fact, dim, "k", n_salts=8).agg(
+        F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(plain.n, plain.n == salted.n, plain.s == salted.s)],
+        "n_rows long, same_count boolean, same_sum boolean",
+    )
+
+
+@query(
+    "q_json_extraction",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: ``from_json`` with a declared schema (one
+    JVM-side parse per row, codegen'd — never a Python json.loads)."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "q_lateral_explode_tokens",
+    oracle="""
+    SELECT lang, count(*) AS n_tokens, count(DISTINCT token) AS n_distinct
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) t
+    WHERE token <> '' GROUP BY lang
+    """,
+)
+def q_lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-fanout surface: ``explode`` (LATERAL VIEW) over split text.
+    The generate runs inside the scan stage — no shuffle until the agg."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"), F.count_distinct("token").alias("n_distinct")
     )
 
 
@@ -809,6 +1372,28 @@ def s_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 20)
     exact = similarity.brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
     approx = similarity.lsh_ann_topk(emb, queries_df, dim=64, k=5, nbits=5, ntables=12).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return spark.createDataFrame(
+        [(queries_df.count(), hits.count() / exact.count() >= 0.5)],
+        "n_queries long, recall_ok boolean",
+    )
+
+
+@query(
+    "s_ann_ivf_recall",
+    oracle="SELECT 20 AS n_queries, true AS recall_ok",
+)
+def s_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (16 seeded-sample centroids, probe 6): recall@5
+    vs in-Spark brute force >= 0.5 (measured ~0.7 on the fixtures).
+    Seeded → deterministic → the boolean is stable."""
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    approx = similarity.ivf_ann_topk(emb, queries_df, k=5, n_clusters=16, n_probe=6).select(
         "query_id", "neighbor_id"
     )
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")

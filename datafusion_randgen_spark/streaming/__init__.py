@@ -56,6 +56,99 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stateful_user_totals(events: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user (event count, value total, last-seen ts) maintained in
+    explicit state across micro-batches, emitted on every update; with
+    ``timeout_minutes`` set, state is evicted after that much
+    processing-time silence.
+
+    This is the shape the built-in windowed aggs can't express —
+    arbitrary per-key accumulators with custom eviction — and the
+    pattern to extend for sessionized feature extraction at stream
+    scale (state volume is bounded by live keys, not event history).
+
+    Timeout hazard (why the default is ``None``): configuring
+    ``ProcessingTimeTimeout`` makes the engine schedule **continuous
+    no-data micro-batches** to advance the timeout clock — correct for a
+    24/7 production stream, but a finite test stream then never quiesces
+    (``processAllAvailable`` spins through empty batches forever).  Use
+    a timeout only with a real trigger interval or ``availableNow``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double, last_ts timestamp"
+    state_schema = "n long, total double, last_us long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, total, last_us))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    a right event joins a left event with the same ``key`` if it lands
+    in ``[l.ts, l.ts + max_delay]``.
+
+    Both sides carry watermarks so the join state store can evict rows
+    once they can no longer match — without the time bound + watermark,
+    stream-stream join state grows without limit (THE scale hazard of
+    streaming joins).  State per key is bounded by the watermark delay,
+    independent of stream length.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL {max_delay}"
+        ),
+    ).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("l.value").alias("left_value"),
+        F.col("r.value").alias("right_value"),
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, spark: SparkSession, mode: str = "append"):
     """Drive a streaming DF synchronously into an in-memory table (test
     sink): start → processAllAvailable → stop, then query the table."""

@@ -149,3 +149,33 @@ def test_multimodal_features_roundtrip(spark):
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"\x89PNG", "image/png")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from datafusion_randgen_spark.operators.joins import salted_join
+    from datafusion_randgen_spark.sources.synthetic import synthetic_table
+
+    fact = synthetic_table(
+        spark, 20_000,
+        {"k": {"kind": "zipf", "n": 50, "s": 1.5},
+         "v": {"kind": "int64_uniform", "lo": 1, "hi": 100}},
+        seed=13,
+    )
+    dim = spark.range(1, 51).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+    plain = fact.join(dim, "k").agg(
+        F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    ).collect()[0]
+    salted = salted_join(fact, dim, "k", n_salts=4).agg(
+        F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    ).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+    assert plain.n == 20_000
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark):
+    from datafusion_randgen_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")], "k int, v string")
+    dim = spark.createDataFrame([(1, 10), (2, 20)], "k int, w int")
+    out = salted_join(fact, dim, "k", n_salts=3, how="left").orderBy("k").collect()
+    assert [(r.k, r.w) for r in out] == [(1, 10), (2, 20), (99, None)]

@@ -22,10 +22,13 @@ def test_randgen_stream_produces_rows(spark):
     try:
         import time
 
-        deadline = time.time() + 30
+        # Poll the sink — do NOT processAllAvailable() on a rate source:
+        # it waits for the latest offset, which advances every second, so
+        # on a busy JVM (full-suite run) the query never catches up and
+        # the call blocks unboundedly.
+        deadline = time.time() + 60
         n = 0
         while time.time() < deadline:
-            q.processAllAvailable()
             n = spark.sql("SELECT count(*) AS n FROM randgen_smoke").collect()[0].n
             if n > 0:
                 break
@@ -64,6 +67,82 @@ def test_windowed_counts_streaming_from_files(spark, tmp_path):
     got = st.run_stream_to_memory(agg, "win_counts", spark, mode="complete")
     total = got.agg(F.sum("n").alias("t")).collect()[0].t
     assert total == ev.count()
+
+
+def test_stateful_user_totals_stream(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals across
+    micro-batches must converge to the batch groupBy answer."""
+    from datafusion_randgen_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select("user_id", "ts", "value")
+    path = str(tmp_path / "ev_stream")
+    # two files -> at least two input splits for the file stream
+    ev.repartition(2).write.parquet(path)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    out = st.stateful_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last update per user == batch ground truth
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rk
+          FROM user_totals) WHERE rk = 1
+        """
+    )
+    expect = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value")
+    )
+    diff = got.alias("g").join(expect.alias("e"), "user_id").filter(
+        (F.col("g.n_events") != F.col("e.n_events"))
+        | (F.abs(F.col("g.total_value") - F.col("e.total_value")) > 1e-6)
+    )
+    assert expect.count() > 0
+    assert got.count() == expect.count()
+    assert diff.count() == 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join result must equal the equivalent batch join."""
+    from datafusion_randgen_spark.sources import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "ts", "value")
+        .filter(F.col("user_id") < 50)
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    ev.repartition(2).write.parquet(lp)
+    ev.repartition(2).write.parquet(rp)
+    ls = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(lp)
+    rs = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(rp)
+    joined = st.stream_stream_interval_join(ls, rs, max_delay="10 minutes")
+    q = joined.writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM ssj").collect()[0].n
+    batch = (
+        ev.alias("l")
+        .join(
+            ev.alias("r"),
+            F.expr(
+                "l.user_id = r.user_id AND r.ts >= l.ts "
+                "AND r.ts <= l.ts + INTERVAL 10 minutes"
+            ),
+        )
+        .count()
+    )
+    assert got == batch > 0
 
 
 def test_session_windows_batch(spark):

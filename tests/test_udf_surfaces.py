@@ -1,0 +1,73 @@
+"""UDTF (table function) and UDAF (grouped-agg pandas UDF) surfaces."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_randgen_spark import add_udfs
+from datafusion_randgen_spark.functions.udaf import gmean, trimmed_mean_10
+from datafusion_randgen_spark.sources import load_table
+
+
+def test_udtf_series_inclusive_parity(spark):
+    add_udfs(spark)
+    rows = spark.sql("SELECT value FROM randgen_series(1, 100)").collect()
+    vals = sorted(r.value for r in rows)
+    assert vals == list(range(1, 101))  # inclusive like generate_series
+
+
+def test_udtf_series_step_and_descending(spark):
+    add_udfs(spark)
+    up = [r.value for r in spark.sql("SELECT * FROM randgen_series(0, 10, 3)").collect()]
+    assert sorted(up) == [0, 3, 6, 9]
+    down = [r.value for r in spark.sql("SELECT * FROM randgen_series(5, 1, -2)").collect()]
+    assert sorted(down) == [1, 3, 5]
+
+
+def test_udtf_random_rows_bounds_and_nulls(spark):
+    add_udfs(spark)
+    row = spark.sql(
+        """
+        SELECT count(*) AS n, count_if(x NOT BETWEEN 1 AND 10) AS bad,
+               count(DISTINCT x) AS nd
+        FROM randgen_uniform_rows(5000, 1, 10)
+        """
+    ).collect()[0]
+    assert row.n == 5000 and row.bad == 0 and row.nd == 10
+    nulls = spark.sql("SELECT * FROM randgen_uniform_rows(10, 1, CAST(NULL AS BIGINT))").collect()
+    assert len(nulls) == 10 and all(r.x is None for r in nulls)
+
+
+def test_udaf_gmean_matches_closed_form(spark):
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    got = {
+        r.l_returnflag: r.g
+        for r in li.groupBy("l_returnflag").agg(gmean(F.col("l_quantity")).alias("g")).collect()
+    }
+    expect = {
+        r.l_returnflag: math.exp(r.m)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.avg(F.log("l_quantity")).alias("m"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == pytest.approx(expect[k], rel=1e-9)
+
+
+def test_udaf_trimmed_mean_trims_tails(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)] + [(1000.0,)], "x double")
+    out = df.agg(trimmed_mean_10(F.col("x")).alias("t")).collect()[0].t
+    # n=11, k=1: drop min(1.0) and max(1000.0) -> mean of 2..10
+    assert out == pytest.approx(sum(range(2, 11)) / 9)
+
+
+def test_udaf_sql_registration(spark):
+    add_udfs(spark)
+    row = spark.sql(
+        "SELECT gmean(x) AS g FROM (SELECT CAST(id AS DOUBLE) AS x FROM range(1, 5))"
+    ).collect()[0]
+    assert row.g == pytest.approx((1 * 2 * 3 * 4) ** 0.25, rel=1e-9)
