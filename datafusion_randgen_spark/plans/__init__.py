@@ -12,7 +12,10 @@ def physical_plan(df: DataFrame) -> str:
 
 
 def formatted_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().explainString("formatted")
+    # explainString takes an ExplainMode object, not a plain string
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
@@ -35,3 +38,24 @@ def scan_read_schema(df: DataFrame) -> list[str]:
         for line in formatted_plan(df).splitlines()
         if "ReadSchema:" in line
     ]
+
+
+def has_partition_filters(df: DataFrame) -> bool:
+    """True iff the scan carries a non-empty PartitionFilters list —
+    i.e. partition pruning will skip directories, the difference between
+    reading one partition and reading 100 TB."""
+    plan = formatted_plan(df).replace("PartitionFilters: []", "")
+    return "PartitionFilters: [" in plan
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes in the physical plan.  The
+    at-scale currency: a bucketed/co-partitioned join should show 0
+    before the join, a plain SMJ shows 2."""
+    plan = physical_plan(df)
+    # count shuffle exchanges only, not BroadcastExchange
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange " in line and "BroadcastExchange" not in line
+    )

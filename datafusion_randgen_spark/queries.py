@@ -50,6 +50,18 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     register_views(spark, sf_dir)
 
 
+def _drop_managed_table(spark: SparkSession, name: str) -> None:
+    """DROP TABLE + remove its warehouse directory.  The default
+    in-memory catalog forgets tables across sessions but their files
+    persist, and ``saveAsTable`` refuses to reuse the location."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+
 # =========================================================================
 # R — randgen parity family (property oracles, reference semantics)
 # =========================================================================
@@ -1581,6 +1593,234 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_fake_media(docs)
     return multimodal.extract_features(media).select(
         "doc_id", "media_type", "byte_len", "width", "height"
+    )
+
+
+# =========================================================================
+# Q2 — wider SQL surface: grouping sets, percentiles/sketches, range
+# frames, array functions, more connectors, physical-layout operators
+# =========================================================================
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond ROLLUP/CUBE): three disjoint
+    groupings in one shuffle via Expand + grouping-id."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_percentile_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ↔
+    DuckDB ``quantile_cont``, both linear interpolation).  Exact
+    percentile is a full-sort-per-group aggregate — the scale path is
+    ``percentile_approx`` (q_sketch_accuracy)."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+    )
+
+
+@query(
+    "q_sketch_accuracy",
+    oracle="""
+    SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS n_exact,
+           true AS hll_ok, true AS pctl_ok
+    """,
+)
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates vs exact, property-style: HyperLogLog++
+    (``approx_count_distinct``) within 5% of the exact distinct count and
+    KLL/GK (``percentile_approx``) within 2% of the exact median.  At
+    100 TB these are THE distinct-count/quantile operators (single pass,
+    fixed memory, mergeable partials — no per-group sort)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_exact,
+               abs(n_hll - n_exact) / n_exact < 0.05 AS hll_ok,
+               abs(p50_approx - p50_exact) <= greatest(0.02 * p50_exact, 1.0) AS pctl_ok
+        FROM (
+          SELECT count(DISTINCT o_custkey) AS n_exact,
+                 -- rsd 0.01: the default 0.05 std-error makes a 5%%
+                 -- tolerance a coin flip; 1%% rsd vs 5%% bound is ~5σ
+                 approx_count_distinct(o_custkey, 0.01) AS n_hll,
+                 percentile_approx(o_totalprice, 0.5, 10000) AS p50_approx,
+                 percentile(o_totalprice, 0.5) AS p50_exact
+          FROM orders
+        )
+        """
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+                 RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2) AS spend_7d
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: trailing 7-day spend per customer —
+    the time-series rollup shape (frame bounds in *days*, not rows;
+    date ties are frame peers on both engines)."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-7, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_7d"),
+    )
+
+
+@query(
+    "q_array_functions_sampler",
+    oracle="""
+    SELECT p_partkey,
+           len(seq) AS seq_len,
+           CAST(list_sum(seq) AS BIGINT) AS seq_sum,
+           list_contains(seq, 3) AS has_3,
+           CAST(list_max(seq) AS BIGINT) AS seq_max,
+           len(string_split(p_name, ' ')) AS n_words
+    FROM (SELECT p_partkey, generate_series(1, p_size % 5 + 1) AS seq, p_name
+          FROM part)
+    """,
+)
+def q_array_functions_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/lambda scalar function surface: sequence, size, aggregate
+    (fold), array_contains, sort+element_at, split — Spark ``sequence``
+    is end-inclusive like DuckDB ``generate_series``."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               size(seq) AS seq_len,
+               aggregate(seq, 0L, (a, x) -> a + x) AS seq_sum,
+               array_contains(seq, 3L) AS has_3,
+               element_at(sort_array(seq, false), 1) AS seq_max,
+               size(split(p_name, ' ')) AS n_words
+        FROM (SELECT p_partkey, sequence(1L, p_size % 5 + 1) AS seq, p_name
+              FROM part)
+        """
+    )
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT (SELECT count(*) FROM supplier) AS n_rows, 0 AS n_mismatch
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third columnar format (ORC) write→read losslessness, alongside
+    parquet (native fixtures) and CSV/JSON (q_csv_json_roundtrip)."""
+    import tempfile
+
+    _prep(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    base = tempfile.mkdtemp(prefix="randgen_orc_")
+    s.write.mode("overwrite").orc(base + "/orc")
+    back = spark.read.orc(base + "/orc")
+    j = back.alias("b").join(s.alias("o"), "s_suppkey", "full_outer")
+    n_mismatch = j.filter(
+        (F.col("b.s_name") != F.col("o.s_name"))
+        | (F.col("b.s_acctbal") != F.col("o.s_acctbal"))
+        | F.col("b.s_name").isNull()
+        | F.col("o.s_name").isNull()
+    ).count()
+    return spark.createDataFrame(
+        [(back.count(), n_mismatch)], "n_rows long, n_mismatch long"
+    )
+
+
+@query(
+    "q_partition_pruned_scan",
+    oracle="""
+    SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout: write orders partitioned by
+    o_orderstatus, read back with a partition predicate.  The filter
+    becomes a *directory* prune (PartitionFilters in the plan — asserted
+    in tests/test_plans.py), i.e. the scan never opens non-'F' files;
+    at 100 TB that's the difference between reading one partition and
+    reading the lake."""
+    import tempfile
+
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="randgen_part_")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    back = spark.read.parquet(base).filter(F.col("o_orderstatus") == "F")
+    return back.agg(
+        F.count("*").alias("n_rows"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "q_bucketed_colocated_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables (8 buckets on the join key, sorted within
+    buckets): both sides pre-hash-partitioned on disk, so the join runs
+    shuffle-free (zero Exchange before the SMJ — asserted in
+    tests/test_plans.py).  This is the co-located-join strategy for a
+    fact table joined repeatedly on the same key at 100 TB: pay the
+    shuffle once at write time, never again."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    for name, df, key in (
+        ("rb_orders", o, "o_custkey"),
+        ("rb_customer", c, "c_custkey"),
+    ):
+        _drop_managed_table(spark, name)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    ob, cb = spark.table("rb_orders"), spark.table("rb_customer")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
 
 

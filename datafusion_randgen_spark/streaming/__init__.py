@@ -149,6 +149,25 @@ def stream_stream_interval_join(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``: a
+    duplicate arriving within ``watermark`` of the first copy is dropped;
+    state for a key is evicted once the watermark passes it.
+
+    This is the streaming twin of ``operators.dedup.exact_dedup`` and the
+    shape that matters at ingest scale: state is bounded by (keys seen
+    within one watermark window), not by stream history — a plain
+    ``dropDuplicates`` on a stream would keep every key forever.
+    """
+    keys = keys or ["user_id", ts_col]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(df: DataFrame, name: str, spark: SparkSession, mode: str = "append"):
     """Drive a streaming DF synchronously into an in-memory table (test
     sink): start → processAllAvailable → stop, then query the table."""

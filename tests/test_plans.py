@@ -1,0 +1,114 @@
+"""Physical-plan assertions — the 100 TB checklist: filters reach the
+parquet scan, projections prune columns, small dims broadcast, the
+pure-Catalyst generation path has zero Python nodes, partitioned writes
+prune directories, bucketed joins run shuffle-free."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_randgen_spark import plans
+from datafusion_randgen_spark.sources import load_table
+from datafusion_randgen_spark.sources.synthetic import synthetic_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    o = load_table(spark, SF, "orders").filter(F.col("o_custkey") < 100)
+    assert plans.has_pushed_filters(o)
+
+
+def test_projection_prunes_scan_columns(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    [schema_line] = plans.scan_read_schema(li)
+    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+    assert "l_comment" not in schema_line  # untouched columns never read
+
+
+def test_small_dim_join_broadcasts(spark):
+    n = load_table(spark, SF, "nation")
+    r = load_table(spark, SF, "region")
+    joined = n.join(r, n.n_regionkey == r.r_regionkey)
+    assert plans.has_broadcast_join(joined)
+
+
+def test_volatile_synthetic_table_is_pure_codegen(spark):
+    """The exprs fast path must never fall back to a Python worker —
+    that's the whole point of having it next to the pandas-UDF family."""
+    df = synthetic_table(
+        spark,
+        1000,
+        {
+            "a": {"kind": "int64_uniform", "lo": 1, "hi": 10},
+            "b": {"kind": "float64_normal", "mean": 0.0, "std": 1.0},
+            "c": {"kind": "element_from_weighted", "values": ["x", "y"], "weights": [1, 3]},
+            "d": {"kind": "zipf", "n": 100, "s": 1.5},
+        },
+    )
+    assert plans.python_eval_nodes(df) == 0
+
+
+def test_seeded_synthetic_table_is_pure_codegen(spark):
+    df = synthetic_table(
+        spark,
+        1000,
+        {
+            "a": {"kind": "int64_uniform", "lo": 1, "hi": 10},
+            "s": {"kind": "string_alpha", "length": 4},
+        },
+        seed=7,
+    )
+    assert plans.python_eval_nodes(df) == 0
+
+
+def test_pandas_udf_family_is_arrow_vectorized(spark):
+    """The parity family must go through ArrowEvalPython (vectorized
+    batches), never row-at-a-time BatchEvalPython."""
+    from datafusion_randgen_spark import add_udfs
+
+    add_udfs(spark)
+    df = spark.sql("SELECT randgen_int64_uniform(1, 10) AS x FROM range(1, 101)")
+    plan = plans.physical_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    o = load_table(spark, SF, "orders")
+    base = str(tmp_path / "orders_part")
+    o.write.partitionBy("o_orderstatus").parquet(base)
+    back = spark.read.parquet(base).filter(F.col("o_orderstatus") == "F")
+    assert plans.has_partition_filters(back)
+    # pruned scan result still matches the unpartitioned filter
+    assert back.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed on the join key → SortMergeJoin with ZERO
+    shuffle exchanges (broadcast disabled to force the SMJ path)."""
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    from datafusion_randgen_spark.queries import _drop_managed_table
+
+    for name, df, key in (
+        ("tp_orders_b", o, "o_custkey"),
+        ("tp_customer_b", c, "c_custkey"),
+    ):
+        _drop_managed_table(spark, name)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob, cb = spark.table("tp_orders_b"), spark.table("tp_customer_b")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        assert plans.exchange_count(joined) == 0
+        assert "SortMergeJoin" in plans.physical_plan(joined)
+        # plain (unbucketed) version shuffles both sides
+        plain = o.join(c, o.o_custkey == c.c_custkey)
+        assert plans.exchange_count(plain) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -152,3 +152,24 @@ def test_session_windows_batch(spark):
     out = st.session_windows(ev, gap="30 minutes")
     # session totals must account for every event
     assert out.agg(F.sum("n_events").alias("t")).collect()[0].t == ev.count()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: every duplicated (user_id, ts) pair
+    collapses to one row; count must equal the batch distinct count."""
+    from datafusion_randgen_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select("user_id", "ts", "value")
+    dup = ev.union(ev)  # exact duplicates of every event
+    path = str(tmp_path / "dup_stream")
+    dup.repartition(3).write.parquet(path)
+    stream = spark.readStream.schema(dup.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    out = st.stream_dedup(stream, keys=["user_id", "ts"], watermark="1 hour")
+    q = out.writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0].n
+    expect = ev.select("user_id", "ts").distinct().count()
+    assert got == expect > 0
