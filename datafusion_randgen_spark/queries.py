@@ -1824,6 +1824,207 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_datetime_functions_sampler",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', d) AS DATE) AS month_start,
+           year(d) AS y,
+           quarter(d) AS q,
+           dayofweek(d) AS dow,
+           d + 30 AS plus30,
+           CAST(d + INTERVAL 2 MONTH AS DATE) AS plus2m,
+           last_day(d) AS month_end,
+           datediff('day', d, DATE '1996-01-01') AS days_to_96
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+          FROM orders WHERE o_orderkey < 1000)
+    """,
+)
+def q_datetime_functions_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar function surface: trunc, field extraction,
+    day/month arithmetic, last_day, datediff.  (Spark ``dayofweek`` is
+    1=Sunday; DuckDB ``dayofweek`` is 0=Sunday — aligned with -1; both
+    sides operate on the DATE-cast column since the fixture stores
+    o_orderdate as a timestamp.)"""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        (F.dayofweek(d) - 1).alias("dow"),
+        F.date_add(d, 30).alias("plus30"),
+        F.add_months(d, 2).alias("plus2m"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1996-01-01").cast("date"), d).alias("days_to_96"),
+    )
+
+
+@query(
+    "q_regex_string_sampler",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, ' ', '_', 'g') AS snake_name,
+           length(p_name) AS name_len,
+           upper(p_brand) AS brand_upper,
+           strpos(p_name, 'a') AS pos_a,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           split_part(p_type, ' ', 2) AS type_mid
+    FROM part
+    """,
+)
+def q_regex_string_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex scalar function surface.  DuckDB ``regexp_replace``
+    needs the 'g' flag to match Spark's replace-all semantics."""
+    _prep(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+        F.length("p_name").alias("name_len"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.instr(F.col("p_name"), "a").alias("pos_a"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+    )
+
+
+@query(
+    "q_null_semantics_sampler",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'WAS_BUILDING') AS seg_filled,
+           c_mktsegment IS DISTINCT FROM 'BUILDING' AS not_building,
+           CASE WHEN nullif(c_acctbal, 0.0) IS NULL THEN -1.0
+                ELSE round(c_acctbal, 2) END AS bal_or_flag
+    FROM customer
+    """,
+)
+def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: NULLIF, COALESCE, IS DISTINCT FROM,
+    NULL-aware CASE — the null-propagation contract the reference pins
+    for its UDF (int64_uniform.rs:222-275) extended to the SQL surface."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'WAS_BUILDING') AS seg_filled,
+               c_mktsegment IS DISTINCT FROM 'BUILDING' AS not_building,
+               CASE WHEN nullif(c_acctbal, 0.0D) IS NULL THEN -1.0D
+                    ELSE round(c_acctbal, 2) END AS bal_or_flag
+        FROM customer
+        """
+    )
+
+
+# =========================================================================
+# ST — Structured Streaming pipelines, oracle-checked: a finite file
+# stream (one file per micro-batch) driven to completion must produce
+# exactly the batch answer.  The DuckDB oracle is that batch answer.
+# =========================================================================
+
+def _drive_stream(out, name: str, mode: str) -> DataFrame:
+    from datafusion_randgen_spark import streaming as st
+
+    return st.run_stream_to_memory(out, name, out.sparkSession, mode=mode)
+
+
+@query(
+    "st_windowed_counts_stream",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed AS A STREAM
+    (micro-batch per file), checked against the exact batch SQL — the
+    strongest correctness statement streaming allows: stream result ==
+    batch result on the same finite input."""
+    import tempfile
+
+    from datafusion_randgen_spark import streaming as st
+
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    stream = st.file_stream_from(ev, tempfile.mkdtemp(prefix="randgen_st_win_"))
+    # watermark wider than the fixture's ts span: rows can land in any
+    # micro-batch, so a narrow watermark would nondeterministically
+    # late-drop — correctness entries must be deterministic; watermark
+    # *eviction* behavior is exercised in tests/test_streaming.py
+    agg = st.windowed_counts(stream, window="1 hour", watermark="60 days")
+    got = _drive_stream(agg, "st_win_counts", "complete")
+    return got.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+@query(
+    "st_stream_dedup",
+    oracle="""
+    SELECT count(*) AS n_unique FROM (
+      SELECT DISTINCT user_id, date_trunc('microseconds', ts) FROM events)
+    """,
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) over a
+    doubled input stream: every event sent twice, output count must be
+    the batch distinct count.  State is watermark-bounded — the ingest-
+    scale dedup shape (a plain stream dropDuplicates would hold every
+    key forever)."""
+    import tempfile
+
+    from datafusion_randgen_spark import streaming as st
+
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    doubled = ev.union(ev)
+    stream = st.file_stream_from(doubled, tempfile.mkdtemp(prefix="randgen_st_dd_"))
+    # 60-day watermark >> the fixture's one-month span: no copy is ever
+    # late-dropped or state-evicted mid-stream, so the count is exact
+    deduped = st.stream_dedup(stream, keys=["user_id", "ts"], watermark="60 days")
+    got = _drive_stream(deduped, "st_dedup_out", "append")
+    return got.agg(F.count("*").alias("n_unique"))
+
+
+@query(
+    "st_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven over
+    micro-batches; the FINAL emitted state per user must equal the batch
+    groupBy — per-key accumulators survive across batches."""
+    import tempfile
+
+    from datafusion_randgen_spark import streaming as st
+
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    stream = st.file_stream_from(ev, tempfile.mkdtemp(prefix="randgen_st_state_"))
+    out = st.stateful_user_totals(stream)
+    got = _drive_stream(out, "st_state_out", "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        got.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", F.round("total_value", 6).alias("total_value"))
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================

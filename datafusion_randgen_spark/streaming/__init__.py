@@ -168,6 +168,21 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def file_stream_from(df: DataFrame, path: str, n_files: int = 3) -> DataFrame:
+    """Materialize a batch DataFrame as ``n_files`` parquet files and
+    open them as a file-source stream (one file per micro-batch) — the
+    standard trick for driving a finite, deterministic stream through a
+    streaming pipeline so its output can be compared against the batch
+    answer."""
+    spark = df.sparkSession
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, spark: SparkSession, mode: str = "append"):
     """Drive a streaming DF synchronously into an in-memory table (test
     sink): start → processAllAvailable → stop, then query the table."""

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the generator family — the
+reference's own test strategy (bounds + null matrix as properties, not
+golden values; SURVEY.md §5) pushed through randomized inputs.
+
+Each example runs a small Spark job, so example counts are kept low;
+the properties are about *semantic* invariants (bounds, determinism,
+domain membership), not statistical quality.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hs
+from pyspark.sql import functions as F
+
+from datafusion_randgen_spark.functions import exprs, seeded
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+BOUND = 2**40  # comfortably inside int64 after hi-lo arithmetic
+
+
+@_settings
+@given(
+    lo=hs.integers(min_value=-BOUND, max_value=BOUND),
+    span=hs.integers(min_value=0, max_value=BOUND),
+    seed=hs.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_seeded_uniform_in_bounds_any_seed(spark, lo, span, seed):
+    hi = lo + span
+    out = (
+        spark.range(0, 200)
+        .select(seeded.seeded_int64_uniform(F.col("id"), lo, hi, seed=seed).alias("x"))
+        .agg(
+            F.count(F.when((F.col("x") < lo) | (F.col("x") > hi), 1)).alias("oob"),
+            F.count(F.when(F.col("x").isNull(), 1)).alias("nulls"),
+        )
+        .collect()[0]
+    )
+    assert out.oob == 0 and out.nulls == 0
+
+
+@_settings
+@given(seed=hs.integers(min_value=0, max_value=2**31 - 1))
+def test_seeded_uniform_partitioning_invariant(spark, seed):
+    """Same seed → identical values regardless of partition count —
+    THE reproducibility contract for distributed generation."""
+
+    def gen(parts: int) -> list[tuple]:
+        return sorted(
+            spark.range(0, 100, 1, parts)
+            .select("id", seeded.seeded_int64_uniform(F.col("id"), 0, 10**6, seed=seed).alias("x"))
+            .collect()
+        )
+
+    assert gen(1) == gen(7)
+
+
+@_settings
+@given(
+    weights=hs.lists(hs.floats(min_value=0.01, max_value=100.0), min_size=1, max_size=6),
+)
+def test_weighted_element_domain(spark, weights):
+    values = [f"v{i}" for i in range(len(weights))]
+    col = exprs.element_from_weighted_expr(values, weights)
+    out = (
+        spark.range(0, 300)
+        .select(col.alias("c"))
+        .agg(F.count(F.when(~F.col("c").isin(values), 1)).alias("bad"))
+        .collect()[0]
+    )
+    assert out.bad == 0
+
+
+@_settings
+@given(
+    n=hs.integers(min_value=1, max_value=10**6),
+    s=hs.floats(min_value=0.1, max_value=3.0).filter(lambda v: abs(v - 1.0) > 1e-6),
+)
+def test_zipf_rank_in_range(spark, n, s):
+    out = (
+        spark.range(0, 300)
+        .select(exprs.int64_zipf_expr(F.lit(n), F.lit(s)).alias("r"))
+        .agg(F.count(F.when((F.col("r") < 1) | (F.col("r") > n), 1)).alias("oob"))
+        .collect()[0]
+    )
+    assert out.oob == 0
+
+
+def test_zipf_head_is_heaviest(spark):
+    """Rank 1 must be the most frequent rank (the defining Zipf shape)."""
+    counts = dict(
+        spark.range(0, 20_000)
+        .select(exprs.int64_zipf_expr(F.lit(100), F.lit(1.5)).alias("r"))
+        .groupBy("r")
+        .count()
+        .collect()
+    )
+    assert counts[1] == max(counts.values())

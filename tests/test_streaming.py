@@ -164,7 +164,11 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     path = str(tmp_path / "dup_stream")
     dup.repartition(3).write.parquet(path)
     stream = spark.readStream.schema(dup.schema).option("maxFilesPerTrigger", 1).parquet(path)
-    out = st.stream_dedup(stream, keys=["user_id", "ts"], watermark="1 hour")
+    # watermark wider than the fixture's one-month ts span: duplicates
+    # may land in any micro-batch, so a narrow watermark would
+    # nondeterministically late-drop first copies (undercount) or evict
+    # state before the second copy (overcount)
+    out = st.stream_dedup(stream, keys=["user_id", "ts"], watermark="60 days")
     q = out.writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
     try:
         q.processAllAvailable()
