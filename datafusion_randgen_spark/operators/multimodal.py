@@ -91,6 +91,48 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, ts_ms long, frame binary, frame_len long"
+)
+
+
+def frame_sample(media_df: DataFrame, every_ms: int = 40) -> DataFrame:
+    """Video frame sampling as a fan-out ``mapInPandas`` stage: one input
+    payload → N output rows, each carrying a frame payload slice plus
+    (frame_idx, ts_ms) metadata.
+
+    FAKE codec: frame count is ``1 + byte_len % 8`` and each frame is a
+    16-byte slice of the container at ``frame_idx * 16`` (wrapping) —
+    deterministic so the metadata columns are oracle-checkable.  A real
+    implementation replaces only the two marked lines with a demuxer
+    (e.g. PyAV) keyframe walk; the fan-out shape, Arrow batching, and
+    schema are exactly what production frame extraction uses.
+
+    Scale: map-only (no shuffle); output row count is bounded by
+    frames-per-doc × docs-per-partition, so partition sizing follows the
+    *output* payload volume, not the input's.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "ts_ms": [], "frame": [], "frame_len": []
+            }
+            for doc_id, media, byte_len in zip(pdf["doc_id"], pdf["media"], pdf["byte_len"]):
+                n_frames = 1 + int(byte_len) % 8  # FAKE: header would say
+                for i in range(n_frames):
+                    start = (i * 16) % max(int(byte_len), 1)
+                    frame = bytes(media)[start : start + 16]  # FAKE: demux
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["frame"].append(frame)
+                    rows["frame_len"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
 def resize_stub(media_df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize plumbing: passes payloads through mapInPandas and records
     the target dims (real resize would transform the payload)."""

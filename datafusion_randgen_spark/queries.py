@@ -1492,25 +1492,39 @@ def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_oracle() -> str:
+_DUCK_N_TOKENS = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
+
+
+def _duckdb_quality_cte() -> str:
+    """DuckDB CTE fragment: per-doc composite quality ``score`` (the
+    exact mirror of functions.text.quality_score), carrying doc_id,
+    lang, text, and n_tokens for downstream pipeline stages."""
     stop_hits = " + ".join(_duckdb_marker_hits(w) for w in text.STOPWORDS_EN)
-    n_tokens = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
     mean_tok = (
         "list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''),"
-        f" x -> length(x))) * 1.0 / greatest({n_tokens}, 1)"
+        f" x -> length(x))) * 1.0 / greatest({_DUCK_N_TOKENS}, 1)"
     )
     return f"""
-    WITH q AS (
-      SELECT doc_id,
+    parts AS (
+      SELECT doc_id, lang, text, {_DUCK_N_TOKENS} AS n_tokens,
              least(length(text) / 200.0, 1.0) AS len_ok,
              1.0 - least((length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
                           / greatest(length(text), 1)) * 10.0, 1.0) AS punct_ok,
-             least(({stop_hits}) * 1.0 / greatest({n_tokens}, 1) * 5.0, 1.0) AS stop_ok,
+             least(({stop_hits}) * 1.0 / greatest({_DUCK_N_TOKENS}, 1) * 5.0, 1.0) AS stop_ok,
              CASE WHEN ({mean_tok}) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END AS tok_ok
       FROM documents
-    )
-    SELECT CAST(floor(round((len_ok + punct_ok + stop_ok + tok_ok) / 4.0, 6) * 10) AS BIGINT) AS bucket,
-           count(*) AS n
+    ),
+    q AS (
+      SELECT doc_id, lang, text, n_tokens,
+             round((len_ok + punct_ok + stop_ok + tok_ok) / 4.0, 6) AS score
+      FROM parts
+    )"""
+
+
+def _quality_oracle() -> str:
+    return f"""
+    WITH {_duckdb_quality_cte()}
+    SELECT CAST(floor(score * 10) AS BIGINT) AS bucket, count(*) AS n
     FROM q GROUP BY 1
     """
 
@@ -1920,6 +1934,82 @@ def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE round(c_acctbal, 2) END AS bal_or_flag
         FROM customer
         """
+    )
+
+
+@query(
+    "m_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents
+    )
+    SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
+           CAST(g.i * 40 AS BIGINT) AS ts_ms,
+           CAST(least(16, byte_len - ((g.i * 16) % greatest(byte_len, 1))) AS BIGINT)
+             AS frame_len
+    FROM m, LATERAL unnest(generate_series(0, byte_len % 8)) AS g(i)
+    """,
+)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (fan-out mapInPandas: one payload → N frame
+    rows).  Codec is a deterministic fake (operators.multimodal.
+    frame_sample), so frame count / timestamps / slice lengths are
+    oracle-checkable; the binary frame column itself is dropped here
+    (not ANSI-comparable) and covered by unit tests."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs)
+    return multimodal.frame_sample(media, every_ms=40).select(
+        "doc_id", "frame_idx", "ts_ms", "frame_len"
+    )
+
+
+@query(
+    "p_training_data_prep",
+    oracle=f"""
+    WITH {_duckdb_quality_cte()},
+    kept AS (SELECT * FROM q WHERE score >= 0.5),
+    norm AS (
+      SELECT *, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                    '\\s+', ' ', 'g')) AS nt
+      FROM kept
+    ),
+    winners AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn FROM norm)
+      WHERE rn = 1
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           round(avg(score), 4) AS avg_quality
+    FROM winners GROUP BY lang
+    """,
+)
+def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data prep pipeline: quality-filter → exact
+    dedup (min-id winner per normalized text) → token accounting, per
+    language.  The composition the engine exists for — every stage is
+    the JVM-side operator used by its standalone query, fused into one
+    plan: scan → (quality exprs) → filter → window-dedup on the digest →
+    groupBy.  Two shuffles total (dedup key, lang) regardless of corpus
+    size."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("q", text.quality_score(F.col("text"))).filter(
+        F.col("q") >= 0.5
+    )
+    key = F.sha2(normalize_text(F.col("text")), 256)
+    w = Window.partitionBy(key).orderBy("doc_id")
+    winners = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        winners.withColumn("n_tokens", text.token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
     )
 
 

@@ -179,3 +179,23 @@ def test_salted_join_left_outer_preserves_unmatched(spark):
     dim = spark.createDataFrame([(1, 10), (2, 20)], "k int, w int")
     out = salted_join(fact, dim, "k", n_salts=3, how="left").orderBy("k").collect()
     assert [(r.k, r.w) for r in out] == [(1, 10), (2, 20), (99, None)]
+
+
+def test_frame_sample_slices_payload(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789"), (2, "hi")], "doc_id long, text string"
+    )
+    media = multimodal.attach_fake_media(docs)
+    frames = multimodal.frame_sample(media, every_ms=40).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    payloads = {r.doc_id: bytes(r.media) for r in media.collect()}
+    for doc_id, rows in by_doc.items():
+        payload = payloads[doc_id]
+        assert len(rows) == 1 + len(payload) % 8
+        for r in sorted(rows, key=lambda r: r.frame_idx):
+            start = (r.frame_idx * 16) % max(len(payload), 1)
+            assert bytes(r.frame) == payload[start : start + 16]
+            assert r.ts_ms == r.frame_idx * 40
+            assert r.frame_len == len(bytes(r.frame))
