@@ -86,6 +86,7 @@ def main() -> None:
         "d_minhash_lsh_pairs": cat.QUERIES["d_minhash_lsh_pairs"],
         "s_ann_bruteforce_topk": cat.QUERIES["s_ann_bruteforce_topk"],
         "t_token_stats": cat.QUERIES["t_token_stats"],
+        "p_training_data_prep": cat.QUERIES["p_training_data_prep"],
     }
 
     timings: dict[str, float] = {}

@@ -1938,6 +1938,28 @@ def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u_udtf_lateral_series",
+    oracle="""
+    SELECT n_nationkey, CAST(g.v AS BIGINT) AS value
+    FROM nation, LATERAL unnest(generate_series(1, n_nationkey % 3 + 1)) AS g(v)
+    """,
+)
+def u_udtf_lateral_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: the table function fans out per
+    input row *inside that row's task* — the scale path for per-row
+    expansion (no driver loop, no collect; DataFusion's
+    ``generate_series`` composed with a table, reference
+    int64_uniform.rs:170, but correlated)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_nationkey, s.value
+        FROM nation, LATERAL randgen_series(1, n_nationkey % 3 + 1) s
+        """
+    )
+
+
+@query(
     "m_frame_sample",
     oracle="""
     WITH m AS (
