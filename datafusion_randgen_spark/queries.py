@@ -1938,6 +1938,108 @@ def q_null_semantics_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-table join + selective filter + top-k.
+    Catalyst reorders the joins and broadcasts nation; the returnflag
+    filter pushes to the lineitem scan; the LIMIT becomes
+    TakeOrderedAndProject (no global sort materialization)."""
+    _prep(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_map_struct_functions",
+    oracle="""
+    SELECT n_nationkey,
+           m['key_' || CAST(n_nationkey % 3 AS VARCHAR)][1] AS picked,
+           CAST(cardinality(m) AS INTEGER) AS m_size,
+           s.a AS s_a, s.b AS s_b
+    FROM (
+      SELECT n_nationkey,
+             map(['key_0', 'key_1', 'key_2'],
+                 [n_regionkey, n_regionkey * 10, n_regionkey * 100]) AS m,
+             {'a': upper(n_name), 'b': length(n_name)} AS s
+      FROM nation)
+    """,
+)
+def q_map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map + struct scalar surface: construction, key lookup,
+    cardinality, field access.  Complex values are unwrapped to scalars
+    before comparison (map/struct cell renderings differ across
+    engines)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_nationkey,
+               m[concat('key_', CAST(n_nationkey % 3 AS STRING))] AS picked,
+               size(m) AS m_size,
+               s.a AS s_a, s.b AS s_b
+        FROM (
+          SELECT n_nationkey,
+                 map_from_arrays(array('key_0', 'key_1', 'key_2'),
+                                 array(n_regionkey, n_regionkey * 10, n_regionkey * 100)) AS m,
+                 named_struct('a', upper(n_name), 'b', length(n_name)) AS s
+          FROM nation)
+        """
+    )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    SELECT k, count(*) AS n, round(sum(v), 2) AS total
+    FROM (
+      SELECT o_custkey AS k, o_totalprice AS v FROM orders
+      UNION ALL BY NAME
+      SELECT round(c_acctbal, 2) AS v, c_custkey AS k FROM customer
+    ) GROUP BY k
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-name-resolved union (schema evolution shape): the second
+    branch's columns arrive in a different order and are aligned by
+    name, not position."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.round(F.col("c_acctbal"), 2).alias("v"), F.col("c_custkey").alias("k")
+    )
+    return (
+        o.unionByName(c)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("total"))
+    )
+
+
+@query(
     "u_udtf_lateral_series",
     oracle="""
     SELECT n_nationkey, CAST(g.v AS BIGINT) AS value
