@@ -2040,6 +2040,216 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact⋈dim
+    join.  The shipdate range predicate pushes to the parquet scan
+    (row-group min/max skipping); part is broadcast so the big side
+    never shuffles; the CASE folds into one whole-stage-codegen pass."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_pred",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixing join-side predicates.
+    Catalyst extracts the common ``p_brand IN (...)``-style implications
+    and pushes per-side conjuncts below the join, so the scan filters
+    (not the join) discard most rows — at 100 TB the difference between
+    joining 3 brands' rows and joining everything."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(
+        F.round(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
+@query(
+    "q_window_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ntile(4)      OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per nation.  One hash-partition by c_nationkey + in-partition sort
+    serves all three functions (single Window exec, single shuffle);
+    ties broken by c_custkey so results are deterministic."""
+    _prep(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "q_unpivot_measures",
+    oracle="""
+    SELECT measure, round(sum(val), 2) AS total, count(*) AS n
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS val
+      FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice
+      FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of four measure columns, then aggregate
+    by measure.  ``DataFrame.unpivot`` is a zero-shuffle Expand node —
+    each input row fans out to 4 in place; only the final groupBy
+    (4 keys) shuffles, and partial aggregation collapses it map-side."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_tax", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum("val"), 2).alias("total"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "q_cross_join_grid",
+    oracle="""
+    SELECT r_name, n_name, r_regionkey * 100 + n_nationkey AS cell
+    FROM region CROSS JOIN nation
+    """,
+)
+def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (dense dimension grid).  Both sides
+    are tiny dims, so Spark picks BroadcastNestedLoopJoin — no shuffle;
+    the pattern scales as long as ONE side stays broadcastable."""
+    _prep(spark, sf_dir)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("cell"),
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT 'A' AS l_returnflag, true AS within_tolerance
+    UNION ALL SELECT 'N', true
+    UNION ALL SELECT 'R', true
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``) with per-stratum fractions —
+    the downsample/rebalance primitive of a training-data pipeline.
+    Bernoulli row filter, no shuffle.  Property oracle: each stratum's
+    sample count lands within 6σ of fraction × stratum size."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    fractions = {"A": 0.2, "N": 0.05, "R": 0.1}
+    frac = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(v))]
+    )
+    base = li.groupBy("l_returnflag").agg(F.count("*").alias("n_base"))
+    samp = (
+        li.sampleBy("l_returnflag", fractions, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_samp"))
+    )
+    j = base.join(samp, "l_returnflag", "left").select(
+        "l_returnflag",
+        frac[F.col("l_returnflag")].alias("f"),
+        "n_base",
+        F.coalesce("n_samp", F.lit(0)).alias("n_samp"),
+    )
+    expected = F.col("f") * F.col("n_base")
+    sigma = F.sqrt(F.col("f") * (1 - F.col("f")) * F.col("n_base"))
+    return j.select(
+        "l_returnflag",
+        (F.abs(F.col("n_samp") - expected) <= 6 * sigma + 5).alias(
+            "within_tolerance"
+        ),
+    )
+
+
+@query(
     "u_udtf_lateral_series",
     oracle="""
     SELECT n_nationkey, CAST(g.v AS BIGINT) AS value
