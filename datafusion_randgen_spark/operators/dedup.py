@@ -346,3 +346,65 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation — the
+    Pregel/GraphX CC algorithm expressed as DataFrame joins.  Returns
+    ``(node, component)`` where ``component`` is the smallest node id
+    in the node's component (the canonical representative for "keep
+    one doc per near-dup cluster").
+
+    Per round: every node adopts ``min(own label, neighbor labels)`` —
+    an edge⋈label hash join plus a min-aggregate, both shuffling on the
+    node id, so successive rounds reuse the same hash partitioning
+    under AQE.  Converges in O(component diameter) rounds; near-dup
+    clusters are shallow (stars/cliques, diameter ≤ ~3), so a handful
+    of rounds is typical.  ``localCheckpoint`` truncates lineage every
+    round — without it the plan doubles per iteration and the 100 TB
+    run dies in the optimizer long before the executors.  Early-exits
+    via a LIMIT-1 changed-label probe (cheap anti-join, not a full
+    count).
+
+    ``nodes`` (optional, one column ``node``) adds isolated nodes that
+    appear in no edge; they become singleton components.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)  # reused every round
+
+    labels = sym.select(F.col("a").alias("node")).distinct()
+    if nodes is not None:
+        labels = labels.union(nodes.select(F.col("node").cast("long"))).distinct()
+    labels = labels.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), "comp"
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(neighbor)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")

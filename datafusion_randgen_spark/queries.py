@@ -1325,6 +1325,64 @@ def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d_connected_components",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id - lag(doc_id) OVER (ORDER BY doc_id) = 1
+                   AND (doc_id - 1) % 10 != 9 THEN 0 ELSE 1 END AS brk
+      FROM documents),
+    g AS (SELECT doc_id,
+                 sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS grp
+          FROM m)
+    SELECT min(doc_id) AS component, count(*) AS n_nodes
+    FROM g GROUP BY grp
+    """,
+)
+def d_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed connected components (min-label
+    propagation, the GraphX CC algorithm) verified EXACTLY: the input
+    graph is a deterministic chain over present doc_ids (edge i→i+1
+    except across each 10-boundary), so components are runs of
+    consecutive ids — which the oracle computes with a gaps-and-islands
+    window.  Multi-hop propagation is genuinely exercised (chains up to
+    length 10 ⇒ up to 9 rounds)."""
+    _prep(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    x, y = d.alias("x"), d.alias("y")
+    edges = x.join(
+        y,
+        (F.col("y.doc_id") == F.col("x.doc_id") + 1)
+        & (F.col("x.doc_id") % 10 != 9),
+    ).select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+    cc = dedup.connected_components(
+        edges, nodes=d.select(F.col("doc_id").alias("node"))
+    )
+    return cc.groupBy("comp").agg(F.count("*").alias("n_nodes")).select(
+        F.col("comp").alias("component"), "n_nodes"
+    )
+
+
+@query("d_dedup_clusters")  # rows-only: iterative CC over LSH pairs isn't ANSI-SQL
+def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL: MinHash-LSH pairs → connected
+    components → one canonical (min-id) doc kept per cluster.  The
+    keep/drop decision is the actual product of a dedup pipeline; pair
+    lists (d_minhash_lsh_pairs) are just its intermediate."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.2)
+    cc = dedup.connected_components(pairs)
+    clusters = cc.groupBy("comp").agg(
+        F.count("*").alias("cluster_size"),
+        F.sum((F.col("node") != F.col("comp")).cast("long")).alias("n_removed"),
+    )
+    return clusters.filter(F.col("cluster_size") > 1).select(
+        F.col("comp").alias("canonical_doc"), "cluster_size", "n_removed"
+    )
+
+
+@query(
     "d_embedding_near_dup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2447,6 +2505,41 @@ def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "n_events", F.round("total_value", 6).alias("total_value"))
     )
+
+
+@query(
+    "st_stream_static_join",
+    oracle="""
+    SELECT 'seg_' || CAST(user_id % 5 AS VARCHAR) AS segment,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈static enrichment join: each micro-batch hash-joins
+    against a broadcast static dimension (the canonical "enrich events
+    with a user/dim table" shape), then a running aggregation in
+    complete mode.  Stream result must equal the batch answer."""
+    import tempfile
+
+    from datafusion_randgen_spark import streaming as st
+
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "segment", F.concat(F.lit("seg_"), (F.col("user_id") % 5).cast("string"))
+        )
+    )
+    stream = st.file_stream_from(ev, tempfile.mkdtemp(prefix="randgen_st_ssj_"))
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("segment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    got = _drive_stream(agg, "st_ssj_out", "complete")
+    return got.select("segment", "n", "sum_value")
 
 
 # =========================================================================

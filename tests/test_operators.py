@@ -199,3 +199,17 @@ def test_frame_sample_slices_payload(spark):
             assert bytes(r.frame) == payload[start : start + 16]
             assert r.ts_ms == r.frame_idx * 40
             assert r.frame_len == len(bytes(r.frame))
+
+
+def test_connected_components_multihop_and_isolated(spark):
+    # components: {1,2,3,4} (a 4-chain — needs 3 propagation rounds),
+    # {10,11} via an undirected edge given backwards, {99} isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (11, 10)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "node long")
+    got = {
+        (r.node, r.comp)
+        for r in dedup.connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (99, 99)}
