@@ -112,3 +112,41 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert plans.exchange_count(plain) == 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q14_broadcasts_part_and_pushes_shipdate(spark):
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["q14_promo_revenue"](spark, SF)
+    assert plans.has_broadcast_join(df)  # part never shuffles lineitem
+    fp = plans.formatted_plan(df)
+    assert "l_shipdate" in fp.split("ReadSchema")[0] or plans.has_pushed_filters(df)
+
+
+def test_q19_pushes_per_side_conjuncts_below_join(spark):
+    """Catalyst must extract scan-level filters out of the OR-of-ANDs:
+    the lineitem side gets a quantity range, the part side a brand/size
+    disjunction — neither scan may be filter-free."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["q19_disjunctive_pred"](spark, SF)
+    fp = plans.formatted_plan(df)
+    assert "p_brand" in fp and "l_quantity" in fp
+    assert plans.has_broadcast_join(df)
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark):
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["q_unpivot_measures"](spark, SF)
+    pp = plans.physical_plan(df)
+    assert "Expand" in pp
+    # exactly one exchange: the final 4-key groupBy (AQE may add reads)
+    assert pp.count("Exchange hashpartitioning") == 1
+
+
+def test_cross_join_grid_is_broadcast_nested_loop(spark):
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["q_cross_join_grid"](spark, SF)
+    assert "BroadcastNestedLoopJoin" in plans.physical_plan(df)
