@@ -2308,6 +2308,182 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_not_in_null_semantics",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_not_in,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               UNION ALL SELECT NULL)) AS n_not_in_with_null
+    """,
+)
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic NOT IN: a single NULL in the subquery makes
+    the predicate never-true, so the second count is 0 regardless of
+    data.  Spark plans this as a null-aware anti join
+    (BroadcastNestedLoopJoin under the hood) — semantics the plain
+    left_anti join does NOT have."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_not_in,
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                   UNION ALL SELECT NULL)) AS n_not_in_with_null
+        """
+    )
+
+
+@query(
+    "q_window_value_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice)  OVER wf, 2) AS last_price,
+           round(nth_value(o_totalprice, 2) OVER wf, 2) AS second_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first_value / last_value / nth_value)
+    with an explicit full-partition frame — last_value over the default
+    frame is a classic silent bug (it returns the CURRENT row), so the
+    frame is spelled out.  Ties broken by o_orderkey for determinism."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wf), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(wf), 2).alias("second_price"),
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+               FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+               FROM events)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) // 7 AS INTEGER)
+             AS week_offset,
+           count(*) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix: users bucketed by first-seen week, then
+    counted per (cohort, week-offset).  Two aggregations over the same
+    user_id hash partitioning + a broadcast of the tiny cohort map —
+    the events fact is scanned twice but shuffled on user_id only."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "q_funnel_analysis",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+           count(*) FILTER (WHERE t_click > t_view) AS n_view_then_click,
+           count(*) FILTER (WHERE t_purchase > t_click AND t_click > t_view)
+             AS n_full_funnel
+    FROM t
+    """,
+)
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): one hash-agg
+    pivots each user's first event-times wide, then stage counts are
+    conditional aggregates — no self-joins (the naive per-stage join
+    plan shuffles the fact three times; this shuffles once)."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_ts(et):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    t = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return t.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "n_view_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "t_edit_distance_pairs",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    """,
+)
+def t_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via Levenshtein distance (JVM built-in).
+    Pairwise here because the dim is tiny; at corpus scale the same
+    predicate runs AFTER a blocking join (length band / prefix bucket /
+    LSH candidates — see operators.dedup), never on the cross
+    product."""
+    _prep(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"), F.col("n_nationkey").alias("ka"))
+    b = n.select(F.col("n_name").alias("name_b"), F.col("n_nationkey").alias("kb"))
+    return (
+        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+@query(
     "u_udtf_lateral_series",
     oracle="""
     SELECT n_nationkey, CAST(g.v AS BIGINT) AS value
