@@ -46,11 +46,13 @@ def add_udfs(spark: SparkSession) -> None:
     from datafusion_randgen_spark.functions.randgen import register_parity_udfs
     from datafusion_randgen_spark.functions.udaf import register_udafs
     from datafusion_randgen_spark.functions.udtf import register_udtfs
+    from datafusion_randgen_spark.sources.python_datasource import register_datasources
 
     register_parity_udfs(spark)
     register_sql_fastpaths(spark)
     register_udtfs(spark)
     register_udafs(spark)
+    register_datasources(spark)
 
 
 __all__ = ["add_udfs", "__version__"]

@@ -2484,6 +2484,107 @@ def t_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_python_datasource_props",
+    oracle="""
+    SELECT 20000 AS n_rows, 0 AS n_out_of_bounds, 0 AS n_dup_ids,
+           true AS reproducible
+    """,
+)
+def r_python_datasource_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The randgen TABLE PROVIDER (Spark Python Data Source API):
+    ``spark.read.format("randgen")`` plans metadata-only splits and each
+    split generates Arrow batches from (seed, partition_id).  Properties
+    checked: row count, inclusive bounds, id uniqueness across splits,
+    and bit-identical reproducibility of two independent seeded scans."""
+    _prep(spark, sf_dir)
+
+    def scan():
+        return (
+            spark.read.format("randgen")
+            .option("rows", 20_000)
+            .option("partitions", 8)
+            .option("lo", 5)
+            .option("hi", 50)
+            .option("seed", 7)
+            .load()
+        )
+
+    fp = F.bit_xor(
+        F.xxhash64("id", "x", F.format_number(F.col("u"), 12))
+    ).alias("fp")
+    a = scan().agg(
+        F.count("*").alias("n_rows"),
+        F.sum((~F.col("x").between(5, 50)).cast("long")).alias("n_out_of_bounds"),
+        (F.count("*") - F.countDistinct("id")).alias("n_dup_ids"),
+        fp,
+    )
+    b = scan().agg(fp)
+    return a.crossJoin(b.withColumnRenamed("fp", "fp2")).select(
+        "n_rows",
+        "n_out_of_bounds",
+        "n_dup_ids",
+        (F.col("fp") == F.col("fp2")).alias("reproducible"),
+    )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE r(head, node) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT r.head, d.doc_id
+      FROM r JOIN documents d
+        ON d.doc_id = r.node + 1 AND d.doc_id % 10 != 0
+    )
+    SELECT head, count(*) AS chain_len FROM r GROUP BY head
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): multi-hop graph walk along the doc-id
+    chain — each recursion step is a distributed hash join against the
+    base table; recursion depth = chain length (≤10 here).  Same SQL
+    text runs on both engines."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE r(head, node) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT r.head, d.doc_id
+          FROM r JOIN documents d
+            ON d.doc_id = r.node + 1 AND d.doc_id % 10 != 0
+        )
+        SELECT head, count(*) AS chain_len FROM r GROUP BY head
+        """
+    )
+
+
+@query(
+    "q_variant_semistructured",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 8 AS bucket,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY 1
+    """,
+)
+def q_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less semi-structured access via the VARIANT type
+    (Spark 4): ``parse_json`` once, then typed ``variant_get`` path
+    extraction — the open-schema counterpart of q_json_extraction's
+    declared-schema ``from_json`` (both stay JVM-side)."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 8).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+@query(
     "u_udtf_lateral_series",
     oracle="""
     SELECT n_nationkey, CAST(g.v AS BIGINT) AS value

@@ -1,0 +1,97 @@
+"""``spark.read.format("randgen")`` — a Python Data Source (Spark 4 API)
+that GENERATES rows instead of reading them.
+
+This is the reference's capability (a registrable random-data extension,
+``src/lib.rs:8-10``) re-expressed as the other idiomatic Spark surface:
+where ``add_udfs`` mirrors the reference's scalar-UDF registration, this
+mirrors its *source* role (the tests' ``FROM generate_series(...)`` +
+randgen projection, ``src/randgen/int64_uniform.rs:170``) as a true
+table provider::
+
+    spark.dataSource.register(RandgenDataSource)
+    df = (spark.read.format("randgen")
+          .option("rows", 1_000_000).option("partitions", 32)
+          .option("lo", 1).option("hi", 100).option("seed", 42).load())
+
+Scale design:
+
+* **Planning is metadata-only** — ``partitions()`` returns N split
+  descriptors; no data touches the driver.
+* **Each split generates independently** from ``(seed, partition_id)``
+  via ``numpy.random.default_rng`` — embarrassingly parallel,
+  deterministic under retries/speculation (same split ⇒ same rows),
+  exactly the per-partition seeding discipline of ``functions.seeded``.
+* **Arrow-vectorized hand-off**: ``read()`` yields pyarrow
+  RecordBatches, so rows enter the JVM in columnar batches (the Data
+  Source API's fast path), mirroring the reference's per-batch Arrow
+  kernels (``int64_uniform.rs:106-153``).
+* Unseeded (``seed`` absent) the source is volatile like the
+  reference's ``Volatility::Volatile`` — every scan draws fresh data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_BATCH_ROWS = 65_536
+
+
+class _Split(InputPartition):
+    def __init__(self, index: int, start: int, end: int):
+        self.index = index
+        self.start = start
+        self.end = end
+
+
+class RandgenReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+        self.lo = int(options.get("lo", 0))
+        self.hi = int(options.get("hi", 100))
+        seed = options.get("seed")
+        self.seed = None if seed is None else int(seed)
+        if self.lo > self.hi:
+            raise ValueError(f"randgen: lo ({self.lo}) > hi ({self.hi})")
+
+    def partitions(self):
+        per = -(-self.rows // self.n_parts)  # ceil
+        return [
+            _Split(i, start, min(start + per, self.rows))
+            for i, start in enumerate(range(0, self.rows, per))
+        ]
+
+    def read(self, split: _Split):
+        import numpy as np
+        import pyarrow as pa
+
+        if self.seed is None:
+            rng = np.random.default_rng()
+        else:
+            # independent, reproducible stream per split
+            rng = np.random.default_rng([self.seed, split.index])
+        for lo in range(split.start, split.end, _BATCH_ROWS):
+            n = min(_BATCH_ROWS, split.end - lo)
+            ids = np.arange(lo, lo + n, dtype=np.int64)
+            x = rng.integers(self.lo, self.hi, size=n, endpoint=True, dtype=np.int64)
+            u = rng.random(n)
+            yield pa.record_batch(
+                [pa.array(ids), pa.array(x), pa.array(u)], names=["id", "x", "u"]
+            )
+
+
+class RandgenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "randgen"
+
+    def schema(self) -> str:
+        return "id bigint, x bigint, u double"
+
+    def reader(self, schema) -> RandgenReader:
+        return RandgenReader(self.options)
+
+
+def register_datasources(spark) -> None:
+    """Idempotently register the randgen table provider."""
+    spark.dataSource.register(RandgenDataSource)
