@@ -71,3 +71,38 @@ def test_udaf_sql_registration(spark):
         "SELECT gmean(x) AS g FROM (SELECT CAST(id AS DOUBLE) AS x FROM range(1, 5))"
     ).collect()[0]
     assert row.g == pytest.approx((1 * 2 * 3 * 4) ** 0.25, rel=1e-9)
+
+
+def test_python_datasource_unseeded_is_volatile(spark):
+    def scan():
+        return (
+            spark.read.format("randgen")
+            .option("rows", 5000)
+            .option("partitions", 4)
+            .option("lo", 0)
+            .option("hi", 10**9)
+            .load()
+        )
+
+    a = [r.x for r in scan().collect()]
+    b = [r.x for r in scan().collect()]
+    assert a != b  # no seed => fresh draws per scan, like Volatility::Volatile
+
+
+def test_python_datasource_invalid_range_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="lo .* > hi"):
+        spark.read.format("randgen").option("lo", 9).option("hi", 1).load().collect()
+
+
+def test_python_datasource_split_count(spark):
+    df = (
+        spark.read.format("randgen")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .option("seed", 1)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
