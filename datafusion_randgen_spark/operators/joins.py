@@ -191,3 +191,51 @@ def salted_join(
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return f.join(d, [*keys, "__salt"], how).drop("__salt")
+
+
+def cogrouped_asof_align(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """As-of alignment via **cogrouped applyInPandas** — the imperative
+    counterpart of :func:`asof_join` for when per-key logic outgrows
+    window expressions (model-feature alignment, custom tolerance
+    rules, interpolation).
+
+    ``left.groupBy(on).cogroup(right.groupBy(on))`` ships BOTH sides of
+    each key to one task as two Arrow-backed pandas frames — one
+    shuffle per side, never a cross product — and ``pd.merge_asof``
+    does the per-key backward scan vectorized.  Output: every left row
+    plus ``right_ts`` = greatest right.ts <= left.ts for that key.
+    """
+    import pandas as pd
+
+    out_schema = f"{on} long, left_ts timestamp, right_ts timestamp"
+
+    def align(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame({"user": [], "left_ts": [], "right_ts": []})[0:0]
+        l = l.sort_values(ts)
+        out = pd.DataFrame({on: l[on], "left_ts": l[ts]})
+        if r.empty:
+            out["right_ts"] = pd.NaT
+            return out
+        r = r.sort_values(ts)
+        merged = pd.merge_asof(
+            l[[ts]].rename(columns={ts: "left_ts"}),
+            r[[ts]].rename(columns={ts: "right_ts"}),
+            left_on="left_ts",
+            right_on="right_ts",
+            direction="backward",
+        )
+        out["right_ts"] = merged["right_ts"].values
+        return out
+
+    return (
+        left.select(on, ts)
+        .groupBy(on)
+        .cogroup(right.select(on, ts).groupBy(on))
+        .applyInPandas(align, schema=out_schema)
+    )

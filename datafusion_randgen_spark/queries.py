@@ -2585,6 +2585,66 @@ def q_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cogroup_asof_align",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.ts AS left_ts, max(c.ts) AS right_ts
+    FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+    GROUP BY p.user_id, p.ts
+    """,
+)
+def q_cogroup_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: purchases and clicks of each user meet
+    in ONE task as two pandas frames; ``pd.merge_asof`` finds the last
+    click at-or-before each purchase.  The oracle states the same
+    as-of semantics declaratively (inequality join + max)."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .dropDuplicates(["user_id", "ts"])
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return joins.cogrouped_asof_align(purchases, clicks)
+
+
+@query(
+    "st_python_stream_source",
+    oracle="""
+    SELECT 8000 AS n_rows, 8000 AS n_distinct_ids, 0 AS n_out_of_bounds
+    """,
+)
+def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source via the Python Data Source API: offsets
+    are row positions, each micro-batch generates its range
+    deterministically from (seed, start_row) — the replayable-source
+    contract.  Bounded at maxRows so the stream drains; properties:
+    exact row count, id uniqueness across batches/partitions, bounds."""
+    from datafusion_randgen_spark import streaming as st
+
+    _prep(spark, sf_dir)
+    stream = (
+        spark.readStream.format("randgen")
+        .option("rowsPerBatch", 1500)
+        .option("maxRows", 8000)
+        .option("partitions", 4)
+        .option("lo", 10)
+        .option("hi", 99)
+        .option("seed", 11)
+        .load()
+    )
+    got = st.run_stream_to_memory(stream, "st_pyds_out", spark, mode="append")
+    return got.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("id").alias("n_distinct_ids"),
+        F.sum((~F.col("x").between(10, 99)).cast("long")).alias("n_out_of_bounds"),
+    )
+
+
+@query(
     "u_udtf_lateral_series",
     oracle="""
     SELECT n_nationkey, CAST(g.v AS BIGINT) AS value

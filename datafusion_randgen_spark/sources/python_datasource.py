@@ -31,7 +31,12 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _BATCH_ROWS = 65_536
 
@@ -91,7 +96,63 @@ class RandgenDataSource(DataSource):
     def reader(self, schema) -> RandgenReader:
         return RandgenReader(self.options)
 
+    def streamReader(self, schema) -> "RandgenStreamReader":
+        return RandgenStreamReader(self.options)
+
 
 def register_datasources(spark) -> None:
     """Idempotently register the randgen table provider."""
     spark.dataSource.register(RandgenDataSource)
+
+
+class RandgenStreamReader(DataSourceStreamReader):
+    """Micro-batch randgen stream: offsets are row positions; each
+    trigger advances by ``rowsPerBatch`` until ``maxRows`` (bounded, so
+    test harnesses can drain it — unlike the rate source, offsets STOP
+    advancing at the cap).  A batch's data is a pure function of
+    ``(seed, start_row)``: replaying an offset range after failure
+    regenerates identical rows, which is exactly the exactly-once
+    contract Structured Streaming asks of a replayable source.
+    """
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", 1000))
+        self.max_rows = int(options.get("maxrows", 10_000))
+        self.n_parts = int(options.get("partitions", 4))
+        self.lo = int(options.get("lo", 0))
+        self.hi = int(options.get("hi", 100))
+        self.seed = int(options.get("seed", 0))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.rows_per_batch, self.max_rows)
+        return {"row": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        per = max(1, -(-(hi - lo) // self.n_parts))
+        return [
+            _Split(i, s, min(s + per, hi))
+            for i, s in enumerate(range(lo, hi, per))
+        ]
+
+    def read(self, split: _Split):
+        import numpy as np
+        import pyarrow as pa
+
+        n = split.end - split.start
+        if n <= 0:
+            return
+        rng = np.random.default_rng([self.seed, split.start])
+        ids = np.arange(split.start, split.end, dtype=np.int64)
+        x = rng.integers(self.lo, self.hi, size=n, endpoint=True, dtype=np.int64)
+        u = rng.random(n)
+        yield pa.record_batch(
+            [pa.array(ids), pa.array(x), pa.array(u)], names=["id", "x", "u"]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass

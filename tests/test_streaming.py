@@ -177,3 +177,24 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0].n
     expect = ev.select("user_id", "ts").distinct().count()
     assert got == expect > 0
+
+
+def test_python_stream_source_replay_deterministic(spark):
+    """(seed, start_row)-keyed generation: two independent runs of the
+    bounded stream must produce identical rows — the replayable-source
+    / exactly-once contract."""
+    from datafusion_randgen_spark import streaming as st
+
+    def run(name):
+        stream = (
+            spark.readStream.format("randgen")
+            .option("rowsPerBatch", 700)
+            .option("maxRows", 2100)
+            .option("partitions", 3)
+            .option("seed", 5)
+            .load()
+        )
+        got = st.run_stream_to_memory(stream, name, spark, mode="append")
+        return sorted((r.id, r.x, r.u) for r in got.collect())
+
+    assert run("st_replay_a") == run("st_replay_b")
