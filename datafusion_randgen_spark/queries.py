@@ -2645,6 +2645,45 @@ def st_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_pyparquet_sink_roundtrip",
+    oracle="SELECT 12000 AS n_rows, true AS roundtrip_identical, true AS committed",
+)
+def r_pyparquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source SINK (two-phase commit): seeded randgen data
+    written through the pure-Python Arrow parquet writer, read back
+    with Spark's native reader — contents must be bit-identical and
+    the commit protocol must have promoted every task file (_SUCCESS
+    present, no _temporary remnants)."""
+    import os
+    import tempfile
+
+    _prep(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="randgen_pyds_sink_"), "t")
+    src = (
+        spark.read.format("randgen")
+        .option("rows", 12_000)
+        .option("partitions", 6)
+        .option("lo", -1000)
+        .option("hi", 1000)
+        .option("seed", 3)
+        .load()
+    )
+    src.write.format("pyparquet").mode("overwrite").save(out)
+    back = spark.read.parquet(out)
+    fp = F.bit_xor(F.xxhash64("id", "x", F.format_number(F.col("u"), 12)))
+    a = src.agg(fp.alias("fp_a"))
+    b = back.agg(F.count("*").alias("n_rows"), fp.alias("fp_b"))
+    committed = os.path.exists(os.path.join(out, "_SUCCESS")) and not os.path.exists(
+        os.path.join(out, "_temporary")
+    )
+    return b.crossJoin(a).select(
+        "n_rows",
+        (F.col("fp_a") == F.col("fp_b")).alias("roundtrip_identical"),
+        F.lit(committed).alias("committed"),
+    )
+
+
+@query(
     "u_udtf_lateral_series",
     oracle="""
     SELECT n_nationkey, CAST(g.v AS BIGINT) AS value

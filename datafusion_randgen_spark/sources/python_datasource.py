@@ -33,9 +33,11 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _BATCH_ROWS = 65_536
@@ -101,8 +103,10 @@ class RandgenDataSource(DataSource):
 
 
 def register_datasources(spark) -> None:
-    """Idempotently register the randgen table provider."""
+    """Idempotently register the randgen table provider and the
+    pyparquet two-phase-commit sink."""
     spark.dataSource.register(RandgenDataSource)
+    spark.dataSource.register(PyParquetSink)
 
 
 class RandgenStreamReader(DataSourceStreamReader):
@@ -156,3 +160,88 @@ class RandgenStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class _ParquetCommit(WriterCommitMessage):
+    def __init__(self, temp_file: str, n_rows: int):
+        self.temp_file = temp_file
+        self.n_rows = n_rows
+
+
+class PyParquetWriter(DataSourceArrowWriter):
+    """Arrow-batch parquet SINK with the two-phase commit protocol:
+
+    * each task streams its RecordBatches into a ``_temporary/`` file
+      (one sequential parquet writer per task — no buffering of the
+      whole partition) and returns the path as its commit message;
+    * ``commit()`` runs on the driver only after EVERY task succeeded
+      and atomically renames the temp files into the target directory —
+      a failed/speculative task's orphan never becomes visible;
+    * ``abort()`` removes the temp directory.
+
+    This is the job-commit discipline every distributed sink needs
+    (mirror of Spark's FileCommitProtocol, here in pure Python).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyparquet sink requires a path")
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        tmp_dir = os.path.join(self.path, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        fname = os.path.join(tmp_dir, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        n = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(fname, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:  # empty partition: nothing to commit
+            return _ParquetCommit("", 0)
+        return _ParquetCommit(fname, n)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None or not m.temp_file:
+                continue
+            final = os.path.join(self.path, f"part-{i:05d}.parquet")
+            os.replace(m.temp_file, final)
+            total += m.n_rows
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+
+
+class PyParquetSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pyparquet"
+
+    def writer(self, schema, overwrite: bool):
+        import shutil
+
+        if overwrite:
+            shutil.rmtree(self.options.get("path", ""), ignore_errors=True)
+        return PyParquetWriter(self.options)
