@@ -215,11 +215,25 @@ def cogrouped_asof_align(
     out_schema = f"{on} long, left_ts timestamp, right_ts timestamp"
 
     def align(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        # Catalyst prunes cogroup input columns to what the FINAL query
+        # reads (a bare count() ships only the key), so never assume a
+        # column survived — preserve row cardinality and emit NaT for
+        # what can't be computed.
         if l.empty:
-            return pd.DataFrame({"user": [], "left_ts": [], "right_ts": []})[0:0]
+            return pd.DataFrame(
+                {
+                    on: pd.Series(dtype="int64"),
+                    "left_ts": pd.Series(dtype="datetime64[us]"),
+                    "right_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        if ts not in l.columns:
+            return pd.DataFrame(
+                {on: l[on], "left_ts": pd.NaT, "right_ts": pd.NaT}
+            )
         l = l.sort_values(ts)
         out = pd.DataFrame({on: l[on], "left_ts": l[ts]})
-        if r.empty:
+        if r.empty or ts not in r.columns:
             out["right_ts"] = pd.NaT
             return out
         r = r.sort_values(ts)

@@ -213,3 +213,19 @@ def test_connected_components_multihop_and_isolated(spark):
         for r in dedup.connected_components(edges, nodes=nodes).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (99, 99)}
+
+
+def test_cogroup_asof_align_survives_column_pruning(spark):
+    """A bare count() makes Catalyst prune the cogroup's input columns
+    down to the key — the UDF must keep row cardinality without ts."""
+    left = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "user_id long, v long").select(
+        "user_id", F.timestamp_seconds("v").alias("ts")
+    )
+    right = spark.createDataFrame([(1, 8), (3, 1)], "user_id long, v long").select(
+        "user_id", F.timestamp_seconds("v").alias("ts")
+    )
+    out = joins.cogrouped_asof_align(left, right)
+    assert out.count() == len(out.collect()) == 3
+    rows = {(r.user_id, r.left_ts.second): r.right_ts for r in out.collect()}
+    assert rows[(1, 10)].second == 8 and rows[(1, 20)].second == 8
+    assert rows[(2, 5)] is None
