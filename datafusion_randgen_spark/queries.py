@@ -2684,6 +2684,242 @@ def r_pyparquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p_doc_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), t -> t != '')
+               AS tk
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             CAST(g.v AS INTEGER) AS chunk_idx
+      FROM toks, LATERAL unnest(
+        generate_series(0, CAST(ceil(len(tk) / 40.0) AS BIGINT) - 1)) AS g(v)
+      WHERE len(tk) > 0)
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 40 AS chunk_start,
+           least(50, n_tokens - chunk_idx * 40) AS chunk_len
+    FROM chunks
+    """,
+)
+def p_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split each document into 50-token
+    windows with 10-token overlap (stride 40).  ``sequence`` +
+    ``explode`` fans out INSIDE each row's task — no shuffle at all
+    until a downstream op needs one; chunk extraction is a JVM-side
+    ``slice`` on the token array, never a Python loop."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tk = text.tokens(F.col("text"))
+    n = F.size(tk)
+    chunked = (
+        docs.select("doc_id", n.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.col("n_tokens") / 40.0).cast("long") - 1)
+            ).alias("chunk_idx"),
+        )
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * 40).alias("chunk_start"),
+        F.least(F.lit(50), F.col("n_tokens") - F.col("chunk_idx") * 40).alias(
+            "chunk_len"
+        ),
+    )
+
+
+@query(
+    "p_sequence_packing",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars
+               AS offset_before
+      FROM documents)
+    SELECT CAST(offset_before // 8000 AS BIGINT) AS context_window,
+           count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM c GROUP BY 1
+    """,
+)
+def p_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (the concat-then-cut discipline of LLM
+    pretraining): lay the corpus out in deterministic doc_id order,
+    assign each doc to the 8000-char context window where it STARTS
+    (cumulative-offset // capacity).  One global-ordered window cumsum
+    — at 100 TB you'd compute per-partition subtotals + a scan of
+    partition boundaries (two passes) instead of a single total order;
+    semantics identical."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("offset_before"),
+    )
+    return (
+        c.groupBy(
+            F.floor(F.col("offset_before") / 8000).alias("context_window")
+        )
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@query(
+    "q_profile_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           round(min(l_quantity), 4) AS vmin, round(max(l_quantity), 4) AS vmax,
+           round(avg(l_quantity), 4) AS vmean
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           round(min(l_discount), 4), round(max(l_discount), 4),
+           round(avg(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*) - count(l_tax), count(DISTINCT l_tax),
+           round(min(l_tax), 4), round(max(l_tax), 4), round(avg(l_tax), 4)
+    FROM lineitem
+    """,
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality pass before training): null
+    count, distinct count, min/max/mean per column — computed in ONE
+    scan with all aggregates side by side, then unpivoted to long form
+    driver-side (3 rows).  The naive per-column UNION plan scans the
+    fact N times; this scans once."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def metrics(c):
+        return [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__vmin"),
+            F.round(F.max(c), 4).alias(f"{c}__vmax"),
+            F.round(F.avg(c), 4).alias(f"{c}__vmean"),
+        ]
+
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    wide = li.agg(*[m for c in cols for m in metrics(c)])
+    row = wide.collect()[0]  # 1 row × 15 cells — driver-side reshape is free
+    long = [
+        (
+            c,
+            row[f"{c}__n_null"],
+            row[f"{c}__n_distinct"],
+            float(row[f"{c}__vmin"]),
+            float(row[f"{c}__vmax"]),
+            float(row[f"{c}__vmean"]),
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        long,
+        "col string, n_null long, n_distinct long, vmin double, vmax double, vmean double",
+    )
+
+
+@query(
+    "q_outlier_zscore",
+    oracle="""
+    WITH s AS (SELECT event_type, avg(value) AS mu,
+                      stddev_samp(value) AS sigma
+               FROM events GROUP BY event_type)
+    SELECT e.event_type, count(*) AS n_outliers,
+           round(max(abs((value - mu) / sigma)), 4) AS max_abs_z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE sigma > 0 AND abs((value - mu) / sigma) > 2.5
+    GROUP BY e.event_type
+    """,
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (quality filtering): group
+    moments via one aggregate, broadcast back onto the fact, filter
+    |z| > 2.5.  Two scans but zero wide shuffles (the moments frame is
+    5 rows)."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter((F.col("sigma") > 0) & (z > 2.5))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event sequences: one
+    shuffle on user_id serves the lag window; the 5×5 transition matrix
+    aggregate is map-side-combined to almost nothing."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return t.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "q_percent_of_total",
+    oracle="""
+    WITH s AS (SELECT o_orderpriority, sum(o_totalprice) AS revenue
+               FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share
+    FROM s
+    """,
+)
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: share of each group in the grand total via an
+    empty-frame window over the ALREADY-AGGREGATED 5-row frame — the
+    single-partition window touches 5 rows, not the fact table."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderpriority").agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.partitionBy()
+    return s.select(
+        "o_orderpriority",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+    )
+
+
+@query(
     "u_udtf_lateral_series",
     oracle="""
     SELECT n_nationkey, CAST(g.v AS BIGINT) AS value
