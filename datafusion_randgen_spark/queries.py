@@ -2920,6 +2920,42 @@ def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_keep_latest",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn
+      FROM orders)
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice, o_orderdate
+    FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style dedup: keep each key's LATEST record (row_number over
+    a desc-ts window, rn = 1).  The upsert-compaction shape every
+    incremental ingest needs; one shuffle on the key, and the rn=1
+    filter is evaluated inside the window task (no second pass)."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderdate",
+        )
+    )
+
+
+@query(
     "u_udtf_lateral_series",
     oracle="""
     SELECT n_nationkey, CAST(g.v AS BIGINT) AS value

@@ -229,3 +229,22 @@ def test_cogroup_asof_align_survives_column_pruning(spark):
     rows = {(r.user_id, r.left_ts.second): r.right_ts for r in out.collect()}
     assert rows[(1, 10)].second == 8 and rows[(1, 20)].second == 8
     assert rows[(2, 5)] is None
+
+
+def test_observe_metrics_piggyback_on_action(spark):
+    """Observation metrics ride the existing pass — pipeline row
+    accounting without a second scan."""
+    from pyspark.sql import Observation
+
+    obs = Observation("prep_metrics")
+    df = (
+        spark.range(1000)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((F.col("id") % 2 == 0).cast("long")).alias("evens"),
+        )
+        .filter(F.col("id") % 2 == 0)
+    )
+    assert df.count() == 500
+    assert obs.get == {"rows_in": 1000, "evens": 500}

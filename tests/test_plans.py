@@ -150,3 +150,59 @@ def test_cross_join_grid_is_broadcast_nested_loop(spark):
 
     df = QUERIES["q_cross_join_grid"](spark, SF)
     assert "BroadcastNestedLoopJoin" in plans.physical_plan(df)
+
+
+def test_nested_struct_pruning_reaches_scan(spark, tmp_path):
+    """Selecting one struct field must prune the parquet ReadSchema to
+    that field — at 100 TB reading s.* for s.a is a 10× tax."""
+    path = str(tmp_path / "nested")
+    spark.sql(
+        "SELECT id, named_struct('a', id * 2, 'b', repeat('x', 100)) AS s"
+        " FROM range(100)"
+    ).write.parquet(path)
+    df = spark.read.parquet(path).select("id", "s.a")
+    [schema_line] = plans.scan_read_schema(df)
+    assert "s:struct<a:bigint>" in schema_line  # b:string pruned away
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """With thresholds forced low, AQE's OptimizeSkewedJoin must split
+    the zipf-hot partition — the runtime answer to skew that salting
+    solves statically."""
+    from datafusion_randgen_spark.functions import seeded
+
+    conf = spark.conf
+    old = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        n = 200_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, 1)  # 90% of rows on key 1
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"))
+        j = fact.join(dim, "k")
+        # materialize THIS DataFrame's own QueryExecution (count() would
+        # build a separate one and leave this plan unfinalized)
+        assert len(j.collect()) > 0
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)

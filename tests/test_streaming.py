@@ -198,3 +198,45 @@ def test_python_stream_source_replay_deterministic(spark):
         return sorted((r.id, r.x, r.u) for r in got.collect())
 
     assert run("st_replay_a") == run("st_replay_b")
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop/restart with the same checkpoint must process each input
+    file exactly once: run 1 sees files 1-2, run 2 (same checkpoint)
+    sees 3-4 — the parquet sink must hold every row exactly once."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v long"
+
+    def write_file(i):
+        spark.createDataFrame(
+            [(i * 100 + j, j) for j in range(100)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_file(0)
+    write_file(1)
+    drain()
+    n_after_first = spark.read.parquet(sink).count()
+    assert n_after_first == 200
+    write_file(2)
+    write_file(3)
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 400  # no re-processing, no loss
+    assert out.select(F.countDistinct("id")).first()[0] == 400
