@@ -2956,6 +2956,96 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_regression_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS r,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covariance / OLS fit)
+    per group — single-pass streaming moments (Welford-style partial
+    aggregation), so one shuffle of 3 tiny groups no matter the fact
+    size."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov"),
+        F.round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 6
+        ).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "q_histogram_width_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 68600.77 THEN 8
+                ELSE CAST(floor(o_totalprice / (68600.77 / 7)) AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` — the one-pass
+    map-side-combinable histogram (vs. sort-based percentiles).  The
+    oracle spells out width_bucket's floor arithmetic (DuckDB lacks the
+    function); bounds are deliberately non-round so no datum sits on a
+    bucket edge."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(68600.77), F.lit(7))
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_array_agg_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+             AS status_csv,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_array_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set → sorted array + delimited
+    listagg.  Sorting AFTER the distinct-collect keeps the result
+    deterministic regardless of shuffle order (raw collect_list order
+    is not reproducible and must never be compared)."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    statuses = F.sort_array(F.collect_set("o_orderstatus"))
+    return o.groupBy("o_orderpriority").agg(
+        statuses.alias("statuses"),
+        F.array_join(statuses, "|").alias("status_csv"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
     "u_udtf_lateral_series",
     oracle="""
     SELECT n_nationkey, CAST(g.v AS BIGINT) AS value
