@@ -3046,6 +3046,62 @@ def q_array_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT …) over different columns in one
+    aggregate — Catalyst rewrites via Expand (one row per distinct
+    column per input row), a 3× blow-up that stays map-local before the
+    single shuffle.  At extreme scale the approx path
+    (q_sketch_accuracy) replaces this; exact multi-distinct is the
+    correctness anchor."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q_nullsafe_join",
+    oracle="""
+    WITH a AS (SELECT n_nationkey, nullif(n_regionkey, 2) AS rk
+               FROM nation),
+         b AS (SELECT r_regionkey, nullif(r_regionkey, 2) AS rk,
+                      r_name FROM region)
+    SELECT a.n_nationkey, b.r_name
+    FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of disappearing — still a hash join
+    (null hashes like any value), unlike ``=`` which silently drops
+    every null row of both sides."""
+    _prep(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.nullif("n_regionkey", F.lit(2)).alias("rk_a")
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.nullif("r_regionkey", F.lit(2)).alias("rk_b"), "r_name"
+    )
+    return n.join(
+        F.broadcast(r), F.col("rk_a").eqNullSafe(F.col("rk_b"))
+    ).select("n_nationkey", "r_name")
+
+
+@query(
     "u_udtf_lateral_series",
     oracle="""
     SELECT n_nationkey, CAST(g.v AS BIGINT) AS value

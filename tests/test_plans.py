@@ -206,3 +206,51 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in old.items():
             conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A dim-side filter must prune fact PARTITIONS at runtime (DPP):
+    the scan carries a dynamicpruning subquery instead of reading all
+    25 directories."""
+    base = str(tmp_path / "fact")
+    spark.range(50_000).select(
+        (F.col("id") % 25).alias("pk"), F.col("id").alias("v")
+    ).write.partitionBy("pk").mode("overwrite").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.range(25).select(
+        F.col("id").alias("pk"), (F.col("id") % 5).alias("grp")
+    )
+    j = fact.join(dim, "pk").filter(F.col("grp") == 1)
+    assert "dynamicpruning" in plans.physical_plan(j).lower()
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
+    """With no broadcast and a selective build side, Spark must inject
+    a runtime bloom filter (bloom_filter_agg → might_contain) that
+    discards probe rows BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling the fact and shuffling the survivors."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    old = {k: conf.get(k) for k in keys}
+    try:
+        conf.set(keys[0], "0")
+        conf.set(keys[1], "-1")
+        big = str(tmp_path / "big")
+        sel = str(tmp_path / "sel")
+        spark.range(200_000).select(
+            (F.col("id") % 50_000).alias("k"), F.col("id").alias("v")
+        ).write.parquet(big)
+        spark.range(50_000).select(
+            (F.col("id") % 50_000).alias("k"), (F.col("id") % 7).alias("g")
+        ).write.parquet(sel)
+        j = spark.read.parquet(big).join(
+            spark.read.parquet(sel).filter(F.col("g") == 3), "k"
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)

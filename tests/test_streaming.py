@@ -240,3 +240,34 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 400  # no re-processing, no loss
     assert out.select(F.countDistinct("id")).first()[0] == 400
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch: the escape hatch to arbitrary batch sinks.  Writing
+    each micro-batch to a batchId-named directory makes the sink
+    idempotent under retries (same batch re-runs overwrite the same
+    path, never duplicate)."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    schema = "id long, v long"
+    spark.createDataFrame(
+        [(i, i * 2) for i in range(300)], schema
+    ).repartition(3).write.parquet(src)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.option("basePath", out).parquet(out)
+    assert got.count() == 300
+    assert got.select(F.countDistinct("batch")).first()[0] >= 2  # really micro-batched
