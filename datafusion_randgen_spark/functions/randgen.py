@@ -232,6 +232,28 @@ def _element_from_kernel(arr: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _float64_gamma_kernel(shape: pd.Series, scale: pd.Series) -> pd.Series:
+    """Gamma(shape k, scale theta): mean k*theta, var k*theta^2."""
+    k_v, k_m = _float64_parts(shape)
+    t_v, t_m = _float64_parts(scale)
+    mask = k_m | t_m
+    if np.any(~mask & ((k_v <= 0) | (t_v <= 0))):
+        raise ValueError("randgen_float64_gamma: shape and scale must be > 0")
+    out = _rng().gamma(np.where(mask, 1.0, k_v), np.where(mask, 1.0, t_v))
+    return pd.Series(np.where(mask, np.nan, out))
+
+
+def _float64_beta_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Beta(a, b) on (0, 1): mean a/(a+b)."""
+    a_v, a_m = _float64_parts(a)
+    b_v, b_m = _float64_parts(b)
+    mask = a_m | b_m
+    if np.any(~mask & ((a_v <= 0) | (b_v <= 0))):
+        raise ValueError("randgen_float64_beta: a and b must be > 0")
+    out = _rng().beta(np.where(mask, 1.0, a_v), np.where(mask, 1.0, b_v))
+    return pd.Series(np.where(mask, np.nan, out))
+
+
 randgen_float64_uniform = F.pandas_udf(_float64_uniform_kernel, T.DoubleType()).asNondeterministic()
 randgen_float64_normal = F.pandas_udf(_float64_normal_kernel, T.DoubleType()).asNondeterministic()
 randgen_int64_normal = F.pandas_udf(_int64_normal_kernel, T.LongType()).asNondeterministic()
@@ -242,6 +264,8 @@ randgen_element_from_string = F.pandas_udf(_element_from_kernel, T.StringType())
 randgen_element_from_int64 = F.pandas_udf(_element_from_kernel, T.LongType()).asNondeterministic()
 randgen_int64_poisson = F.pandas_udf(_int64_poisson_kernel, T.LongType()).asNondeterministic()
 randgen_float64_exponential = F.pandas_udf(_float64_exponential_kernel, T.DoubleType()).asNondeterministic()
+randgen_float64_gamma = F.pandas_udf(_float64_gamma_kernel, T.DoubleType()).asNondeterministic()
+randgen_float64_beta = F.pandas_udf(_float64_beta_kernel, T.DoubleType()).asNondeterministic()
 
 
 _PARITY_UDFS = {
@@ -256,6 +280,8 @@ _PARITY_UDFS = {
     "randgen_element_from_int64": randgen_element_from_int64,
     "randgen_int64_poisson": randgen_int64_poisson,
     "randgen_float64_exponential": randgen_float64_exponential,
+    "randgen_float64_gamma": randgen_float64_gamma,
+    "randgen_float64_beta": randgen_float64_beta,
 }
 
 

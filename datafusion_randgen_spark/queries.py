@@ -316,6 +316,143 @@ def r_float64_exponential_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_float64_gamma_props",
+    oracle="""
+    SELECT 50000 AS n_rows, 0 AS n_nonpositive, 3 AS n_null,
+           true AS mean_ok, true AS var_ok
+    """,
+)
+def r_float64_gamma_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma(k=3, θ=2) parity UDF: support (0,∞), mean kθ = 6,
+    var kθ² = 12; SQL-standard null propagation (3 null-arg rows)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH d AS (SELECT randgen_float64_gamma(3.0, 2.0) AS x
+                   FROM range(0, 50000)),
+             n AS (SELECT randgen_float64_gamma(CAST(NULL AS DOUBLE), 2.0) AS x
+                   UNION ALL
+                   SELECT randgen_float64_gamma(3.0, CAST(NULL AS DOUBLE))
+                   UNION ALL
+                   SELECT randgen_float64_gamma(CAST(NULL AS DOUBLE),
+                                                CAST(NULL AS DOUBLE)))
+        SELECT (SELECT count(*) FROM d) AS n_rows,
+               (SELECT count_if(x <= 0) FROM d) AS n_nonpositive,
+               (SELECT count_if(x IS NULL) FROM n) AS n_null,
+               (SELECT abs(avg(x) - 6.0) < 0.15 FROM d) AS mean_ok,
+               (SELECT abs(var_samp(x) - 12.0) < 1.2 FROM d) AS var_ok
+        """
+    )
+
+
+@query(
+    "r_float64_beta_props",
+    oracle="""
+    SELECT 50000 AS n_rows, 50000 AS n_in_unit_interval,
+           true AS mean_ok, true AS var_ok
+    """,
+)
+def r_float64_beta_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta(2, 5) parity UDF: support (0,1), mean 2/7 ≈ 0.2857,
+    var ab/((a+b)²(a+b+1)) = 10/392 ≈ 0.02551."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH d AS (SELECT randgen_float64_beta(2.0, 5.0) AS x
+                   FROM range(0, 50000))
+        SELECT count(*) AS n_rows,
+               count_if(x > 0 AND x < 1) AS n_in_unit_interval,
+               abs(avg(x) - 0.285714) < 0.01 AS mean_ok,
+               abs(var_samp(x) - 0.025510) < 0.003 AS var_ok
+        FROM d
+        """
+    )
+
+
+@query(
+    "r_correlated_normals_props",
+    oracle="""
+    SELECT 200000 AS n_rows, true AS corr_ok, true AS mean1_ok,
+           true AS mean2_ok, true AS var2_ok
+    """,
+)
+def r_correlated_normals_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated column generation (Gaussian copula building block):
+    z2 = ρ·z1 + √(1−ρ²)·ε gives corr(z1, z2) = ρ exactly in
+    distribution.  Pure Catalyst expressions — the pattern for
+    synthesizing realistically-dependent columns at 100 TB with zero
+    Python."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.functions import exprs
+
+    rho = 0.7
+    z1 = exprs.float64_normal_expr(F.lit(0.0), F.lit(1.0))
+    eps = exprs.float64_normal_expr(F.lit(0.0), F.lit(1.0))
+    d = spark.range(200_000).select(
+        z1.alias("z1"), eps.alias("eps")
+    ).select(
+        "z1",
+        (rho * F.col("z1") + (1 - rho**2) ** 0.5 * F.col("eps")).alias("z2"),
+    )
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        (F.abs(F.corr("z1", "z2") - rho) < 0.01).alias("corr_ok"),
+        (F.abs(F.avg("z1")) < 0.01).alias("mean1_ok"),
+        (F.abs(F.avg("z2")) < 0.01).alias("mean2_ok"),
+        (F.abs(F.var_samp("z2") - 1.0) < 0.02).alias("var2_ok"),
+    )
+
+
+@query(
+    "r_random_walk_props",
+    oracle="""
+    SELECT 100 AS n_series, 200 AS steps_per_series,
+           true AS reproducible, true AS dispersion_grows
+    """,
+)
+def r_random_walk_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic time series: 100 independent random walks (seeded
+    increments, window cumsum — all JVM-side).  Determinism: identical
+    under regeneration.  Physics: cross-series dispersion at step 200
+    ≫ at step 10 (variance grows linearly in t)."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.functions import seeded
+
+    def walks():
+        base = spark.range(100 * 200).select(
+            (F.col("id") % 100).alias("series"),
+            (F.col("id") / 100).cast("long").alias("t"),
+            seeded.seeded_float64_normal(F.col("id"), 0.0, 1.0, seed=77).alias(
+                "inc"
+            ),
+        )
+        w = (
+            Window.partitionBy("series")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return base.select("series", "t", F.sum("inc").over(w).alias("walk"))
+
+    a, b = walks(), walks()
+    same = (
+        a.join(b, ["series", "t"])
+        .select(
+            F.count_if(a["walk"] != b["walk"]).alias("n_diff"),
+        )
+        .first()
+        .n_diff
+        == 0
+    )
+    disp = a.groupBy("t").agg(F.stddev_samp("walk").alias("s"))
+    d10 = disp.filter(F.col("t") == 10).first().s
+    d199 = disp.filter(F.col("t") == 199).first().s
+    return spark.createDataFrame(
+        [(100, 200, bool(same), bool(d199 > 2 * d10))],
+        "n_series int, steps_per_series int, reproducible boolean, dispersion_grows boolean",
+    )
+
+
+@query(
     "r_zipf_skew_props",
     oracle="SELECT 100000 AS n_rows, 100000 AS n_in_domain, 1 AS top_rank, true AS head_heavy",
 )

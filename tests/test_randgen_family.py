@@ -180,3 +180,14 @@ def test_seeded_full_span_no_overflow(spark):
         .collect()
     ]
     assert len(set(xs)) > 990
+
+
+def test_gamma_beta_invalid_params_raise(spark):
+    import pytest as _pytest
+
+    for sql in (
+        "SELECT randgen_float64_gamma(-1.0, 2.0) FROM range(5)",
+        "SELECT randgen_float64_beta(0.0, 1.0) FROM range(5)",
+    ):
+        with _pytest.raises(Exception, match="must be > 0"):
+            spark.sql(sql).collect()
