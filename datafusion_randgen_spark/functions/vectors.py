@@ -28,3 +28,64 @@ def vec_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def synthetic_embeddings(
+    spark,
+    n: int,
+    dim: int = 16,
+    n_clusters: int = 8,
+    noise: float = 0.25,
+    seed: int = 0,
+    num_partitions: int | None = None,
+):
+    """Seeded, cluster-structured unit embeddings — the test corpus
+    generator for ANN/dedup at any scale.
+
+    Each row draws a cluster id, then ``centroid(cluster) + noise·ε``
+    per dimension, L2-normalized.  Everything is built from
+    ``xxhash64(id, dim_idx, seed)``-derived uniforms via Box–Muller —
+    pure Catalyst (transform over ``sequence``), no Python, fully
+    reproducible under repartitioning: the 100 TB generation discipline
+    of ``functions.seeded`` applied to array columns.
+
+    Returns columns: ``vec_id``, ``cluster``, ``embedding``
+    (``array<double>``).
+    """
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, n, 1, num_partitions)
+        if num_partitions
+        else spark.range(n)
+    )
+
+    cluster = (F.abs(F.xxhash64(F.col("id"), F.lit("cluster"), F.lit(seed))) % n_clusters)
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    # per-dim value = cluster-keyed centroid in (-1,1) + noise·N(0,1),
+    # the normal drawn by Box–Muller from two hash-uniforms
+    raw = F.transform(
+        dims,
+        lambda i: (
+            (F.abs(F.xxhash64(F.col("cluster"), F.lit("centroid"), i, F.lit(seed)))
+             % F.lit(1_000_000_007)).cast("double") / 1_000_000_007.0 * 2 - 1
+        )
+        + noise
+        * F.sqrt(-2 * F.log(
+            (F.abs(F.xxhash64(F.col("vec_id"), i, F.lit("u1"), F.lit(seed)))
+             % F.lit(1_000_000_007) + 1).cast("double") / 1_000_000_008.0))
+        * F.cos(
+            2 * 3.141592653589793
+            * ((F.abs(F.xxhash64(F.col("vec_id"), i, F.lit("u2"), F.lit(seed)))
+                % F.lit(1_000_000_007)).cast("double") / 1_000_000_007.0)
+        ),
+    )
+    df = df.select(F.col("id").alias("vec_id"), cluster.alias("cluster")).withColumn(
+        "raw", raw
+    )
+    nrm = F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.select(
+        "vec_id",
+        "cluster",
+        F.transform(F.col("raw"), lambda x: x / nrm).alias("embedding"),
+    )

@@ -453,6 +453,134 @@ def r_random_walk_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_synthetic_embeddings_props",
+    oracle="""
+    SELECT 5000 AS n_rows, 16 AS dim, 8 AS n_clusters,
+           true AS unit_norm, true AS clusters_separate, true AS reproducible
+    """,
+)
+def r_synthetic_embeddings_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-structured synthetic embedding generator (pure Catalyst,
+    hash-seeded): unit L2 norm, intra-cluster cosine ≫ inter-cluster
+    cosine (the structure ANN benchmarks need), and bit-reproducible
+    across independent generations."""
+    _prep(spark, sf_dir)
+
+    def gen():
+        return vectors.synthetic_embeddings(
+            spark, 5000, dim=16, n_clusters=8, noise=0.25, seed=9
+        )
+
+    e = gen().cache()
+    norms = e.select(vectors.vec_norm(F.col("embedding")).alias("nrm"))
+    unit = norms.agg(
+        (F.max(F.abs(F.col("nrm") - 1.0)) < 1e-9).alias("ok")
+    ).first().ok
+    # sample pairs via self-join on a hash bucket to keep it tiny
+    a = e.filter(F.col("vec_id") < 200).alias("a")
+    b = e.filter(F.col("vec_id") < 200).alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            (F.col("a.cluster") == F.col("b.cluster")).alias("same"),
+            vectors.cosine_similarity(
+                F.col("a.embedding"), F.col("b.embedding")
+            ).alias("cos"),
+        )
+        .groupBy("same")
+        .agg(F.avg("cos").alias("m"))
+        .collect()
+    )
+    m = {r.same: r.m for r in pairs}
+    separate = m[True] > m[False] + 0.3
+    fp = F.bit_xor(F.xxhash64(F.col("vec_id"), F.col("embedding").cast("string")))
+    repro = (
+        gen().agg(fp.alias("f")).first().f == gen().agg(fp.alias("f")).first().f
+    )
+    e.unpersist()
+    return spark.createDataFrame(
+        [(5000, 16, 8, bool(unit), bool(separate), bool(repro))],
+        "n_rows int, dim int, n_clusters int, unit_norm boolean,"
+        " clusters_separate boolean, reproducible boolean",
+    )
+
+
+@query(
+    "q_gap_fill_calendar",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 4) AS day_value
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id, CAST(g.v AS DATE) AS day
+      FROM (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS lo,
+                   max(CAST(date_trunc('day', ts) AS DATE)) AS hi
+            FROM events GROUP BY user_id),
+           LATERAL unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g(v))
+    SELECT s.user_id, s.day,
+           coalesce(b.day_value, 0.0) AS day_value,
+           b.day_value IS NULL AS was_gap
+    FROM spine s LEFT JOIN b USING (user_id, day)
+    """,
+)
+def q_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: build each user's dense calendar spine
+    with ``sequence`` + ``explode`` (fan-out inside the task, no
+    driver loop), left-join the sparse daily aggregate back, zero-fill
+    gaps.  Spine size is bounded by (users × span), independent of
+    event count."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    span = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("lo"),
+        F.max(F.date_trunc("day", F.col("ts")).cast("date")).alias("hi"),
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+        F.col("day_value").isNull().alias("was_gap"),
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events)
+    SELECT user_id, event_type, ts AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM seq
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 interval construction: each state change's validity window
+    is [its ts, next change's ts), the last one open-ended — one lead()
+    window per key, the standard dimension-history build."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
     "r_zipf_skew_props",
     oracle="SELECT 100000 AS n_rows, 100000 AS n_in_domain, 1 AS top_rank, true AS head_heavy",
 )
