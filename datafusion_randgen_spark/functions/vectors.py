@@ -89,3 +89,40 @@ def synthetic_embeddings(
         "cluster",
         F.transform(F.col("raw"), lambda x: x / nrm).alias("embedding"),
     )
+
+
+def normalize_embeddings_arrow(df, col: str = "embedding"):
+    """L2-normalize an ``array<float>`` column via **mapInArrow** — the
+    zero-copy path: each Arrow batch's list column is one flat values
+    buffer + offsets, so the whole batch normalizes with two NumPy
+    ops (``reduceat`` on the squares, then one divide) and never
+    materializes python objects or per-row pandas Series.  Schema is
+    preserved (same column order/types)."""
+
+    def normalize(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            idx = b.schema.get_field_index(col)
+            arr = b.column(idx)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = arr.flatten()
+            offsets = arr.offsets.to_numpy(zero_copy_only=False)
+            vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+            starts = offsets[:-1]
+            sq = vals * vals
+            norms = np.sqrt(np.add.reduceat(sq, starts)) if len(vals) else np.array([])
+            # rows with empty lists produce a garbage reduceat slot; guard
+            lens = np.diff(offsets)
+            safe = np.where((lens > 0), np.maximum(norms, 1e-300), 1.0)
+            scaled = vals / np.repeat(safe, lens)
+            out = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(scaled.astype(np.float32), type=pa.float32()),
+            )
+            yield b.set_column(idx, b.schema.field(idx), out)
+
+    return df.mapInArrow(normalize, df.schema)

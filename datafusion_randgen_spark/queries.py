@@ -581,6 +581,121 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p_synthetic_corpus_pipeline",
+    oracle="""
+    SELECT 10000 AS n_docs, true AS dup_groups_found,
+           true AS dedup_shrinks, true AS chunks_cover, true AS packed
+    """,
+)
+def p_synthetic_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END on this repo's own operators, no fixture tables:
+    seeded synthetic corpus (pure Catalyst word sampling; ids ≥ 9000
+    reuse id%9000's words so exact-dup groups exist) → exact dedup →
+    token chunking → sequence packing.  Every stage deterministic, so
+    the pipeline invariants are exact."""
+    _prep(spark, sf_dir)
+    n, dup_from = 10_000, 9_000
+    words = F.array(*[F.lit(w) for w in (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()])
+    content_key = F.when(F.col("id") >= dup_from, F.col("id") % dup_from).otherwise(
+        F.col("id")
+    )
+    pick = lambda i: F.element_at(  # noqa: E731
+        words,
+        (F.abs(F.xxhash64(F.col("ckey"), i, F.lit(31))) % F.size(words) + 1).cast(
+            "int"
+        ),
+    )
+    docs = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), content_key.alias("ckey"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), F.lit(29)), pick), " "
+            ).alias("text"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    groups = dedup.exact_dedup(docs)  # (dedup_key, doc_id=min, group_size)
+    n_docs = docs.count()
+    n_groups = groups.count()
+    n_dup_groups = groups.filter(F.col("group_size") > 1).count()
+    kept = docs.join(
+        groups.select("doc_id"), "doc_id", "left_semi"
+    )
+    chunks = (
+        kept.select("doc_id", F.size(text.tokens(F.col("text"))).alias("nt"))
+        .select(
+            "doc_id",
+            "nt",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.col("nt") / 40.0).cast("long") - 1)
+            ).alias("ci"),
+        )
+        .select(F.least(F.lit(50), F.col("nt") - F.col("ci") * 40).alias("clen"))
+    )
+    chunk_tokens = chunks.agg(F.sum("clen")).first()[0]
+    token_total = kept.select(
+        F.sum(F.size(text.tokens(F.col("text"))))
+    ).first()[0]
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = (
+        kept.select((F.sum("n_chars").over(w) - F.col("n_chars")).alias("off"))
+        .select(F.floor(F.col("off") / 4000).alias("win"))
+        .groupBy("win")
+        .count()
+    )
+    n_windows = packed.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                bool(n_dup_groups > 0),
+                bool(n_groups < n_docs),
+                # 30-token docs, stride 40 => exactly 1 chunk per doc,
+                # so chunk tokens == corpus tokens
+                bool(chunk_tokens == token_total),
+                bool(n_windows > 1),
+            )
+        ],
+        "n_docs long, dup_groups_found boolean, dedup_shrinks boolean,"
+        " chunks_cover boolean, packed boolean",
+    )
+
+
+@query(
+    "s_arrow_normalize",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(*) AS n_unit_norm,
+           count(*) AS n_direction_kept
+    FROM embeddings
+    """,
+)
+def s_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (zero-copy Arrow batches): L2-normalization of the
+    whole embedding column with two NumPy ops per batch on the flat
+    values buffer.  Checks: every output has unit norm AND cosine 1.0
+    against its input (direction preserved)."""
+    _prep(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    normed = vectors.normalize_embeddings_arrow(e).select(
+        "vec_id", F.col("embedding").alias("emb_n")
+    )
+    j = e.join(normed, "vec_id")
+    nrm = vectors.vec_norm(F.col("emb_n"))
+    cos = vectors.cosine_similarity(F.col("embedding"), F.col("emb_n"))
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.abs(nrm - 1.0) < 1e-6).alias("n_unit_norm"),
+        F.count_if(F.abs(cos - 1.0) < 1e-6).alias("n_direction_kept"),
+    )
+
+
+@query(
     "r_zipf_skew_props",
     oracle="SELECT 100000 AS n_rows, 100000 AS n_in_domain, 1 AS top_rank, true AS head_heavy",
 )
