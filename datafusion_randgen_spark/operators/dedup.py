@@ -140,6 +140,13 @@ def _hashed_shingles(docs: DataFrame, k: int, text_col: str, id_col: str, seed: 
       i.e. interpreted) spent 4× longer in the map stage than this
       spends including its shuffle (3.9s vs 1.1s at sf0.1).
     """
+    # a small corpus often arrives as ONE file split, serializing the
+    # regexp-tokenize stage on a single core; spread it first (no-op at
+    # cluster scale where the scan already has >= defaultParallelism
+    # splits — the check costs nothing, the skipped shuffle a lot)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     tok_hashes = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
