@@ -696,6 +696,79 @@ def s_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_try_arithmetic",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN NULL
+                ELSE n_nationkey / n_regionkey END AS safe_div,
+           TRY_CAST(n_name AS BIGINT) AS bad_cast,
+           CASE WHEN n_nationkey <= 3 THEN n_nationkey * 1000000
+                ELSE NULL END AS guarded_mul
+    FROM nation
+    """,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error containment: ``try_divide`` / ``try_cast`` /
+    ``try_multiply`` return NULL where strict ANSI evaluation would
+    abort the whole job — row-level fault tolerance, the difference
+    between one poison row and a dead 100 TB pipeline."""
+    _prep(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.try_divide(
+            F.col("n_nationkey").cast("double"),
+            F.nullif(F.col("n_regionkey"), F.lit(0)).cast("double"),
+        ).alias("safe_div"),
+        F.try_to_number(F.col("n_name"), F.lit("999")).cast("bigint").alias(
+            "bad_cast"
+        ),
+        F.when(
+            F.col("n_nationkey") <= 3,
+            F.try_multiply(F.col("n_nationkey"), F.lit(1_000_000)),
+        ).alias("guarded_mul"),
+    )
+
+
+@query(
+    "q_hll_sketch_union",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS exact_priorities_union,
+           true AS estimate_ok, true AS merge_consistent
+    FROM orders
+    """,
+)
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via
+    ``hll_sketch_agg`` / ``hll_union_agg``): per-priority sketches
+    union to a global estimate within 3% of exact — re-aggregation
+    WITHOUT re-scanning, the sketch property that makes rollup cubes
+    cheap at 100 TB."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    unioned = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("x"))
+    direct = o.agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("d"))
+    j = exact.crossJoin(unioned).crossJoin(direct)
+    return j.select(
+        F.col("x").alias("exact_priorities_union"),
+        (F.abs(F.col("est") - F.col("x")) / F.col("x") < 0.03).alias(
+            "estimate_ok"
+        ),
+        # merging partials tracks the one-pass global sketch closely
+        # (union may re-coupon, so near- not bit-equality)
+        (F.abs(F.col("est") - F.col("d")) / F.col("d") < 0.02).alias(
+            "merge_consistent"
+        ),
+    )
+
+
+@query(
     "r_zipf_skew_props",
     oracle="SELECT 100000 AS n_rows, 100000 AS n_in_domain, 1 AS top_rank, true AS head_heavy",
 )
