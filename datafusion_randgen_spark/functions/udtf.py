@@ -78,3 +78,68 @@ def register_udtfs(spark: SparkSession) -> None:
     spark.udtf.register(
         "randgen_uniform_rows", udtf(RandgenUniformRows, returnType="id: bigint, x: bigint")
     )
+    spark.udtf.register("randgen_table", udtf(RandgenTable))
+
+
+class RandgenTable:
+    """POLYMORPHIC table generator: output schema is computed from the
+    spec argument at ANALYSIS time (Spark 4 UDTF ``analyze``), so one
+    registration serves any column mix::
+
+        FROM randgen_table(100, 'a:int64_uniform:1:10, b:float64_normal:0:1, c:bool_bernoulli:0.5', 42)
+
+    Spec grammar: ``name:kind[:p1[:p2]]`` comma-separated; kinds:
+    ``int64_uniform:lo:hi`` (inclusive, reference semantics),
+    ``float64_uniform:lo:hi``, ``float64_normal:mean:std``,
+    ``bool_bernoulli:p``.  A non-null ``seed`` makes the table
+    reproducible.  Single-task by design (UDTF with literal args) —
+    the declarative ``sources.synthetic`` spec generator is the scale
+    path; this is its SQL-callable counterpart.
+    """
+
+    @staticmethod
+    def analyze(n, spec, seed=None):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            LongType,
+            StructType,
+        )
+
+        types = {
+            "int64_uniform": LongType(),
+            "float64_uniform": DoubleType(),
+            "float64_normal": DoubleType(),
+            "bool_bernoulli": BooleanType(),
+        }
+        schema = StructType().add("id", LongType())
+        for field in str(spec.value).split(","):
+            parts = [p.strip() for p in field.strip().split(":")]
+            name, kind = parts[0], parts[1]
+            if kind not in types:
+                raise ValueError(f"randgen_table: unknown kind '{kind}'")
+            schema = schema.add(name, types[kind])
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, n: int, spec: str, seed: int = None):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        cols = []
+        for field in spec.split(","):
+            parts = [p.strip() for p in field.strip().split(":")]
+            kind, args = parts[1], [float(a) for a in parts[2:]]
+            if kind == "int64_uniform":
+                lo, hi = int(args[0]), int(args[1])
+                if lo > hi:
+                    raise ValueError("randgen_table: lo > hi")
+                cols.append(rng.integers(lo, hi, size=n, endpoint=True))
+            elif kind == "float64_uniform":
+                cols.append(rng.uniform(args[0], args[1], size=n))
+            elif kind == "float64_normal":
+                cols.append(rng.normal(args[0], args[1], size=n))
+            elif kind == "bool_bernoulli":
+                cols.append(rng.random(n) < args[0])
+        for i in range(n):
+            yield (i, *[c[i].item() for c in cols])

@@ -769,6 +769,42 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u_udtf_polymorphic_table",
+    oracle="""
+    SELECT 2000 AS n_rows, 0 AS n_out_of_bounds, true AS mean_ok,
+           true AS reproducible
+    """,
+)
+def u_udtf_polymorphic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF: the output schema is derived from the
+    spec STRING at analysis time (Spark 4 ``analyze``), so one
+    registered function generates any table shape from SQL.  Seeded ⇒
+    two invocations are row-identical."""
+    _prep(spark, sf_dir)
+    call = (
+        "randgen_table(2000,"
+        " 'a:int64_uniform:5:50, b:float64_normal:10:2, c:bool_bernoulli:0.5',"
+        " 123)"
+    )
+    agg = spark.sql(
+        f"""
+        SELECT count(*) AS n_rows,
+               count_if(a < 5 OR a > 50) AS n_out_of_bounds,
+               abs(avg(b) - 10.0) < 0.2 AS mean_ok,
+               bit_xor(xxhash64(id, a, CAST(b AS STRING), c)) AS fp
+        FROM {call}
+        """
+    )
+    fp2 = spark.sql(f"SELECT bit_xor(xxhash64(id, a, CAST(b AS STRING), c)) AS fp2 FROM {call}")
+    return agg.crossJoin(fp2).select(
+        "n_rows",
+        "n_out_of_bounds",
+        "mean_ok",
+        (F.col("fp") == F.col("fp2")).alias("reproducible"),
+    )
+
+
+@query(
     "r_zipf_skew_props",
     oracle="SELECT 100000 AS n_rows, 100000 AS n_in_domain, 1 AS top_rank, true AS head_heavy",
 )
