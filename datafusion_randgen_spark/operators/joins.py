@@ -253,3 +253,25 @@ def cogrouped_asof_align(
         .cogroup(right.select(on, ts).groupBy(on))
         .applyInPandas(align, schema=out_schema)
     )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE INTO without a table format: full-outer join on ``keys``,
+    source wins where matched, unmatched rows pass through from either
+    side (WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT with
+    all-column set semantics).
+
+    This is the snapshot-upsert shape for plain-parquet pipelines —
+    Spark lacks ``MERGE`` on files, but a single shuffle-on-key full
+    outer join expresses it exactly; at 100 TB both sides co-partition
+    on the merge key and AQE picks the join strategy (broadcast when
+    the delta is small)."""
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    merged = t.join(s, cond, "full_outer")
+    cols = [
+        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return merged.select(*cols)

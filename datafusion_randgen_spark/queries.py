@@ -1668,6 +1668,39 @@ def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sliding_windows",
+    oracle="""
+    WITH starts AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+    )
+    SELECT ws AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) time windows — 2-hour window, 1-hour slide —
+    each event lands in exactly two windows.  Spark's ``F.window`` emits
+    the per-row window copies inside Expand before the partial agg, so
+    the shuffle carries agg states, not duplicated events; the oracle
+    materializes the same two window-starts per event explicitly."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "q_sessionization",
     oracle="""
     WITH flagged AS (
@@ -2123,6 +2156,179 @@ def t_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", text.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+_DUCK_TOKS_CTE = """
+    toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS term
+      FROM documents
+    )"""
+
+
+@query(
+    "t_tfidf_top_terms",
+    oracle=f"""
+    WITH {_DUCK_TOKS_CTE},
+    tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY doc_id, lang, term),
+    idf AS (
+      SELECT term,
+             CAST(round(ln((SELECT count(*) FROM documents) * 1.0 / count(*)) * 1e6, 0)
+                  AS BIGINT) AS idf_micro
+      FROM tf GROUP BY term
+    ),
+    lang_tf AS (SELECT lang, term, sum(tf) AS total_tf FROM tf GROUP BY lang, term),
+    scored AS (
+      SELECT lang, lang_tf.term AS term, total_tf * idf_micro AS tfidf_micro
+      FROM lang_tf JOIN idf ON lang_tf.term = idf.term
+    ),
+    ranked AS (
+      SELECT lang, term, tfidf_micro,
+             row_number() OVER (PARTITION BY lang ORDER BY tfidf_micro DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT lang, term, tfidf_micro, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-10 terms per language by corpus-summed tf·idf.
+
+    The classic relevance/keyword-extraction primitive for LLM corpus
+    curation.  The score is carried in integer micro-units —
+    idf_micro = round(ln(N/df)·1e6), score = total_tf × idf_micro —
+    so ranking and hashing are exact-integer and bit-identical across
+    engines (a float score of the form integer × 6-decimal lands on
+    round-half boundaries often enough to flip a 4-decimal round:
+    observed 35.7386 vs 35.7385 at sf0.01).  ln never sits on a .5
+    micro-boundary (irrational), so the single float round is safe.
+
+    Scale shape: one explode pass → partial-agg tf per (doc, term);
+    idf and per-language totals both derive from the vocab-sized tf
+    relation, so the join and the rank window run on vocabulary
+    cardinality, not corpus cardinality."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(text.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("nd"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(F.log(F.col("n_docs") / F.col("nd")) * 1e6, 0)
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    lang_tf = tf.groupBy("lang", "term").agg(F.sum("tf").alias("total_tf"))
+    scored = lang_tf.join(idf, "term").select(
+        "lang", "term", (F.col("total_tf") * F.col("idf_micro")).alias("tfidf_micro")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf_micro"), "term")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+
+
+@query(
+    "t_zipf_token_slope",
+    oracle=f"""
+    WITH {_DUCK_TOKS_CTE},
+    freq AS (SELECT term, count(*) AS f FROM toks GROUP BY term),
+    ranked AS (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM freq)
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(f * 1.0), ln(r * 1.0)), 4) AS zipf_slope,
+           round(regr_r2(ln(f * 1.0), ln(r * 1.0)), 4) AS fit_r2
+    FROM ranked
+    """,
+)
+def t_zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequencies: OLS slope of
+    ln(freq) on ln(rank) over the full rank–frequency table (a natural
+    corpus should sit near slope ≈ −1).
+
+    Scale shape: the corpus-sized work is one explode + partial-agg
+    count; the unpartitioned rank window and the regression run on the
+    vocabulary, which is orders of magnitude smaller than the corpus."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("f"))
+    ranked = freq.withColumn("r", F.row_number().over(Window.orderBy(F.desc("f"), "term")))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.expr("regr_slope(ln(f * 1.0), ln(r * 1.0))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(f * 1.0), ln(r * 1.0))"), 4).alias("fit_r2"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://\S+"
+
+
+@query(
+    "t_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || doc_id || '@mail.example.com'
+                  ELSE text END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' via https://example.com/p/' || doc_id ELSE '' END AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, lang, t,
+             regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_URL_RE}', '<URL>', 'g') AS r
+      FROM aug
+    )
+    SELECT lang, count(*) AS n_docs,
+           count_if(r LIKE '%<EMAIL>%') AS n_email_docs,
+           count_if(r LIKE '%<URL>%') AS n_url_docs,
+           sum(length(t) - length(r)) AS chars_removed
+    FROM red GROUP BY lang
+    """,
+)
+def t_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/URL redaction over the corpus — the
+    compliance pass every training-data pipeline runs before tokenizing.
+    Synthetic addresses are injected deterministically (doc_id mod), then
+    masked with the same two regexes on both engines; all outputs are
+    exact integers.  Pure JVM regexp in one narrow scan→project→agg
+    stage: no shuffle except the final lang rollup."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" via https://example.com/p/"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    red = aug.withColumn(
+        "r",
+        F.regexp_replace(F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"),
+    )
+    return red.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("r").contains("<EMAIL>")).alias("n_email_docs"),
+        F.count_if(F.col("r").contains("<URL>")).alias("n_url_docs"),
+        F.sum(F.length("t") - F.length("r")).alias("chars_removed"),
+    )
 
 
 # =========================================================================
@@ -2793,6 +2999,51 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("n_samp") - expected) <= 6 * sigma + 5).alias(
             "within_tolerance"
         ),
+    )
+
+
+@query(
+    "q_hash_mod_sample",
+    oracle="""
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           true AS partition_exact, true AS frac_ok, true AS deterministic
+    """,
+)
+def q_hash_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold sampling: keep rows where
+    ``xxhash64(key, salt) mod 1000 < 100`` (≈10%).
+
+    THE sampling primitive for a 100 TB pipeline: no RNG state, no
+    shuffle, embarrassingly parallel, reproducible across reruns and
+    engines, and consistent — the same key always lands in the same
+    split, so a sample taken today and one taken after an append agree
+    on shared keys (unlike Bernoulli ``sample()``).  Property oracle:
+    sample ∪ rest partitions the corpus exactly, the rate is within 6σ
+    of 10%, and an independent re-evaluation returns the identical
+    count."""
+    import math as _math
+
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def bucket() -> F.Column:
+        return F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(1000))
+
+    n = docs.count()
+    n_samp = docs.filter(bucket() < 100).count()
+    n_rest = docs.filter(bucket() >= 100).count()
+    n_again = docs.filter(bucket() < 100).count()
+    tol = 6 * _math.sqrt(0.1 * 0.9 / n) + 5.0 / n
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                n_samp + n_rest == n,
+                abs(n_samp / n - 0.1) <= tol,
+                n_samp == n_again,
+            )
+        ],
+        "n_docs long, partition_exact boolean, frac_ok boolean, deterministic boolean",
     )
 
 
@@ -3823,6 +4074,52 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     got = _drive_stream(agg, "st_ssj_out", "complete")
     return got.select("segment", "n", "sum_value")
+
+
+@query(
+    "st_session_window_stream",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def st_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (``F.session_window``, 30-min
+    gap) driven over micro-batches — Spark merges/extends open sessions
+    as events arrive in ANY batch order, so the finite stream must
+    reproduce the batch gaps-and-islands answer exactly.  Note the gap
+    semantics: a diff of EXACTLY the gap starts a new session (merge
+    while next_ts < prev_ts + gap), hence ``>=`` in the oracle — the
+    batch q_sessionization entry uses the ``>`` convention."""
+    import tempfile
+
+    from datafusion_randgen_spark import streaming as st
+
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    stream = st.file_stream_from(ev, tempfile.mkdtemp(prefix="randgen_st_sess_"))
+    # 60-day watermark >> the fixture's one-month span: no session is
+    # ever finalized/evicted mid-stream, so complete mode sees them all
+    agg = st.session_windows(stream, gap="30 minutes", watermark="60 days")
+    got = _drive_stream(agg, "st_sess_out", "complete")
+    return got.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+    )
 
 
 # =========================================================================

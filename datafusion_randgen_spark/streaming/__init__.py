@@ -47,10 +47,12 @@ def windowed_counts(events: DataFrame, window: str = "5 minutes", watermark: str
     )
 
 
-def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
     """Built-in session_window aggregation (streaming-native session
     semantics; the batch twin of operators.joins.sessionize)."""
-    src = events.withWatermark("ts", "10 minutes") if events.isStreaming else events
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return src.groupBy(F.session_window("ts", gap), "user_id").agg(
         F.count("*").alias("n_events")
     )

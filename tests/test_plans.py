@@ -254,3 +254,39 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
     finally:
         for k, v in old.items():
             conf.set(k, v)
+
+
+def test_pii_redaction_is_single_shuffle_jvm_regex(spark):
+    """The redaction pass is scan → project (JVM regexp_replace) →
+    partial agg → one exchange on lang: no Python worker, no second
+    shuffle — at 100 TB the regex work rides the scan."""
+    from datafusion_randgen_spark import queries as cat
+
+    df = cat.QUERIES["t_pii_redaction"](spark, SF)
+    assert plans.python_eval_nodes(df) == 0
+    assert plans.exchange_count(df) == 1
+
+
+def test_hash_mod_sample_predicate_prunes_and_stays_jvm(spark):
+    """The hash-threshold sample is a JVM-codegen filter over a
+    doc_id-only scan: no Python, no shuffle before the count's 1-row
+    partial-agg exchange, and the scan reads just the key column."""
+    from datafusion_randgen_spark.sources import load_table as lt
+
+    docs = lt(spark, SF, "documents").select("doc_id")
+    sampled = docs.filter(F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(1000)) < 100)
+    assert plans.python_eval_nodes(sampled) == 0
+    assert plans.exchange_count(sampled) == 0
+    [schema_line] = plans.scan_read_schema(sampled)
+    assert "doc_id" in schema_line and "text" not in schema_line
+
+
+def test_tfidf_and_zipf_rank_windows_run_on_vocab_not_corpus(spark):
+    """Corpus-sized work is the explode+partial-agg; everything after
+    (idf join, rank window, regression) is vocabulary-sized and pure
+    JVM — no Python eval nodes anywhere in either plan."""
+    from datafusion_randgen_spark import queries as cat
+
+    for name in ("t_tfidf_top_terms", "t_zipf_token_slope"):
+        df = cat.QUERIES[name](spark, SF)
+        assert plans.python_eval_nodes(df) == 0, name
