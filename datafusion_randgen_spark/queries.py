@@ -967,7 +967,8 @@ def r_seeded_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "r_generate_series_parity",
-    oracle="SELECT count(*) AS n_rows, min(r) AS lo, max(r) AS hi, sum(r) AS total "
+    oracle="SELECT count(*) AS n_rows, min(r) AS lo, max(r) AS hi, "
+    "CAST(sum(r) AS BIGINT) AS total "
     "FROM (SELECT unnest(generate_series(1, 100)) AS r)",
 )
 def r_generate_series_parity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,24 +35,38 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Type-tagged normalization: the real driver hashes TYPED values, so
+    an int on one side and a Decimal/float on the other must mismatch
+    locally too (that exact trap produced the one red CORRECTNESS_r01 row:
+    DuckDB sum(BIGINT) -> decimal128 vs Spark sum -> bigint)."""
+    import decimal
+
+    if v is None:
+        return ("null",)
     if isinstance(v, bool):
-        return v
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("float", "NaN")
+        return ("float", round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        return (
+            "ts",
+            v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds"),
+        )
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    try:  # decimals -> float
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except Exception:
-        pass
-    return v
+        return ("array", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((k, _norm_cell(x)) for k, x in v.items())))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bin", bytes(v).hex())
+    return ("other", repr(v))
 
 
 def _normalize(rows, colnames):
