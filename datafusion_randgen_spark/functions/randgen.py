@@ -71,7 +71,12 @@ def _int64_parts(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     on null slots — a hazard we deliberately avoid, SURVEY.md §2.3).
     """
     if pd.api.types.is_float_dtype(s.dtype):
-        # Arrow -> pandas turns nullable int64 into float64 with NaN.
+        # Legacy Arrow -> pandas path turned nullable int64 into float64
+        # with NaN.  PySpark 4.1 delivers pd.Int64Dtype instead (branch
+        # below — exact for the full i64 range, incl. i64::MAX with
+        # nulls present; pinned by test_nullable_extreme_bounds_exact).
+        # If a float64 Series DOES arrive here, |bounds| > 2^53 have
+        # already lost precision upstream — nothing to recover in-kernel.
         mask = np.isnan(s.to_numpy(dtype="float64", copy=False))
         vals = s.fillna(0).to_numpy(dtype="float64").astype(np.int64)
     elif isinstance(s.dtype, pd.Int64Dtype):

@@ -71,12 +71,15 @@ def shingle_jaccard_pairs(
     # and the distinct both shuffle fixed-width longs, not n-gram text
     # (results identical to string joins modulo ~2^-64 collisions).
     sh = _hashed_shingles(docs, k, text_col, id_col, seed=0)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_shingle_freq is not None:
         keep = sh.groupBy("h").agg(F.count("*").alias("df")).filter(
             F.col("df") <= max_shingle_freq
         )
         sh = sh.join(keep.select("h"), "h")
+    # sizes from the SAME (possibly stop-shingle-filtered) set the
+    # intersections are counted on — otherwise dropped shingles inflate
+    # the union term and systematically deflate jaccard
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))

@@ -59,9 +59,16 @@ def asof_join(
     unioned = lt.unionByName(rt)
     # right rows (__is_left=0) sort before left rows at equal timestamps,
     # so a right row AT the left row's timestamp is visible to it (<=).
+    # The trailing __rv_* keys pin which of several equal-timestamp right
+    # rows wins (the one sorting last) — without them the carried value
+    # is partitioning-dependent.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t"), F.col("__is_left"))
+        .orderBy(
+            F.col("__t"),
+            F.col("__is_left"),
+            *[F.col(f"__rv_{c}") for c in right_values],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,7 +77,11 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             width, height = _fake_decode_dims(pdf["byte_len"])
-            checksum = pdf["media"].map(lambda b: int(sum(b)))
+            # vectorized per payload: a megabyte media blob must not go
+            # through a per-byte Python loop
+            checksum = pdf["media"].map(
+                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -300,15 +300,79 @@ def ivf_ann_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
+    dim: int = 64,
+    nbits: int = 4,
+    ntables: int = 16,
+    probe: int = 1,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+    """Cosine near-duplicate pairs (id_a < id_b, sim >= threshold) via
+    sign-LSH candidate generation + exact verification.
 
-    For bounded corpora this is a block cross join; the scale path is
-    ``lsh_ann_topk``-style bucketing first (same code path, threshold
-    filter instead of top-k).
+    Scale shape (the reason this is NOT an all-pairs join): candidates
+    come from an **equi-join of LSH bucket codes** on (table, code) —
+    shuffle volume is (id, code) longs, never vectors, and never O(n²).
+    Each candidate pair is then exact-scored with the batched-matmul
+    cosine UDF and filtered by ``threshold``; false positives cost one
+    dot product, false negatives are bounded by the LSH miss
+    probability (1 - P_table)^ntables with
+    P_table ≈ p^nbits + probe-expansion terms, p = 1 - θ/π.
+
+    ``probe`` adds Hamming-≤probe multiprobing (each vector also visits
+    the ``nbits``-choose-≤probe adjacent buckets of one join side),
+    trading candidate volume for recall — essential for low thresholds.
+    Everything is seeded ⇒ fully deterministic: for a given corpus the
+    recall can be verified exactly against the all-pairs oracle (the
+    test suite does, at the fixture SFs).  Tune: higher ``threshold`` →
+    raise ``nbits`` (smaller buckets, cheaper join); lower ``threshold``
+    → raise ``ntables``/``probe``.
     """
+    codes = hyperplane_codes(
+        embeddings, dim, nbits, ntables, seed, id_col, vec_col
+    )  # (id, table, code)
+    # Hamming-<=probe expansion of ONE join side: code XOR each bit mask
+    # of popcount <= probe.  Symmetric metric => one-sided probing covers
+    # every pair within the probe radius.
+    masks = [m for m in range(1 << nbits) if bin(m).count("1") <= probe]
+    probed = codes.select(
+        "id",
+        "table",
+        F.explode(
+            F.array(*[F.col("code").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("code"),
+    )
+    cand = (
+        codes.alias("a")
+        .join(probed.alias("b"), ["table", "code"])
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", F.round(_cosine_batch(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def embedding_near_dup_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact near-dup — O(n²) block cross join.  Oracle/test
+    baseline ONLY (it is what DuckDB computes); the production path is
+    :func:`embedding_near_dup_pairs`."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (

@@ -772,18 +772,25 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u_udtf_polymorphic_table",
     oracle="""
     SELECT 2000 AS n_rows, 0 AS n_out_of_bounds, true AS mean_ok,
+           0 AS n_zipf_oob, true AS zipf_head_heavy, 0 AS n_bad_cat,
+           true AS cat_weights_ok, 0 AS n_bad_str, 0 AS n_bad_date,
            true AS reproducible
     """,
 )
 def u_udtf_polymorphic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polymorphic Python UDTF: the output schema is derived from the
     spec STRING at analysis time (Spark 4 ``analyze``), so one
-    registered function generates any table shape from SQL.  Seeded ⇒
-    two invocations are row-identical."""
+    registered function generates any table shape from SQL — the FULL
+    ``synthetic_table`` spec grammar (here exercising zipf,
+    element_from_weighted, string_alpha and date_uniform on top of the
+    original three kinds).  Seeded ⇒ two invocations are
+    row-identical."""
     _prep(spark, sf_dir)
     call = (
         "randgen_table(2000,"
-        " 'a:int64_uniform:5:50, b:float64_normal:10:2, c:bool_bernoulli:0.5',"
+        " 'a:int64_uniform:5:50, b:float64_normal:10:2, c:bool_bernoulli:0.5,"
+        " z:zipf:1000:1.2, w:element_from_weighted:x|y|z:1|2|7,"
+        " s:string_alpha:12, d:date_uniform:2024-01-01:2024-12-31',"
         " 123)"
     )
     agg = spark.sql(
@@ -791,15 +798,30 @@ def u_udtf_polymorphic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n_rows,
                count_if(a < 5 OR a > 50) AS n_out_of_bounds,
                abs(avg(b) - 10.0) < 0.2 AS mean_ok,
-               bit_xor(xxhash64(id, a, CAST(b AS STRING), c)) AS fp
+               count_if(z < 1 OR z > 1000) AS n_zipf_oob,
+               count_if(z = 1) > count_if(z = 10) AS zipf_head_heavy,
+               count_if(w NOT IN ('x', 'y', 'z')) AS n_bad_cat,
+               count_if(w = 'z') > count_if(w = 'x') AS cat_weights_ok,
+               count_if(s NOT RLIKE '^[a-z]{{12}}$') AS n_bad_str,
+               count_if(d < DATE'2024-01-01' OR d > DATE'2024-12-31') AS n_bad_date,
+               bit_xor(xxhash64(id, a, CAST(b AS STRING), c, z, w, s, CAST(d AS STRING))) AS fp
         FROM {call}
         """
     )
-    fp2 = spark.sql(f"SELECT bit_xor(xxhash64(id, a, CAST(b AS STRING), c)) AS fp2 FROM {call}")
+    fp2 = spark.sql(
+        f"SELECT bit_xor(xxhash64(id, a, CAST(b AS STRING), c, z, w, s, CAST(d AS STRING))) AS fp2"
+        f" FROM {call}"
+    )
     return agg.crossJoin(fp2).select(
         "n_rows",
         "n_out_of_bounds",
         "mean_ok",
+        "n_zipf_oob",
+        "zipf_head_heavy",
+        "n_bad_cat",
+        "cat_weights_ok",
+        "n_bad_str",
+        "n_bad_date",
         (F.col("fp") == F.col("fp2")).alias("reproducible"),
     )
 
@@ -1915,12 +1937,19 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-duplicates (>= 0.4; the fixture corpus has no
-    true dups — max pairwise cosine ≈ 0.51) over the embeddings table;
-    double-precision zip_with/aggregate dot products, JVM-side."""
+    """Cosine near-duplicates (>= 0.4; the fixture corpus has no true
+    dups — max pairwise cosine ≈ 0.51) via sign-LSH bucket equi-join
+    candidates + exact verification — NOT an all-pairs cross join (the
+    plan test asserts no BNLJ/CartesianProduct).  At this unusually low
+    threshold the LSH needs 16 tables × 4 bits with Hamming-1
+    multiprobe for full recall (per-pair miss ≈ 6e-6, deterministic
+    seed; recall==1 on the fixture is verified against the exact
+    all-pairs oracle in tests/test_similarity_lsh.py)."""
     _prep(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, dim=64, nbits=4, ntables=16, probe=1
+    )
 
 
 # =========================================================================

@@ -41,18 +41,25 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — columnar, filter/column pushdown handled by Catalyst.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read it as long (``nanosAsLong``) and convert
-    to a microsecond timestamp (same truncation DuckDB applies).
+    ``events.ts`` has shipped as either TIMESTAMP(NANOS) — which Spark's
+    vectorized parquet reader rejects — or TIMESTAMP(MICROS), depending
+    on the fixture generation.  Handle both: with ``nanosAsLong`` set, a
+    nanos column surfaces as LongType (convert with integer ``div``, the
+    same truncation DuckDB applies); a micros column surfaces as a
+    timestamp already (normalize NTZ → session-UTC TimestampType so
+    downstream queries see one type either way).
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer `div`, NOT floor(x/1000.0): ~1.7e18 ns exceeds double's
-        # exact-integer range, and the rounding error shifts ±1µs.
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer `div`, NOT floor(x/1000.0): ~1.7e18 ns exceeds double's
+            # exact-integer range, and the rounding error shifts ±1µs.
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -136,6 +136,11 @@ class RandgenStreamReader(DataSourceStreamReader):
         return {"row": self._latest}
 
     def partitions(self, start: dict, end: dict):
+        # checkpoint recovery: a fresh reader starts with _latest=0 but
+        # Spark replays the committed start offset — ratchet the
+        # high-water mark so latestOffset() never regresses below it
+        # (end < start would stall the stream for several triggers)
+        self._latest = max(self._latest, start["row"], end["row"])
         lo, hi = start["row"], end["row"]
         per = max(1, -(-(hi - lo) // self.n_parts))
         return [

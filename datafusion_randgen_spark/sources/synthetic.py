@@ -46,20 +46,41 @@ from pyspark.sql import functions as F
 from datafusion_randgen_spark.functions import exprs, seeded
 
 _ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+#: base-26 digit symbols as Spark's ``conv`` emits them (digits then
+#: UPPERCASE letters) — translate()d onto the alphabet
+_BASE26_DIGITS = "0123456789ABCDEFGHIJKLMNOP"
+
+
+def _alpha_block(draw: Column, block: int) -> Column:
+    """``block`` lowercase chars from one long ``draw`` ∈ [0, 26^block):
+    base-26 expansion via ``conv`` + ``translate`` — 3 codegen'd exprs
+    per block instead of per-character hash machinery."""
+    return F.translate(
+        F.lpad(F.conv(draw.cast("string"), 10, 26), block, "0"),
+        _BASE26_DIGITS,
+        _ALPHABET,
+    )
 
 
 def _seeded_alpha_string(key: Column, length: int, seed: int, salt: int) -> Column:
-    """Deterministic lowercase string: one hash draw per character
-    position (still pure Catalyst — concat of codegen'd char picks)."""
-    chars = [
-        F.substring(
-            F.lit(_ALPHABET),
-            (seeded.seeded_int64_uniform(key, 0, 25, seed, salt * 1000 + i) + 1).cast("int"),
-            1,
+    """Deterministic lowercase string, 12 chars per 64-bit hash draw
+    (26^12 ≈ 2^56 < 2^63, so one ``pmod`` keeps the draw exact and
+    near-uniform; modulo bias ≈ 26^12/2^64 ≈ 0.2% — immaterial for
+    synthetic text).  Plan size is O(length/12), so spec strings of
+    length 256+ no longer blow up the expression tree (the previous
+    one-hash-per-char form did)."""
+    BLOCK = 12
+    mod = 26**BLOCK
+    blocks = [
+        _alpha_block(
+            F.pmod(F.xxhash64(key, F.lit(seed), F.lit(salt * 1000 + i)), F.lit(mod)),
+            BLOCK,
         )
-        for i in range(length)
+        for i in range((length + BLOCK - 1) // BLOCK)
     ]
-    return F.concat(*chars) if chars else F.lit("")
+    if not blocks:
+        return F.lit("")
+    return F.substring(F.concat(*blocks), 1, length)
 
 
 def _seeded_zipf(key: Column, n: int, s: float, seed: int, salt: int) -> Column:
@@ -109,15 +130,18 @@ def _column(kind_spec: dict, key: Column, seed: int | None, salt: int) -> Column
         if kind == "element_from_weighted":
             return exprs.element_from_weighted_expr(sp["values"], sp["weights"])
         if kind == "string_alpha":
-            # volatile strings: random index into a seeded-per-row pool
-            # isn't meaningful — draw chars off rand() positions
-            chars = [
-                F.substring(
-                    F.lit(_ALPHABET), (F.floor(F.rand() * 26) + 1).cast("int"), 1
-                )
-                for _ in range(int(sp["length"]))
+            # volatile strings: 11 chars per rand() draw (26^11 ≈ 2^51.8
+            # stays inside the double's 53-bit exact-integer range), same
+            # O(length/block) plan size as the seeded path
+            length = int(sp["length"])
+            BLOCK = 11
+            blocks = [
+                _alpha_block(F.floor(F.rand() * F.lit(float(26**BLOCK))).cast("long"), BLOCK)
+                for _ in range((length + BLOCK - 1) // BLOCK)
             ]
-            return F.concat(*chars) if chars else F.lit("")
+            if not blocks:
+                return F.lit("")
+            return F.substring(F.concat(*blocks), 1, length)
     else:
         if kind == "int64_uniform":
             return seeded.seeded_int64_uniform(key, sp["lo"], sp["hi"], seed, salt)

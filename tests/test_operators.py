@@ -77,7 +77,18 @@ def test_brute_force_topk(vecs):
 
 
 def test_embedding_near_dup(vecs):
-    pairs = {(r.id_a, r.id_b) for r in similarity.embedding_near_dup_pairs(vecs, 0.9).collect()}
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(vecs, 0.9, dim=3).collect()
+    }
+    assert pairs == {(1, 2), (3, 4)}
+
+
+def test_embedding_near_dup_exact(vecs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs_exact(vecs, 0.9).collect()
+    }
     assert pairs == {(1, 2), (3, 4)}
 
 

@@ -144,3 +144,18 @@ def test_statistical_mean(spark):
         "(SELECT randgen_int64_uniform(1, 100) AS x FROM range(1, 100001))"
     ).collect()[0]
     assert abs(row.m - 50.5) < 1.0  # se ≈ 0.09, 10σ margin
+
+
+def test_nullable_extreme_bounds_exact(spark):
+    """A NULLABLE bound column at i64::MAX must not round-trip through
+    float64 (2^53 precision cliff): the Int64Dtype kernel branch keeps
+    the full i64 range exact even when the batch contains nulls."""
+    rows = spark.sql(
+        """
+        SELECT randgen_int64_uniform(9223372036854775806, hi) AS x
+        FROM VALUES (CAST(9223372036854775807 AS BIGINT)),
+                    (CAST(NULL AS BIGINT)) t(hi)
+        """
+    ).collect()
+    assert rows[0].x in (9223372036854775806, 9223372036854775807)
+    assert rows[1].x is None

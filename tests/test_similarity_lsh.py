@@ -1,0 +1,51 @@
+"""LSH near-dup path: full-recall verification against the exact
+all-pairs baseline on the fixture corpus, and the plan-shape guarantee
+that makes it the 100 TB path (equi-join candidates, never a
+cartesian / broadcast-nested-loop join)."""
+
+from __future__ import annotations
+
+from datafusion_randgen_spark.operators import similarity
+from datafusion_randgen_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b, r.sim) for r in df.collect()}
+
+
+def test_lsh_near_dup_full_recall_vs_exact(spark):
+    """Deterministic seeds ⇒ the fixture's recall is a fixed number; the
+    catalog entry's parameters (4 bits × 16 tables, Hamming-1 probe)
+    must find EVERY pair the O(n²) baseline finds, at the same sims."""
+    emb = load_table(spark, SF, "embeddings")
+    lsh = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, dim=64, nbits=4, ntables=16, probe=1
+    )
+    exact = similarity.embedding_near_dup_pairs_exact(emb, threshold=0.4)
+    got, want = _pairs(lsh), _pairs(exact)
+    assert want, "fixture should have pairs at 0.4 — oracle degenerate otherwise"
+    assert got == want
+
+
+def test_lsh_near_dup_plan_has_no_cartesian(spark):
+    """The reason the LSH path exists: candidates come from an equi-join
+    on (table, code).  An all-pairs regression would reappear as a
+    BroadcastNestedLoopJoin or CartesianProduct node."""
+    emb = load_table(spark, SF, "embeddings")
+    lsh = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, dim=64, nbits=4, ntables=16, probe=1
+    )
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_baseline_is_the_cartesian(spark):
+    """Sanity: the *_exact baseline really is the all-pairs form the
+    oracle computes (so the recall test above is meaningful)."""
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    exact = similarity.embedding_near_dup_pairs_exact(emb, threshold=0.4)
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan

@@ -186,3 +186,41 @@ def test_brute_force_topk_matches_exact_definition(spark):
         .select("query_id", "neighbor_id", "sim", "rank")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+@pytest.mark.parametrize("seed", [None, 42])
+def test_string_alpha_length_256_uniformish(spark, seed):
+    """Long spec strings must neither blow up the expression tree
+    (O(length/block) exprs, not O(length)) nor skew the alphabet: at
+    length 256 × 2000 rows every letter should appear with frequency
+    1/26 ± a generous margin, and chars at block boundaries (pos 12/13)
+    must be independent draws."""
+    df = synthetic_table(
+        spark, 2000, {"s": {"kind": "string_alpha", "length": 256}}, seed=seed
+    )
+    row = df.select(
+        F.count_if(F.length("s") != 256).alias("bad_len"),
+        F.count_if(F.col("s").rlike("^[a-z]{256}$") == False).alias("bad_alpha"),  # noqa: E712
+    ).collect()[0]
+    assert row.bad_len == 0 and row.bad_alpha == 0
+    freq = (
+        df.select(F.explode(F.split("s", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in freq)
+    assert len(freq) == 26
+    for r in freq:
+        assert abs(r["count"] / total - 1 / 26) < 0.01, (r["c"], r["count"])
+
+
+def test_string_alpha_seeded_reproducible_and_plan_bounded(spark):
+    a = synthetic_table(spark, 100, {"s": {"kind": "string_alpha", "length": 256}}, seed=3)
+    b = synthetic_table(spark, 100, {"s": {"kind": "string_alpha", "length": 256}}, seed=3)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # 256 chars = 22 hash blocks; the analyzed plan must stay small —
+    # the old per-char form produced >256 substring(concat(...)) nodes
+    plan = a._jdf.queryExecution().analyzed().toString()
+    assert plan.count("xxhash64") <= 30

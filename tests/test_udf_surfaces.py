@@ -106,3 +106,52 @@ def test_python_datasource_split_count(spark):
     )
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 1000
+
+
+def test_udtf_table_full_grammar_schema(spark):
+    """analyze() must type every spec kind: the SQL grammar now matches
+    sources.synthetic one kind for one kind."""
+    add_udfs(spark)
+    df = spark.sql(
+        """
+        SELECT * FROM randgen_table(50,
+          'a:int64_uniform:1:9, u:float64_uniform:0:1, g:float64_normal:0:1,
+           e:float64_exponential:2.0, l:float64_lognormal:0:0.5,
+           b:bool_bernoulli:0.5, z:zipf:100:1.3, c:element_from:p|q|r,
+           w:element_from_weighted:p|q:1|9, s:string_alpha:8,
+           t:timestamp_uniform:2024-01-01:2024-06-30,
+           d:date_uniform:2024-01-01:2024-12-31', 7)
+        """
+    )
+    dt = dict(df.dtypes)
+    assert dt["a"] == "bigint" and dt["z"] == "bigint"
+    assert dt["u"] == dt["g"] == dt["e"] == dt["l"] == "double"
+    assert dt["b"] == "boolean"
+    assert dt["c"] == dt["w"] == dt["s"] == "string"
+    assert dt["t"] == "timestamp" and dt["d"] == "date"
+    rows = df.collect()
+    assert len(rows) == 50
+    import datetime as _dt
+
+    for r in rows:
+        assert 1 <= r.z <= 100
+        assert r.c in {"p", "q", "r"} and r.w in {"p", "q"}
+        assert len(r.s) == 8 and r.s.isalpha() and r.s.islower()
+        assert _dt.date(2024, 1, 1) <= r.d <= _dt.date(2024, 12, 31)
+        assert _dt.datetime(2024, 1, 1) <= r.t <= _dt.datetime(2024, 6, 30)
+
+
+def test_udtf_table_seeded_reproducible_new_kinds(spark):
+    add_udfs(spark)
+    q = (
+        "SELECT bit_xor(xxhash64(id, z, w, s, CAST(d AS STRING))) AS fp FROM "
+        "randgen_table(500, 'z:zipf:50:1.5, w:element_from_weighted:x|y:3|1, "
+        "s:string_alpha:6, d:date_uniform:2020-01-01:2020-12-31', 99)"
+    )
+    assert spark.sql(q).collect()[0].fp == spark.sql(q).collect()[0].fp
+
+
+def test_udtf_table_unknown_kind_raises(spark):
+    add_udfs(spark)
+    with pytest.raises(Exception, match="unknown kind"):
+        spark.sql("SELECT * FROM randgen_table(5, 'a:no_such_kind:1')").collect()
