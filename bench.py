@@ -84,7 +84,10 @@ def main() -> None:
         "q_asof_join": cat.QUERIES["q_asof_join"],
         "d_exact_dedup": cat.QUERIES["d_exact_dedup"],
         "d_minhash_lsh_pairs": cat.QUERIES["d_minhash_lsh_pairs"],
+        "d_connected_components": cat.QUERIES["d_connected_components"],
+        "d_embedding_near_dup": cat.QUERIES["d_embedding_near_dup"],
         "s_ann_bruteforce_topk": cat.QUERIES["s_ann_bruteforce_topk"],
+        "s_ann_ivf_recall": cat.QUERIES["s_ann_ivf_recall"],
         "t_token_stats": cat.QUERIES["t_token_stats"],
         "p_training_data_prep": cat.QUERIES["p_training_data_prep"],
     }
@@ -99,6 +102,22 @@ def main() -> None:
     spark.range(0, 1_000_000, 1, int(cpus)).selectExpr("sum(id) AS s").collect()
     load_table(spark, sf_dir, "lineitem").limit(1000).count()
     spark.sql("SELECT count(*) FROM (SELECT randgen_int64_uniform(1, 10) AS x FROM range(1, 1001))").collect()
+
+    # Environment calibration: one fixed shuffle-heavy probe, identical
+    # every round.  Cross-round comparisons should read value/calib —
+    # VM boots differ (measured: the same commit's per-stage overhead
+    # varies ~1.7× between boots), and this separates machine speed
+    # from plan regressions.
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 20_000_000, 1, int(cpus))
+        .selectExpr("id % 100000 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum"})
+        .selectExpr("count(*) AS n", "sum(`sum(v)`) AS s")
+        .collect()
+    )
+    calib = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
@@ -116,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calib_shuffle_probe_sec": calib,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

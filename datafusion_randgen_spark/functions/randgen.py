@@ -227,6 +227,13 @@ def _float64_exponential_kernel(rate: pd.Series) -> pd.Series:
 
 
 def _element_from_kernel(arr: pd.Series) -> pd.Series:
+    # Type-agnostic kernel shared by every randgen_element_from_<type>
+    # registration.  Spark scalar UDFs are monomorphic (one return type
+    # per catalog name), so the reference's by-type dispatch arms
+    # (int64_uniform.rs:76-89) map to one registered name per element
+    # type — same sampling code, different declared result.  The
+    # volatile Catalyst fast path (exprs.element_from_expr) is generic
+    # over ANY element type and is the preferred form.
     # arr: Series of lists / ndarrays; NULL array or empty array -> NULL.
     rng = _rng()
     out = np.empty(len(arr), dtype=object)
@@ -267,6 +274,7 @@ randgen_string_alpha = F.pandas_udf(_string_alpha_kernel, T.StringType()).asNond
 randgen_timestamp_uniform = F.pandas_udf(_timestamp_uniform_kernel, T.TimestampType()).asNondeterministic()
 randgen_element_from_string = F.pandas_udf(_element_from_kernel, T.StringType()).asNondeterministic()
 randgen_element_from_int64 = F.pandas_udf(_element_from_kernel, T.LongType()).asNondeterministic()
+randgen_element_from_float64 = F.pandas_udf(_element_from_kernel, T.DoubleType()).asNondeterministic()
 randgen_int64_poisson = F.pandas_udf(_int64_poisson_kernel, T.LongType()).asNondeterministic()
 randgen_float64_exponential = F.pandas_udf(_float64_exponential_kernel, T.DoubleType()).asNondeterministic()
 randgen_float64_gamma = F.pandas_udf(_float64_gamma_kernel, T.DoubleType()).asNondeterministic()
@@ -283,6 +291,7 @@ _PARITY_UDFS = {
     "randgen_timestamp_uniform": randgen_timestamp_uniform,
     "randgen_element_from_string": randgen_element_from_string,
     "randgen_element_from_int64": randgen_element_from_int64,
+    "randgen_element_from_float64": randgen_element_from_float64,
     "randgen_int64_poisson": randgen_int64_poisson,
     "randgen_float64_exponential": randgen_float64_exponential,
     "randgen_float64_gamma": randgen_float64_gamma,

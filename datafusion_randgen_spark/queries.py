@@ -260,6 +260,44 @@ def r_element_from_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_element_from_array_column",
+    oracle="""
+    SELECT 2000 AS n_rows, 0 AS n_bad_int, 0 AS n_bad_double,
+           true AS both_arms, 2000 AS n_null_empty, 2000 AS n_null_arr
+    """,
+)
+def r_element_from_array_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``element_from`` over array COLUMNS (not literals) through SQL —
+    the analogue of the reference's array-arg dispatch arms
+    (``/root/reference/src/randgen/int64_uniform.rs:76-89``), which
+    sample a different slot per row from per-row array data.  Exercises
+    the int64 and float64 typed registrations (Spark scalar UDFs are
+    monomorphic; one name per element type — the generic Catalyst form
+    is ``exprs.element_from_expr``), plus NULL-array and empty-array →
+    NULL propagation."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count_if(x NOT IN (id * 2, id * 2 + 1)) AS n_bad_int,
+               count_if(xd NOT IN (CAST(id AS DOUBLE) / 7.0, CAST(id AS DOUBLE) * 3.0)) AS n_bad_double,
+               count_if(x = id * 2) BETWEEN 800 AND 1200 AS both_arms,
+               count_if(x_empty IS NULL) AS n_null_empty,
+               count_if(x_null IS NULL) AS n_null_arr
+        FROM (
+          SELECT id,
+                 randgen_element_from_int64(array(id * 2, id * 2 + 1)) AS x,
+                 randgen_element_from_float64(
+                   array(CAST(id AS DOUBLE) / 7.0, CAST(id AS DOUBLE) * 3.0)) AS xd,
+                 randgen_element_from_int64(slice(array(id), 1, 0)) AS x_empty,
+                 randgen_element_from_int64(CAST(NULL AS ARRAY<BIGINT>)) AS x_null
+          FROM range(1, 2001)
+        )
+        """
+    )
+
+
+@query(
     "r_expr_fastpath_props",
     oracle="SELECT 50000 AS n_rows, 50000 AS n_in_range, true AS many_distinct, 0 AS n_null",
 )
@@ -1927,28 +1965,68 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ∪ planted near-duplicates: each vector gets a twin at
+    ``vec_id + 1_000_000`` with deterministic per-slot noise
+    ``((vec_id*31 + i) % 7) * 0.001`` (cosine ≈ 0.9996 to its source —
+    a true near-dup; all other pairs stay ≤ ~0.52).  The same
+    augmentation is expressed in the DuckDB oracle with an indexed
+    ``list_transform`` (1-based there, 0-based here — offset aligned),
+    in double precision on both engines so the planted sims agree
+    bit-for-bit after round-to-6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    # source id under a distinct name: Spark's lateral column alias
+    # resolution would otherwise bind `vec_id` inside the lambda to the
+    # (vec_id + 1e6) alias on the line above it
+    twin = emb.select(F.col("vec_id").alias("__sid"), "embedding").select(
+        (F.col("__sid") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + ((F.col("__sid") * 31 + i) % 7) * F.lit(0.001),
+        ).alias("embedding"),
+    )
+    return base.unionByName(twin)
+
+
 @query(
     "d_embedding_near_dup",
     oracle="""
+    WITH aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding::DOUBLE[],
+                            (x, i) -> x + ((vec_id * 31 + i - 1) % 7) * 0.001)
+      FROM embeddings
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+           round(list_cosine_similarity(a.e, b.e), 6) AS sim
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.95
     """,
 )
 def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine near-duplicates (>= 0.4; the fixture corpus has no true
-    dups — max pairwise cosine ≈ 0.51) via sign-LSH bucket equi-join
-    candidates + exact verification — NOT an all-pairs cross join (the
-    plan test asserts no BNLJ/CartesianProduct).  At this unusually low
-    threshold the LSH needs 16 tables × 4 bits with Hamming-1
-    multiprobe for full recall (per-pair miss ≈ 6e-6, deterministic
-    seed; recall==1 on the fixture is verified against the exact
-    all-pairs oracle in tests/test_similarity_lsh.py)."""
+    """Cosine near-duplicates at a REALISTIC dedup threshold (0.95) over
+    the embeddings corpus with planted near-dup twins (the raw fixture
+    has no true dups — max pairwise cosine ≈ 0.51, which would force
+    LSH into all-pairs-like candidate volume).  Candidates come from a
+    sign-LSH (table, code) bucket equi-join — never a cross join (plan
+    test asserts no BNLJ/CartesianProduct).  At sim ≥ 0.9996 the
+    per-bit collision prob is 0.991, so 16-bit codes × 4 tables with
+    Hamming-1 probing give per-pair miss ≈ 1e-8 while 2^16 buckets keep
+    candidate volume ~linear in corpus size — the parameters scale:
+    nbits tracks log2(n), recall comes from ntables/probe, and the
+    oracle-exact parity is verified deterministically (seeded planes)
+    in tests/test_similarity_lsh.py."""
     _prep(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    aug = _augmented_embeddings(spark, sf_dir)
     return similarity.embedding_near_dup_pairs(
-        emb, threshold=0.4, dim=64, nbits=4, ntables=16, probe=1
+        aug, threshold=0.95, dim=64, nbits=16, ntables=4, probe=1
     )
 
 

@@ -6,6 +6,7 @@ cartesian / broadcast-nested-loop join)."""
 from __future__ import annotations
 
 from datafusion_randgen_spark.operators import similarity
+from datafusion_randgen_spark.queries import QUERIES, _augmented_embeddings
 from datafusion_randgen_spark.sources import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -15,10 +16,27 @@ def _pairs(df):
     return {(r.id_a, r.id_b, r.sim) for r in df.collect()}
 
 
-def test_lsh_near_dup_full_recall_vs_exact(spark):
-    """Deterministic seeds ⇒ the fixture's recall is a fixed number; the
-    catalog entry's parameters (4 bits × 16 tables, Hamming-1 probe)
-    must find EVERY pair the O(n²) baseline finds, at the same sims."""
+def test_lsh_near_dup_entry_full_recall_vs_exact(spark):
+    """The catalog entry's exact configuration (planted twins, 0.95
+    threshold, 16 bits × 4 tables, Hamming-1 probe): deterministic
+    seeds ⇒ recall is a fixed number, and it must be 1.0 — every pair
+    the O(n²) baseline finds, at identical rounded sims."""
+    aug = _augmented_embeddings(spark, SF)
+    lsh = similarity.embedding_near_dup_pairs(
+        aug, threshold=0.95, dim=64, nbits=16, ntables=4, probe=1
+    )
+    exact = similarity.embedding_near_dup_pairs_exact(aug, threshold=0.95)
+    got, want = _pairs(lsh), _pairs(exact)
+    assert len(want) >= 500, "every vector should pair with its planted twin"
+    assert got == want
+
+
+def test_lsh_near_dup_low_threshold_multiprobe_recall(spark):
+    """Low-threshold stress: at 0.4 (far below any realistic dedup bar)
+    per-bit collision is only ~0.63, so full recall needs coarse codes,
+    many tables and multiprobing — 4 bits × 16 tables × Hamming-1 keeps
+    per-pair miss ≈ 6e-6.  Verifies the probe machinery actually buys
+    the recall it claims."""
     emb = load_table(spark, SF, "embeddings")
     lsh = similarity.embedding_near_dup_pairs(
         emb, threshold=0.4, dim=64, nbits=4, ntables=16, probe=1
@@ -32,11 +50,9 @@ def test_lsh_near_dup_full_recall_vs_exact(spark):
 def test_lsh_near_dup_plan_has_no_cartesian(spark):
     """The reason the LSH path exists: candidates come from an equi-join
     on (table, code).  An all-pairs regression would reappear as a
-    BroadcastNestedLoopJoin or CartesianProduct node."""
-    emb = load_table(spark, SF, "embeddings")
-    lsh = similarity.embedding_near_dup_pairs(
-        emb, threshold=0.4, dim=64, nbits=4, ntables=16, probe=1
-    )
+    BroadcastNestedLoopJoin or CartesianProduct node — checked on the
+    actual catalog entry."""
+    lsh = QUERIES["d_embedding_near_dup"](spark, SF)
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -44,7 +60,7 @@ def test_lsh_near_dup_plan_has_no_cartesian(spark):
 
 def test_exact_baseline_is_the_cartesian(spark):
     """Sanity: the *_exact baseline really is the all-pairs form the
-    oracle computes (so the recall test above is meaningful)."""
+    oracle computes (so the recall tests above are meaningful)."""
     emb = load_table(spark, SF, "embeddings").limit(50)
     exact = similarity.embedding_near_dup_pairs_exact(emb, threshold=0.4)
     plan = exact._jdf.queryExecution().executedPlan().toString()
