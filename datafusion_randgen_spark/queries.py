@@ -2058,6 +2058,22 @@ def s_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+def _recall_props(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(n_queries, recall_ok) in ONE action: a left join of exact top-k
+    onto approx hits, aggregated — the previous three-.count() form
+    executed the brute-force scan and the ANN pipeline twice each."""
+    hit = approx.withColumn("__hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            (
+                F.sum("__hit").cast("double") / F.count(F.lit(1)) >= F.lit(0.5)
+            ).alias("recall_ok"),
+        )
+    )
+
+
 @query(
     "s_ann_lsh_recall",
     oracle="SELECT 20 AS n_queries, true AS recall_ok",
@@ -2074,11 +2090,7 @@ def s_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.lsh_ann_topk(emb, queries_df, dim=64, k=5, nbits=5, ntables=12).select(
         "query_id", "neighbor_id"
     )
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    return spark.createDataFrame(
-        [(queries_df.count(), hits.count() / exact.count() >= 0.5)],
-        "n_queries long, recall_ok boolean",
-    )
+    return _recall_props(exact, approx)
 
 
 @query(
@@ -2096,11 +2108,7 @@ def s_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = similarity.ivf_ann_topk(emb, queries_df, k=5, n_clusters=16, n_probe=6).select(
         "query_id", "neighbor_id"
     )
-    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    return spark.createDataFrame(
-        [(queries_df.count(), hits.count() / exact.count() >= 0.5)],
-        "n_queries long, recall_ok boolean",
-    )
+    return _recall_props(exact, approx)
 
 
 # =========================================================================
