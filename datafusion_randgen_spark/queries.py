@@ -2993,6 +2993,312 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H shapes q4-q22 (fixture schema is a reduced TPC-H: no partsupp /
+# l_commitdate / l_shipmode / c_phone, so the canonical queries keep
+# their OPERATOR shape — exists/anti/correlated-scalar subqueries,
+# conditional aggregation, multi-join star patterns — with predicates
+# adapted to the columns that exist).  Spark side runs the IDENTICAL
+# SQL text via spark.sql: one string, two engines, zero transcription
+# drift; Catalyst still plans it (broadcasts dims, pushes predicates).
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+
+@query("q4_order_priority", oracle=_Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (late
+    shipment standing in for commit<receipt).  Catalyst rewrites the
+    correlated EXISTS into a semi-join on l_orderkey, so the lineitem
+    side is an equi-join probe, not a per-row subquery."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+_Q6_SQL = """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — every predicate reaches
+    the parquet scan (min/max row-group skipping on shipdate), no join,
+    no shuffle beyond the final 1-row combine."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", oracle=_Q7_SQL)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bidirectional two-nation trade volume by year — a
+    5-way star join where both nation dims broadcast and the OR-pair
+    predicate prunes to 2/25 of nations before the fact join."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_size <= 10
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — an 8-table join tree (the
+    widest in the catalog) collapsing to a conditional-aggregate ratio
+    per year; every dimension broadcasts, lineitem never shuffles."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+_Q9_SQL = """
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) - 10.0 * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+"""
+
+
+@query("q9_product_profit", oracle=_Q9_SQL)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for a
+    part-name pattern (fixed unit cost stands in for ps_supplycost —
+    the fixture has no partsupp).  The LIKE predicate prunes part
+    before it broadcasts into the fact join."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+_Q12_SQL = """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+"""
+
+
+@query("q12_shipping_priority_split", oracle=_Q12_SQL)
+def q12_shipping_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipped lines split into high/low priority
+    counts by line status (linestatus stands in for shipmode) — the
+    canonical conditional-aggregation-over-join pattern."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+_Q13_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@query("q13_customer_distribution", oracle=_Q13_SQL)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram over an outer join with a
+    join-side (not WHERE-side) filter — customers with zero qualifying
+    orders must survive into the c_count=0 bucket, which a WHERE-side
+    filter would destroy."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: CTE reused twice (revenue per supplier + its max) —
+    the scalar-subquery max broadcasts into the filter, and all ties at
+    the max survive (deterministic, unlike a LIMIT 1)."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+_Q17_SQL = """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("q17_small_quantity_revenue", oracle=_Q17_SQL)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (per-part average quantity)
+    gating a fact-side filter — Catalyst decorrelates it into an
+    aggregate-then-join on l_partkey, one pass over lineitem."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 4) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@query("q18_large_volume_customers", oracle=_Q18_SQL)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN over a HAVING-filtered self-aggregate of the fact
+    table → a semi-join of lineitem against its own aggregated keys; no
+    LIMIT, so there is no tie nondeterminism."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate)
+      AND n_name = 'NATION_5'
+    GROUP BY s_name
+"""
+
+
+@query("q21_waiting_supplier", oracle=_Q21_SQL)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the only supplier who shipped late on a
+    multi-supplier order (late = shipped after the order date; the
+    fixture has no commit/receipt dates) — a semi-join AND an anti-join
+    against the same fact table, both correlated on the order key."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+    SELECT seg, count(*) AS numcust, round(sum(acctbal), 4) AS totacctbal
+    FROM (
+      SELECT c_mktsegment AS seg, c_acctbal AS acctbal
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'FURNITURE')
+        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0
+                           AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'FURNITURE'))
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+    ) custsale
+    GROUP BY seg
+"""
+
+
+@query("q22_global_sales_opportunity", oracle=_Q22_SQL)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the positive-balance average
+    with no RECENT orders (mktsegment stands in for the phone-prefix
+    filter; every fixture customer has *some* order, so the anti-join
+    is date-restricted to stay non-degenerate) — an uncorrelated scalar
+    subquery plus an anti-join, aggregated per segment."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
 @query(
     "q_window_distribution_ranks",
     oracle="""
