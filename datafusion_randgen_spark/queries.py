@@ -3299,6 +3299,113 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+# The four partsupp-dependent shapes (q2/q11/q16/q20) derive the
+# part-supplier relation from lineitem (`SELECT DISTINCT l_partkey,
+# l_suppkey` is the bridge the fixture actually has) and a unit-price
+# supply cost; the canonical operator shapes — correlated min subquery,
+# share-of-global HAVING, distinct-count + NOT IN, nested IN with a
+# fractional threshold — are preserved.
+
+_Q2_SQL = """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_retailprice
+    FROM part
+    JOIN ps ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 25 AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: region-filtered minimum-cost supplier per part
+    via a correlated min subquery over the (lineitem-derived)
+    part-supplier relation.  min() over identical IEEE division results
+    is exactly reproducible, so the double equality is engine-safe."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+_Q11_SQL = """
+    WITH val AS (
+      SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS part_key, value
+    FROM val
+    WHERE value > (SELECT 0.001 * sum(value) FROM val)
+"""
+
+
+@query("q11_important_stock", oracle=_Q11_SQL)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value filtered against a fraction of
+    the GLOBAL total (uncorrelated scalar subquery over the same CTE) —
+    the share-of-whole HAVING pattern."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem) ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_parts_supplier_relationship", oracle=_Q16_SQL)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct-supplier counts per (brand, type, size) with
+    a NOT-IN exclusion subquery — count(DISTINCT) over a deduplicated
+    bridge relation plus null-safe anti-join semantics."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT i.l_suppkey
+      FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+            FROM lineitem GROUP BY l_partkey, l_suppkey) i
+      JOIN (SELECT l_partkey, sum(l_quantity) AS tq
+            FROM lineitem GROUP BY l_partkey) t
+        ON i.l_partkey = t.l_partkey
+      WHERE i.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        AND i.q > 0.1 * t.tq)
+"""
+
+
+@query("q20_excess_suppliers", oracle=_Q20_SQL)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers responsible for more than a tenth of
+    some red part's shipped volume — nested IN subqueries with a
+    fractional per-part threshold (the availqty > half-shipped pattern
+    without partsupp)."""
+    _prep(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
 @query(
     "q_window_distribution_ranks",
     oracle="""
