@@ -290,3 +290,19 @@ def test_tfidf_and_zipf_rank_windows_run_on_vocab_not_corpus(spark):
     for name in ("t_tfidf_top_terms", "t_zipf_token_slope"):
         df = cat.QUERIES[name](spark, SF)
         assert plans.python_eval_nodes(df) == 0, name
+
+
+def test_q8_star_join_broadcasts_all_dims(spark):
+    """The widest join tree in the catalog (8 tables): every dimension
+    must broadcast so lineitem — the only big relation — never
+    shuffles for the joins; the single exchange feeds the final
+    group-by, and nothing degenerates to a sort-merge join or
+    cartesian."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["q8_market_share"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plans.python_eval_nodes(df) == 0
