@@ -4468,6 +4468,44 @@ def p_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p_observed_pipeline_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN n_chars < 40 THEN 1 END) AS n_short,
+           max(n_chars) AS max_chars,
+           round(CAST(sum(n_chars) AS DOUBLE), 4) AS total_chars
+    FROM documents
+    """,
+)
+def p_observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality metrics via ``DataFrame.observe``: the
+    counters ride along the SAME job that consumes the data (here a
+    count action standing in for a sink write), so a production
+    pipeline gets row counts / invalid-row counts / distinct-ish
+    telemetry WITHOUT a second scan — at 100 TB the difference between
+    one pass and two.  The observed values are then returned as a
+    DataFrame and oracle-checked against the two-pass batch answer."""
+    from pyspark.sql import Observation
+
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("quality")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("n_chars") < 40, 1)).alias("n_short"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.sum("n_chars").cast("double"), 4).alias("total_chars"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "sink" pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_short"], m["max_chars"], float(m["total_chars"]))],
+        "n_rows long, n_short long, max_chars long, total_chars double",
+    )
+
+
 # =========================================================================
 # ST — Structured Streaming pipelines, oracle-checked: a finite file
 # stream (one file per micro-batch) driven to completion must produce
