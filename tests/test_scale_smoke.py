@@ -1,0 +1,77 @@
+"""Opt-in scale smoke: the dedup pipeline at ~40× the sf0.1 fixture.
+
+Gated behind SPARK_GRAFT_SCALE_TESTS=1 so the per-round suite stays
+fast; run manually when touching the dedup/LSH hot paths:
+
+    SPARK_GRAFT_SCALE_TESTS=1 python -m pytest tests/test_scale_smoke.py -q
+
+The corpus is generated (seeded synthetic docs with planted duplicate
+pairs), so the expected pair count is known exactly — this is the
+"would it still work at 1000× " probe: candidate volume must stay
+~linear, no stage may collect the corpus, and the planted dups must
+all surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_randgen_spark.operators import dedup
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1",
+    reason="scale smoke is opt-in (SPARK_GRAFT_SCALE_TESTS=1)",
+)
+
+N_DOCS = 200_000
+N_DUP_PAIRS = 1_000
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    """200k synthetic docs; doc_id < N_DUP_PAIRS gets an exact twin at
+    doc_id + N_DOCS (same text) — the planted truth set."""
+    from datafusion_randgen_spark.sources.synthetic import synthetic_table
+
+    base = synthetic_table(
+        spark,
+        N_DOCS,
+        {"w1": {"kind": "string_alpha", "length": 40}},
+        seed=11,
+        num_partitions=16,
+    ).select(
+        F.col("id").alias("doc_id"),
+        # ~8 pseudo-words so shingling (k=3) has real n-grams
+        F.concat_ws(
+            " ",
+            *[F.substring("w1", i * 5 + 1, 5) for i in range(8)],
+        ).alias("text"),
+    )
+    twins = base.filter(F.col("doc_id") < N_DUP_PAIRS).select(
+        (F.col("doc_id") + N_DOCS).alias("doc_id"), "text"
+    )
+    return base.unionByName(twins).localCheckpoint(eager=True)
+
+
+def test_exact_dedup_finds_planted_twins_at_scale(big_docs):
+    groups = dedup.exact_dedup(big_docs)
+    dup_groups = groups.filter(F.col("group_size") > 1)
+    # every planted twin collides; seeded 40-char alphabet strings make
+    # accidental collisions effectively impossible
+    assert dup_groups.count() == N_DUP_PAIRS
+    assert big_docs.count() == N_DOCS + N_DUP_PAIRS
+
+
+def test_minhash_lsh_finds_planted_twins_at_scale(big_docs):
+    pairs = dedup.minhash_lsh_dedup_pairs(big_docs, threshold=0.9)
+    found = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter(F.col("jaccard") >= 0.999).collect()
+    }
+    planted = {(i, i + N_DOCS) for i in range(N_DUP_PAIRS)}
+    # identical texts share every shingle -> every band collides -> LSH
+    # recall on exact twins is 1.0 by construction
+    assert planted <= found
