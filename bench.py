@@ -80,6 +80,7 @@ def main() -> None:
         "q3_topk_revenue": cat.QUERIES["q3_topk_revenue"],
         "q5_regional_revenue": cat.QUERIES["q5_regional_revenue"],
         "q_window_topk_per_group": cat.QUERIES["q_window_topk_per_group"],
+        "q8_market_share": cat.QUERIES["q8_market_share"],
         "q_sessionization": cat.QUERIES["q_sessionization"],
         "q_asof_join": cat.QUERIES["q_asof_join"],
         "d_exact_dedup": cat.QUERIES["d_exact_dedup"],
