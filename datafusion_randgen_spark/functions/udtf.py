@@ -189,10 +189,14 @@ class RandgenTable:
                 cols.append(rng.random(n) < float(args[0]))
             elif kind == "zipf":
                 # same bounded inverse-CDF approximation as the
-                # declarative generator (synthetic._seeded_zipf)
+                # declarative generator (synthetic._seeded_zipf); at the
+                # removable singularity s=1 the formula's limit is n^u
                 zn, s = int(args[0]), float(args[1])
                 u = rng.random(n)
-                x = ((zn ** (1.0 - s) - 1.0) * u + 1.0) ** (1.0 / (1.0 - s))
+                if s == 1.0:
+                    x = np.float64(zn) ** u
+                else:
+                    x = ((zn ** (1.0 - s) - 1.0) * u + 1.0) ** (1.0 / (1.0 - s))
                 cols.append(np.clip(np.floor(x).astype(np.int64), 1, zn))
             elif kind == "element_from":
                 values = args[0].split("|")

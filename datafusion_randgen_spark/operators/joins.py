@@ -42,46 +42,46 @@ def asof_join(
     (matching DuckDB ASOF JOIN's arbitrary-among-equals, then pinned
     deterministic by ordering on the value columns as final sort keys).
     """
+    rrow = F.struct(*[F.col(c) for c in right_values]).alias("__rrow")
     lt = left.select(
         *on,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_values],
+        F.lit(None)
+        .cast(right.select(rrow).schema["__rrow"].dataType)
+        .alias("__rrow"),
     )
     rt = right.select(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+        rrow,
     )
     unioned = lt.unionByName(rt)
     # right rows (__is_left=0) sort before left rows at equal timestamps,
     # so a right row AT the left row's timestamp is visible to it (<=).
-    # The trailing __rv_* keys pin which of several equal-timestamp right
-    # rows wins (the one sorting last) — without them the carried value
-    # is partitioning-dependent.
+    # The carried payload is ONE struct per right row — per-column
+    # last(ignorenulls) would stitch together values from different
+    # right rows when some right_values are NULL; a struct is non-null
+    # for every right row (even all-NULL fields), so the winner is
+    # atomic.  The trailing __rrow sort key pins which equal-timestamp
+    # right row wins (the one sorting last) — without it the result is
+    # partitioning-dependent.
     w = (
         Window.partitionBy(*on)
-        .orderBy(
-            F.col("__t"),
-            F.col("__is_left"),
-            *[F.col(f"__rv_{c}") for c in right_values],
-        )
+        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__rrow"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
         "__is_left",
         "__lrow",
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
-            for c in right_values
-        ],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
     )
     out = carried.filter(F.col("__is_left") == 1).select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__rv_{c}").alias(f"{c}{suffix}") for c in right_values],
+        *[F.col(f"__rrow.{c}").alias(f"{c}{suffix}") for c in right_values],
     )
     return out
 

@@ -329,9 +329,12 @@ def embedding_near_dup_pairs(
     raise ``nbits`` (smaller buckets, cheaper join); lower ``threshold``
     → raise ``ntables``/``probe``.
     """
+    # persist: codes feed BOTH sides of the candidate self-join — without
+    # it the hyperplane pandas-UDF matmul (and the upstream corpus scan)
+    # runs twice, doubling the most expensive map stage at scale
     codes = hyperplane_codes(
         embeddings, dim, nbits, ntables, seed, id_col, vec_col
-    )  # (id, table, code)
+    ).persist()  # (id, table, code)
     # Hamming-<=probe expansion of ONE join side: code XOR each bit mask
     # of popcount <= probe.  Symmetric metric => one-sided probing covers
     # every pair within the probe radius.

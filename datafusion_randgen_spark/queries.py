@@ -2007,7 +2007,7 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.e, b.e), 6) AS sim
     FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.95
     """,
 )
 def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

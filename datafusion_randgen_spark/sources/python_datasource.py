@@ -136,10 +136,18 @@ class RandgenStreamReader(DataSourceStreamReader):
         return {"row": self._latest}
 
     def partitions(self, start: dict, end: dict):
-        # checkpoint recovery: a fresh reader starts with _latest=0 but
-        # Spark replays the committed start offset — ratchet the
-        # high-water mark so latestOffset() never regresses below it
-        # (end < start would stall the stream for several triggers)
+        # Checkpoint recovery: a fresh reader starts with _latest=0 while
+        # Spark replays offsets from its log.  Ratchet the high-water
+        # mark from every offset Spark hands back so latestOffset() lags
+        # the log for at most the one batch Spark plans BEFORE the first
+        # partitions() call (the Python stream API has no restore hook
+        # that runs earlier).  That first post-restart batch can
+        # therefore have end < start (planned empty here), and rows
+        # between the logged end and the committed start may be planned
+        # again afterwards: recovery is AT-LEAST-ONCE, with replays
+        # value-identical because generation is a pure function of
+        # (seed, row range).  Within a run (no restart) offsets are
+        # strictly monotone and delivery is exactly-once.
         self._latest = max(self._latest, start["row"], end["row"])
         lo, hi = start["row"], end["row"]
         per = max(1, -(-(hi - lo) // self.n_parts))

@@ -85,10 +85,15 @@ def _seeded_alpha_string(key: Column, length: int, seed: int, salt: int) -> Colu
 
 def _seeded_zipf(key: Column, n: int, s: float, seed: int, salt: int) -> Column:
     u = seeded.seeded_unit_uniform(key, seed, salt)
-    one_minus_s = 1.0 - s
-    x = F.pow(
-        (F.lit(math.pow(n, one_minus_s) - 1.0)) * u + F.lit(1.0), F.lit(1.0 / one_minus_s)
-    )
+    if s == 1.0:
+        # removable singularity of the inverse CDF: lim s->1 is n^u
+        x = F.pow(F.lit(float(n)), u)
+    else:
+        one_minus_s = 1.0 - s
+        x = F.pow(
+            (F.lit(math.pow(n, one_minus_s) - 1.0)) * u + F.lit(1.0),
+            F.lit(1.0 / one_minus_s),
+        )
     return F.least(F.greatest(F.floor(x).cast("long"), F.lit(1)), F.lit(int(n)))
 
 

@@ -259,3 +259,25 @@ def test_observe_metrics_piggyback_on_action(spark):
     )
     assert df.count() == 500
     assert obs.get == {"rows_in": 1000, "evens": 500}
+
+
+def test_asof_join_null_field_rows_carried_atomically(spark):
+    """Two right rows at the SAME timestamp, one with a NULL field: the
+    carried value pair must come from ONE right row (the last-sorting
+    one), never a per-column mix of both."""
+    from datafusion_randgen_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(10, "A")], "t long, sym string").select(
+        F.timestamp_seconds("t").alias("ts"), "sym"
+    )
+    right = spark.createDataFrame(
+        [(10, "A", 1.0, 9.0), (10, "A", 2.0, None)],
+        "t long, sym string, v1 double, v2 double",
+    ).select(F.timestamp_seconds("t").alias("ts"), "sym", "v1", "v2")
+    out = asof_join(
+        left, right, on=["sym"], left_time="ts", right_time="ts",
+        right_values=["v1", "v2"],
+    ).collect()[0]
+    # (2.0, NULL) sorts after (1.0, 9.0); a per-column carry would
+    # produce the impossible (2.0, 9.0)
+    assert (out.v1_asof, out.v2_asof) == (2.0, None)

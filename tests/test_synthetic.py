@@ -224,3 +224,24 @@ def test_string_alpha_seeded_reproducible_and_plan_bounded(spark):
     # the old per-char form produced >256 substring(concat(...)) nodes
     plan = a._jdf.queryExecution().analyzed().toString()
     assert plan.count("xxhash64") <= 30
+
+
+def test_zipf_s_equals_one_limit(spark):
+    """s=1 is a removable singularity of the inverse CDF (limit n^u) —
+    both the seeded generator and the UDTF must handle it instead of
+    dividing by zero."""
+    df = synthetic_table(spark, 5000, {"z": {"kind": "zipf", "n": 100, "s": 1.0}}, seed=5)
+    row = df.select(
+        F.count_if(~F.col("z").between(1, 100)).alias("oob"),
+        F.count_if(F.col("z") == 1).alias("head"),
+        F.count_if(F.col("z") == 50).alias("mid"),
+    ).collect()[0]
+    assert row.oob == 0 and row.head > row.mid > 0
+    from datafusion_randgen_spark import add_udfs
+
+    add_udfs(spark)
+    rows = spark.sql(
+        "SELECT min(z) lo, max(z) hi, count_if(z = 1) head FROM "
+        "randgen_table(5000, 'z:zipf:100:1.0', 5)"
+    ).collect()[0]
+    assert rows.lo >= 1 and rows.hi <= 100 and rows.head > 50
