@@ -102,3 +102,43 @@ def test_zipf_head_is_heaviest(spark):
         .collect()
     )
     assert counts[1] == max(counts.values())
+
+
+_KIND_STRATEGY = hs.sampled_from(
+    [
+        ("int64_uniform", lambda r: f"{r.randint(-50, 0)}:{r.randint(1, 50)}"),
+        ("float64_uniform", lambda r: f"{r.randint(-5, 0)}:{r.randint(1, 5)}"),
+        ("float64_normal", lambda r: f"{r.randint(-3, 3)}:{r.randint(1, 4)}"),
+        ("bool_bernoulli", lambda r: f"0.{r.randint(1, 9)}"),
+        ("zipf", lambda r: f"{r.randint(2, 200)}:1.{r.randint(0, 9)}"),
+        ("string_alpha", lambda r: str(r.randint(1, 30))),
+        ("element_from", lambda r: "|".join("xyzw"[: r.randint(2, 4)])),
+    ]
+)
+
+
+@_settings
+@given(
+    kinds=hs.lists(_KIND_STRATEGY, min_size=1, max_size=4),
+    seed=hs.integers(min_value=0, max_value=2**31 - 1),
+    data=hs.randoms(),
+)
+def test_udtf_random_specs_analyze_and_evaluate(spark, kinds, seed, data):
+    """Any well-formed spec must (a) analyze to a schema with one typed
+    column per field plus id, (b) evaluate without error, (c) be
+    reproducible under the same seed — across randomized kind
+    combinations and parameters."""
+    from datafusion_randgen_spark import add_udfs
+
+    add_udfs(spark)
+    fields = [
+        f"c{i}:{kind}:{param_gen(data)}"
+        for i, (kind, param_gen) in enumerate(kinds)
+    ]
+    spec = ", ".join(fields)
+    df = spark.sql(f"SELECT * FROM randgen_table(30, '{spec}', {seed})")
+    assert len(df.columns) == len(kinds) + 1  # id + one per field
+    rows = df.collect()
+    assert len(rows) == 30
+    again = spark.sql(f"SELECT * FROM randgen_table(30, '{spec}', {seed})").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
