@@ -122,6 +122,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
+        # per-query isolation: operators that persist() intermediates
+        # (minhash shingles, LSH codes) must not ride caches left by an
+        # earlier query, nor leak theirs into the next measurement
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()  # materialize fully
