@@ -118,7 +118,10 @@ def float64_lognormal_expr(mu: ColumnOrName, sigma: ColumnOrName) -> Column:
 
 def int64_zipf_expr(n: ColumnOrName, s: ColumnOrName) -> Column:
     """Approximate Zipf(s) rank in [1, n] via the continuous inverse CDF
-    ``floor(((n^(1-s) - 1)·u + 1)^(1/(1-s)))`` (s ≠ 1; clamped to [1, n]).
+    ``floor(((n^(1-s) - 1)·u + 1)^(1/(1-s)))``, clamped to [1, n]; at
+    the removable singularity s = 1 the formula's limit ``n^u`` is used
+    (matching the seeded generator, so a spec that validates in one
+    seed mode cannot break in the other).
 
     This is the standard generator for *skewed synthetic join keys* —
     the tool you reach for when testing salting / AQE skew handling at
@@ -128,15 +131,17 @@ def int64_zipf_expr(n: ColumnOrName, s: ColumnOrName) -> Column:
     n_c, s_c = _c(n), _c(s)
     u = F.rand()
     one_minus_s = F.lit(1.0) - s_c.cast("double")
-    x = F.pow(
-        (F.pow(n_c.cast("double"), one_minus_s) - F.lit(1.0)) * u + F.lit(1.0),
-        F.lit(1.0) / one_minus_s,
+    x = F.when(s_c.cast("double") == 1.0, F.pow(n_c.cast("double"), u)).otherwise(
+        F.pow(
+            (F.pow(n_c.cast("double"), one_minus_s) - F.lit(1.0)) * u + F.lit(1.0),
+            F.lit(1.0) / one_minus_s,
+        )
     )
     draw = F.least(F.greatest(F.floor(x).cast("long"), F.lit(1)), n_c.cast("long"))
     return (
         F.when(n_c.isNull() | s_c.isNull(), F.lit(None).cast("long"))
-        .when((n_c < 1) | (s_c <= 0) | (s_c == 1.0),
-              F.raise_error(F.lit("int64_zipf_expr: need n >= 1, s > 0, s != 1")).cast("long"))
+        .when((n_c < 1) | (s_c <= 0),
+              F.raise_error(F.lit("int64_zipf_expr: need n >= 1, s > 0")).cast("long"))
         .otherwise(draw)
     )
 

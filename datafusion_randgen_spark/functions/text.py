@@ -127,7 +127,11 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     """
     t = tokens(F.lower(text))
     n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.array_distinct(
+    # documents shorter than k tokens have NO k-grams: guard before
+    # sequence() — sequence(1, 0) is the DESCENDING array [1, 0] in
+    # Spark, which would drive element_at out of range and crash the job
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]))
     )
+    return F.when(n >= F.lit(k), grams).otherwise(F.array().cast("array<string>"))

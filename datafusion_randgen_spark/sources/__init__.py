@@ -50,11 +50,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream queries see one type either way).
     """
     if name == "events":
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        path = table_path(sf_dir, name)
+        files = _glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
+        arrow_ts = _pq.read_schema(files[0]).field("ts").type
+        if getattr(arrow_ts, "unit", None) == "ns":
+            # Only mutate the session conf when the footer really is
+            # nanos (the vectorized reader needs it for the whole
+            # lifetime of the scan, so it cannot be set-and-restored);
+            # a micros fixture leaves the session untouched.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integer `div`, NOT floor(x/1000.0): ~1.7e18 ns exceeds double's
             # exact-integer range, and the rounding error shifts ±1µs.

@@ -43,6 +43,22 @@ from pyspark.sql.datasource import (
 _BATCH_ROWS = 65_536
 
 
+def _splitmix64(ids, seed: int, stream: int):
+    """Vectorized splitmix64 of (seed, stream, id) — a deterministic
+    uint64 per row, recomputable on any executor with no RNG state."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
+        x = (
+            ids.astype(np.uint64)
+            + np.uint64(0x9E3779B97F4A7C15) * np.uint64(1 + stream)
+            + np.uint64(seed & (2**64 - 1))
+        )
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 class _Split(InputPartition):
     def __init__(self, index: int, start: int, end: int):
         self.index = index
@@ -60,8 +76,15 @@ class RandgenReader(DataSourceReader):
         self.seed = None if seed is None else int(seed)
         if self.lo > self.hi:
             raise ValueError(f"randgen: lo ({self.lo}) > hi ({self.hi})")
+        if self.rows < 0:
+            raise ValueError(f"randgen: rows ({self.rows}) must be >= 0")
 
     def partitions(self):
+        if self.rows == 0:
+            # one empty split: the ceil-division below would build
+            # range(0, 0, 0), and an EMPTY list makes Spark call
+            # read(None) with no partition object at all
+            return [_Split(0, 0, 0)]
         per = -(-self.rows // self.n_parts)  # ceil
         return [
             _Split(i, start, min(start + per, self.rows))
@@ -113,10 +136,11 @@ class RandgenStreamReader(DataSourceStreamReader):
     """Micro-batch randgen stream: offsets are row positions; each
     trigger advances by ``rowsPerBatch`` until ``maxRows`` (bounded, so
     test harnesses can drain it — unlike the rate source, offsets STOP
-    advancing at the cap).  A batch's data is a pure function of
-    ``(seed, start_row)``: replaying an offset range after failure
-    regenerates identical rows, which is exactly the exactly-once
-    contract Structured Streaming asks of a replayable source.
+    advancing at the cap).  Every row's values are a pure function of
+    ``(seed, row id)`` — independent of how offset ranges are split
+    into batches or partitions — so replaying ANY offset range after
+    failure or recovery regenerates identical rows: the replayable-
+    source contract Structured Streaming asks for.
     """
 
     def __init__(self, options):
@@ -163,10 +187,17 @@ class RandgenStreamReader(DataSourceStreamReader):
         n = split.end - split.start
         if n <= 0:
             return
-        rng = np.random.default_rng([self.seed, split.start])
+        # values are a pure function of (seed, ROW id) — not of the
+        # split/batch boundaries — so a row re-planned after checkpoint
+        # recovery in a different offset range regenerates the IDENTICAL
+        # values (the replayable-source contract; split-start-keyed RNG
+        # streams would break it whenever recovery re-partitions a range)
         ids = np.arange(split.start, split.end, dtype=np.int64)
-        x = rng.integers(self.lo, self.hi, size=n, endpoint=True, dtype=np.int64)
-        u = rng.random(n)
+        h1 = _splitmix64(ids, self.seed, 1)
+        h2 = _splitmix64(ids, self.seed, 2)
+        span = np.uint64(self.hi - self.lo + 1)
+        x = (h1 % span).astype(np.int64) + self.lo
+        u = (h2 >> np.uint64(11)).astype(np.float64) / float(1 << 53)  # [0, 1)
         yield pa.record_batch(
             [pa.array(ids), pa.array(x), pa.array(u)], names=["id", "x", "u"]
         )

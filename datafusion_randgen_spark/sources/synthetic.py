@@ -71,9 +71,13 @@ def _seeded_alpha_string(key: Column, length: int, seed: int, salt: int) -> Colu
     one-hash-per-char form did)."""
     BLOCK = 12
     mod = 26**BLOCK
+    # (salt, i) hashed as SEPARATE arguments: an arithmetic namespace
+    # like salt*1000+i collides across columns once i crosses the
+    # stride (block 1000+j of column s == block j of column s+1),
+    # silently correlating "independent" string columns
     blocks = [
         _alpha_block(
-            F.pmod(F.xxhash64(key, F.lit(seed), F.lit(salt * 1000 + i)), F.lit(mod)),
+            F.pmod(F.xxhash64(key, F.lit(seed), F.lit(salt), F.lit(i)), F.lit(mod)),
             BLOCK,
         )
         for i in range((length + BLOCK - 1) // BLOCK)
@@ -98,6 +102,13 @@ def _seeded_zipf(key: Column, n: int, s: float, seed: int, salt: int) -> Column:
 
 
 def _seeded_weighted(key: Column, values: list, weights: list[float], seed: int, salt: int) -> Column:
+    # same guards as the volatile twin (exprs.element_from_weighted_expr)
+    # — zip() would silently truncate a length mismatch into a wrong
+    # distribution, and a zero-sum divides by zero at plan time
+    if len(values) != len(weights) or not values:
+        raise ValueError("element_from_weighted: values/weights must be same nonzero length")
+    if any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError("element_from_weighted: weights must be >= 0 with positive sum")
     total = float(sum(weights))
     u = seeded.seeded_unit_uniform(key, seed, salt)
     cum = 0.0
@@ -155,6 +166,8 @@ def _column(kind_spec: dict, key: Column, seed: int | None, salt: int) -> Column
         if kind == "float64_normal":
             return seeded.seeded_float64_normal(key, sp["mean"], sp["std"], seed + salt)
         if kind == "float64_exponential":
+            if float(sp["rate"]) <= 0:
+                raise ValueError("float64_exponential: rate must be > 0")
             u = seeded.seeded_unit_uniform(key, seed, salt)
             return -F.log(F.lit(1.0) - F.greatest(F.least(u, F.lit(1.0 - 1e-16)), F.lit(0.0))) / F.lit(
                 float(sp["rate"])

@@ -245,3 +245,50 @@ def test_zipf_s_equals_one_limit(spark):
         "randgen_table(5000, 'z:zipf:100:1.0', 5)"
     ).collect()[0]
     assert rows.lo >= 1 and rows.hi <= 100 and rows.head > 50
+
+
+def test_seeded_weighted_validates_like_volatile(spark):
+    """Seed-mode parity: the guards must not depend on whether the spec
+    runs volatile or seeded (zip() would silently truncate a mismatch
+    into a wrong distribution)."""
+    bad = {"c": {"kind": "element_from_weighted", "values": ["a", "b", "c"], "weights": [1, 1]}}
+    for seed in (None, 42):
+        with pytest.raises(ValueError, match="same nonzero length"):
+            synthetic_table(spark, 10, bad, seed=seed)
+    zero = {"c": {"kind": "element_from_weighted", "values": ["a"], "weights": [0]}}
+    for seed in (None, 42):
+        with pytest.raises(ValueError, match="positive sum"):
+            synthetic_table(spark, 10, zero, seed=seed)
+
+
+def test_seeded_exponential_validates_rate(spark):
+    with pytest.raises(Exception, match="rate"):
+        synthetic_table(
+            spark, 10, {"x": {"kind": "float64_exponential", "rate": 0}}, seed=1
+        ).collect()
+
+
+def test_zipf_s_one_works_in_both_seed_modes(spark):
+    for seed in (None, 7):
+        row = (
+            synthetic_table(spark, 2000, {"z": {"kind": "zipf", "n": 50, "s": 1.0}}, seed=seed)
+            .select(F.count_if(~F.col("z").between(1, 50)).alias("oob"))
+            .collect()[0]
+        )
+        assert row.oob == 0
+
+
+def test_long_string_columns_are_independent(spark):
+    """Two adjacent string_alpha columns must not share hash streams
+    even at lengths where block indexes cross old salt strides."""
+    df = synthetic_table(
+        spark, 50,
+        {"a": {"kind": "string_alpha", "length": 24},
+         "b": {"kind": "string_alpha", "length": 24}},
+        seed=3,
+    )
+    same = df.filter(
+        (F.col("a") == F.col("b"))
+        | (F.substring("a", 1, 12) == F.substring("b", 1, 12))
+    ).count()
+    assert same == 0

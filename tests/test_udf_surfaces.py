@@ -155,3 +155,45 @@ def test_udtf_table_unknown_kind_raises(spark):
     add_udfs(spark)
     with pytest.raises(Exception, match="unknown kind"):
         spark.sql("SELECT * FROM randgen_table(5, 'a:no_such_kind:1')").collect()
+
+
+def test_word_shingles_short_doc_yields_empty(spark):
+    """Documents shorter than k tokens have no k-grams — must be an
+    empty array, not an element_at crash (sequence(1,0) is DESCENDING
+    in Spark)."""
+    from datafusion_randgen_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [("hello world",), ("",), ("one two three four",)], "t string"
+    )
+    rows = df.select(word_shingles(F.col("t"), 3).alias("g")).collect()
+    assert rows[0].g == [] and rows[1].g == []
+    assert rows[2].g == ["one two three", "two three four"]
+
+
+def test_python_datasource_zero_rows(spark):
+    df = spark.read.format("randgen").option("rows", 0).option("seed", 1).load()
+    assert df.count() == 0
+
+
+def test_stream_values_independent_of_partitioning(spark):
+    """The stream source's values must be a pure function of (seed, id)
+    — identical no matter how the offset range is split into batches or
+    partitions (the recovery-replay guarantee)."""
+    def drain(rows_per_batch, partitions):
+        from datafusion_randgen_spark import streaming as st
+
+        stream = (
+            spark.readStream.format("randgen")
+            .option("rowsperbatch", rows_per_batch)
+            .option("maxrows", 3000)
+            .option("partitions", partitions)
+            .option("seed", 9)
+            .option("lo", 5)
+            .option("hi", 10)
+            .load()
+        )
+        got = st.run_stream_to_memory(stream, f"st_vals_{rows_per_batch}_{partitions}", spark, mode="append")
+        return sorted((r.id, r.x, round(r.u, 12)) for r in got.collect())
+
+    assert drain(500, 2) == drain(1250, 7)
