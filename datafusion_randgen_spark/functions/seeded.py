@@ -67,6 +67,10 @@ def seeded_float64_uniform(key: Column, lo, hi, seed: int, salt: int = 0) -> Col
 
 def seeded_float64_normal(key: Column, mean, std, seed: int) -> Column:
     """Deterministic N(mean, std) via Box-Muller over two hash streams."""
+    if not isinstance(std, Column) and std is not None and float(std) < 0:
+        # same guard as the volatile family — a negative std silently
+        # mirrors the distribution instead of erroring
+        raise ValueError("seeded_float64_normal: std must be >= 0")
     m_c = mean if isinstance(mean, Column) else F.lit(mean)
     s_c = std if isinstance(std, Column) else F.lit(std)
     # clamp u1 away from 0 so log() is finite
@@ -77,6 +81,10 @@ def seeded_float64_normal(key: Column, mean, std, seed: int) -> Column:
 
 
 def seeded_bool_bernoulli(key: Column, p, seed: int) -> Column:
+    if not isinstance(p, Column) and p is not None and not (0.0 <= float(p) <= 1.0):
+        # parity with the volatile family: p outside [0, 1] is an error,
+        # not a silently-degenerate all-true/all-false column
+        raise ValueError("seeded_bool_bernoulli: p must be in [0, 1]")
     p_c = p if isinstance(p, Column) else F.lit(p)
     return F.when(p_c.isNull(), F.lit(None).cast("boolean")).otherwise(
         seeded_unit_uniform(key, seed) < p_c.cast("double")

@@ -33,10 +33,10 @@ class RandgenSeries:
     """Inclusive integer series, DataFusion ``generate_series`` parity."""
 
     def eval(self, start: int, stop: int, step: int = 1):
+        if start is None or stop is None or step is None:
+            return  # NULL argument -> empty series (NULL propagation)
         if step == 0:
             raise ValueError("randgen_series: step must not be zero")
-        if start is None or stop is None:
-            return
         v = start
         if step > 0:
             while v <= stop:
@@ -169,6 +169,8 @@ class RandgenTable:
 
         import numpy as np
 
+        if n is None or spec is None or n <= 0:
+            return  # NULL/empty request -> empty table, like randgen_uniform_rows
         rng = np.random.default_rng(seed)
         cols = []
         for _, kind, args in _parse_spec(spec):

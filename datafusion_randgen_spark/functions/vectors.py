@@ -102,26 +102,40 @@ def normalize_embeddings_arrow(df, col: str = "embedding"):
     def normalize(batches):
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         for b in batches:
             idx = b.schema.get_field_index(col)
             arr = b.column(idx)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            flat = arr.flatten()
-            offsets = arr.offsets.to_numpy(zero_copy_only=False)
-            vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
-            starts = offsets[:-1]
-            sq = vals * vals
-            norms = np.sqrt(np.add.reduceat(sq, starts)) if len(vals) else np.array([])
-            # rows with empty lists produce a garbage reduceat slot; guard
-            lens = np.diff(offsets)
-            safe = np.where((lens > 0), np.maximum(norms, 1e-300), 1.0)
+            # raw child buffer sliced by the offset span: exact alignment
+            # with offsets even for sliced arrays and null rows (flatten()
+            # would skip null rows' values and misalign)
+            offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            base, end = offsets[0], offsets[-1]
+            rel = offsets - base
+            vals = (
+                arr.values.to_numpy(zero_copy_only=False).astype(np.float64)[base:end]
+            )
+            starts, lens = rel[:-1], np.diff(rel)
+            if len(vals):
+                # clamp: a trailing empty/null row has start == len(vals),
+                # which reduceat rejects; the garbage slot it produces is
+                # masked by lens > 0 below
+                norms = np.sqrt(
+                    np.add.reduceat(vals * vals, np.minimum(starts, len(vals) - 1))
+                )
+            else:
+                norms = np.zeros(len(starts))
+            safe = np.where(lens > 0, np.maximum(norms, 1e-300), 1.0)
             scaled = vals / np.repeat(safe, lens)
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
             out = pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int32()),
+                pa.array(rel.astype(np.int32), type=pa.int32()),
                 pa.array(scaled.astype(np.float32), type=pa.float32()),
+                # mask=True marks NULL rows — without it from_arrays
+                # silently rewrites every NULL embedding as []
+                mask=pa.array(~valid),
             )
             yield b.set_column(idx, b.schema.field(idx), out)
 

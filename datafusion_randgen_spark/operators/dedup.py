@@ -88,9 +88,12 @@ def shingle_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # NOT broadcast: sizes is one row per DOCUMENT — at web scale that
+    # exceeds the broadcast limit; a shuffle join on id is right, and
+    # AQE still broadcasts it when the corpus is actually small
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -181,6 +184,14 @@ def minhash_signatures(
     ``num_perm`` times per shingle — 64× the string hashing for nothing.
     """
     sh = _hashed_shingles(docs, k, text_col, id_col, seed)
+    return _signatures_from_shingles(sh, num_perm, seed)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_perm: int, seed: int) -> DataFrame:
+    """Signature aggregation over a precomputed (id, h) shingle frame —
+    the ONE definition of the permutation scheme, shared by
+    ``minhash_signatures`` and ``minhash_lsh_dedup_pairs`` (a drifted
+    copy would silently desynchronize their signatures)."""
     base = sh.withColumn("hp", F.pmod(F.col("h"), F.lit(_MERSENNE31)))
     mins = [
         F.min(F.pmod(F.col("hp") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"h{i}")
@@ -246,14 +257,7 @@ def minhash_lsh_dedup_pairs(
     # sides of the verification join ((id, long) pairs only — tiny
     # relative to the corpus; LRU-evicted when memory is needed).
     sh = _hashed_shingles(docs, k, text_col, id_col, seed).persist()
-    base = sh.withColumn("hp", F.pmod(F.col("h"), F.lit(_MERSENNE31)))
-    mins = [
-        F.min(F.pmod(F.col("hp") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"h{i}")
-        for i, (a, b) in enumerate(_affine_params(num_perm, seed))
-    ]
-    sig = base.groupBy("id").agg(*mins).select(
-        "id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
-    )
+    sig = _signatures_from_shingles(sh, num_perm, seed)
     cands = minhash_lsh_candidates(sig, bands, rows_per_band)
     # exact verification: hash-join restricted to candidate ids —
     # reuses the cached hashed shingles; intersection/union counts over
@@ -269,9 +273,11 @@ def minhash_lsh_dedup_pairs(
     )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # na/nb are per-document — shuffle join, not broadcast (see
+    # shingle_jaccard_pairs); only `cands` is bounded by LSH design
     out = (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -274,11 +274,18 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     on the merge key and AQE picks the join strategy (broadcast when
     the delta is small)."""
     t = target.alias("t")
-    s = source.alias("s")
+    # a non-null presence marker (not per-column coalesce): MERGE's
+    # "source wins" must take the WHOLE source row when matched — a
+    # coalesce per column would keep the stale target value whenever a
+    # source field is legitimately NULL (updating a field to NULL is a
+    # standard upsert)
+    s = source.withColumn("__src", F.lit(1)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     merged = t.join(s, cond, "full_outer")
     cols = [
-        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+        F.when(F.col("s.__src").isNotNull(), F.col(f"s.{c}"))
+        .otherwise(F.col(f"t.{c}"))
+        .alias(c)
         for c in target.columns
     ]
     return merged.select(*cols)

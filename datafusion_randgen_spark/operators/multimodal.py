@@ -78,9 +78,10 @@ def extract_features(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             width, height = _fake_decode_dims(pdf["byte_len"])
             # vectorized per payload: a megabyte media blob must not go
-            # through a per-byte Python loop
+            # through a per-byte Python loop; NULL payload -> NULL
+            # checksum (not a stage-killing TypeError)
             checksum = pdf["media"].map(
-                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())
+                lambda b: None if b is None else int(np.frombuffer(b, dtype=np.uint8).sum())
             )
             yield pd.DataFrame(
                 {

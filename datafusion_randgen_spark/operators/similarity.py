@@ -62,6 +62,11 @@ def brute_force_topk(
     The final global top-k is a window over those candidates.
     """
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # np.stack([]) would raise; zero queries -> zero result rows
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)

@@ -28,7 +28,17 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def python_eval_nodes(df: DataFrame) -> int:
     plan = physical_plan(df)
-    return plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") + plan.count("MapInPandas")
+    return sum(
+        plan.count(node)
+        for node in (
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "MapInPandas",
+            "MapInArrow",  # substring also matches PythonMapInArrowExec
+            "FlatMapGroupsInPandas",  # applyInPandas
+            "FlatMapCoGroupsInPandas",  # cogrouped applyInPandas
+        )
+    )
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:

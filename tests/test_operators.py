@@ -281,3 +281,28 @@ def test_asof_join_null_field_rows_carried_atomically(spark):
     # (2.0, NULL) sorts after (1.0, 9.0); a per-column carry would
     # produce the impossible (2.0, 9.0)
     assert (out.v1_asof, out.v2_asof) == (2.0, None)
+
+
+def test_merge_upsert_updates_to_null(spark):
+    """MERGE 'source wins where matched' must take the WHOLE source row
+    — including fields the source legitimately sets to NULL."""
+    from datafusion_randgen_spark.operators.joins import merge_upsert
+
+    target = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, v double")
+    source = spark.createDataFrame([(1, None), (3, 9.0)], "k long, v double")
+    got = {r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {1: None, 2: 7.0, 3: 9.0}
+
+
+def test_brute_force_topk_empty_queries(vecs):
+    out = similarity.brute_force_topk(vecs, vecs.filter("vec_id > 100"), k=2)
+    assert out.count() == 0
+
+
+def test_multimodal_null_payload_yields_null_checksum(spark):
+    media = spark.createDataFrame(
+        [(1, "image/png", 3, bytearray(b"abc")), (2, "image/png", 0, None)],
+        "doc_id long, media_type string, byte_len long, media binary",
+    )
+    out = {r.doc_id: r.checksum for r in multimodal.extract_features(media).collect()}
+    assert out[1] == sum(b"abc") and out[2] is None

@@ -197,3 +197,34 @@ def test_stream_values_independent_of_partitioning(spark):
         return sorted((r.id, r.x, round(r.u, 12)) for r in got.collect())
 
     assert drain(500, 2) == drain(1250, 7)
+
+
+def test_udtf_series_null_step_empty(spark):
+    add_udfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM randgen_series(1, 5, CAST(NULL AS BIGINT))"
+    ).collect()
+    assert rows == []
+
+
+def test_udtf_table_null_n_empty(spark):
+    add_udfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM randgen_table(CAST(NULL AS BIGINT), 'a:int64_uniform:1:2', 1)"
+    ).collect()
+    assert rows == []
+
+
+def test_arrow_normalize_handles_null_and_empty_rows(spark):
+    """NULL embeddings must stay NULL (not become []), empty stay empty,
+    and a trailing NULL/empty row must not crash reduceat."""
+    from datafusion_randgen_spark.functions.vectors import normalize_embeddings_arrow
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, [])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r.embedding for r in normalize_embeddings_arrow(df).collect()}
+    assert [round(x, 6) for x in rows[1]] == [0.6, 0.8]
+    assert rows[2] is None
+    assert rows[3] == []
