@@ -342,8 +342,6 @@ def r_float64_exponential_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential(rate=0.5) via the Catalyst fast path: mean ≈ 2,
     median ≈ ln(2)/rate ≈ 1.386."""
     _prep(spark, sf_dir)
-    from datafusion_randgen_spark.functions import exprs
-
     x = spark.range(1, 100001).select(exprs.float64_exponential_expr(F.lit(0.5)).alias("x"))
     return x.select(
         F.count("*").alias("n_rows"),
@@ -421,8 +419,6 @@ def r_correlated_normals_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesizing realistically-dependent columns at 100 TB with zero
     Python."""
     _prep(spark, sf_dir)
-    from datafusion_randgen_spark.functions import exprs
-
     rho = 0.7
     z1 = exprs.float64_normal_expr(F.lit(0.0), F.lit(1.0))
     eps = exprs.float64_normal_expr(F.lit(0.0), F.lit(1.0))
@@ -435,8 +431,10 @@ def r_correlated_normals_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.agg(
         F.count("*").alias("n_rows"),
         (F.abs(F.corr("z1", "z2") - rho) < 0.01).alias("corr_ok"),
-        (F.abs(F.avg("z1")) < 0.01).alias("mean1_ok"),
-        (F.abs(F.avg("z2")) < 0.01).alias("mean2_ok"),
+        # 0.015 = 6.7 sigma at n=200k (se = 0.00224): volatile draws must
+        # not flip an oracle-checked boolean even in the tails
+        (F.abs(F.avg("z1")) < 0.015).alias("mean1_ok"),
+        (F.abs(F.avg("z2")) < 0.015).alias("mean2_ok"),
         (F.abs(F.var_samp("z2") - 1.0) < 0.02).alias("var2_ok"),
     )
 
@@ -454,8 +452,6 @@ def r_random_walk_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     under regeneration.  Physics: cross-series dispersion at step 200
     ≫ at step 10 (variance grows linearly in t)."""
     _prep(spark, sf_dir)
-    from datafusion_randgen_spark.functions import seeded
-
     def walks():
         base = spark.range(100 * 200).select(
             (F.col("id") % 100).alias("series"),
@@ -873,8 +869,6 @@ def r_zipf_skew_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     value and carries a heavy head share — the skewed-join-key generator
     the salting/AQE tests need."""
     _prep(spark, sf_dir)
-    from datafusion_randgen_spark.functions import exprs
-
     x = spark.range(1, 100001).select(exprs.int64_zipf_expr(F.lit(1000), F.lit(1.2)).alias("x"))
     freq = x.groupBy("x").agg(F.count("*").alias("n"))
     top = freq.orderBy(F.desc("n"), F.asc("x")).limit(1)
@@ -896,8 +890,6 @@ def r_weighted_element_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """element_from_weighted: draws land in the domain and the 5:2:3
     weight ratio shows up in the empirical frequencies."""
     _prep(spark, sf_dir)
-    from datafusion_randgen_spark.functions import exprs
-
     x = spark.range(1, 100001).select(
         exprs.element_from_weighted_expr(["US", "DE", "IN"], [5.0, 2.0, 3.0]).alias("x")
     )
@@ -918,8 +910,6 @@ def r_weighted_element_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def r_date_uniform_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
-    from datafusion_randgen_spark.functions import exprs
-
     d = spark.range(1, 20001).select(
         exprs.date_uniform_expr(F.lit("2024-01-01"), F.lit("2024-12-31")).alias("d")
     )
@@ -1279,15 +1269,21 @@ def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi / left_anti — EXISTS / NOT EXISTS as real join types."""
+    """EXISTS / NOT EXISTS semantics in ONE pass: a left join onto the
+    distinct order keys, aggregated — three separate .count() actions
+    would scan customer and re-run the join twice each."""
     _prep(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    n_semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").count()
-    n_anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").count()
-    n_all = cust.count()
-    return spark.createDataFrame(
-        [(n_semi, n_anti, n_all)], "n_with_orders long, n_without_orders long, n_customers long"
+    okeys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("__ok")
+    ).distinct()
+    return (
+        cust.join(okeys, cust.c_custkey == okeys.__ok, "left")
+        .agg(
+            F.count(F.col("__ok")).alias("n_with_orders"),
+            F.count(F.when(F.col("__ok").isNull(), 1)).alias("n_without_orders"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
     )
 
 
@@ -1707,7 +1703,7 @@ def q_lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_hourly_windows",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n, round(sum(value), 4) AS sum_value
+           count(*) AS n, round(round(sum(value), 6), 4) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1767,7 +1763,7 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
       SELECT user_id, ts,
@@ -1879,7 +1875,7 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = id_a
                JOIN sizes sb ON sb.doc_id = id_b
-    WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
+    WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
     """,
 )
 def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4522,7 +4518,7 @@ def _drive_stream(out, name: str, mode: str) -> DataFrame:
     "st_windowed_counts_stream",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n, round(sum(value), 4) AS sum_value
+           count(*) AS n, round(round(sum(value), 6), 4) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -4583,7 +4579,8 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "st_stateful_user_totals",
     oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+    SELECT user_id, count(*) AS n_events,
+           round(round(sum(value), 6), 3) AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -4604,7 +4601,7 @@ def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         got.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("user_id", "n_events", F.round("total_value", 6).alias("total_value"))
+        .select("user_id", "n_events", F.round("total_value", 3).alias("total_value"))
     )
 
 
@@ -4649,7 +4646,7 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
       SELECT user_id, ts,
