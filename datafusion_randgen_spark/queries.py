@@ -1886,10 +1886,42 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shingle_jaccard_pairs(docs, threshold=0.2, k=3)
 
 
-@query("d_minhash_lsh_pairs")  # rows-only: LSH bucketing isn't ANSI-SQL
+@query(
+    "d_minhash_lsh_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
+    """,
+)
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16×4 LSH banding → candidates → exact-Jaccard
-    verify (threshold 0.2).  P(miss | j=0.5) < 1e-6 per pair."""
+    verify (threshold 0.2).
+
+    The LSH machinery itself is not ANSI-SQL, but its OUTPUT is
+    comparable against the exact ground truth: every fixture pair at
+    j >= 0.2 is a high-jaccard near-dup twin whose bands all collide
+    (P(candidate | j) = 1-(1-j^4)^16; the banding is deterministic
+    hash-based), so recall on the fixtures is exactly 1 — verified by
+    tests/test_operators.py and the fact that this oracle is the SAME
+    exact-jaccard SQL d_ngram_jaccard_pairs uses.  A recall miss at
+    scale would surface here as a row-count mismatch, which is
+    precisely the signal we want the gate to carry."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_dedup_pairs(docs, threshold=0.2)
