@@ -3909,6 +3909,52 @@ def q_cogroup_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_merge_upsert_snapshot",
+    oracle="""
+    WITH t AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+         s AS (
+           SELECT c_custkey, c_name, round(c_acctbal * 1.1, 2) AS c_acctbal,
+                  CAST(NULL AS VARCHAR) AS c_mktsegment, 1 AS src
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, c_name, c_acctbal, c_mktsegment, 1 AS src
+           FROM customer WHERE c_custkey % 97 = 0
+         )
+    SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+           CASE WHEN s.src IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+           CASE WHEN s.src IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN s.src IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+    FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+    """,
+)
+def q_merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO for plain-parquet snapshots (operators.joins.
+    merge_upsert): one full-outer shuffle join on the key — matched
+    rows take the WHOLE source row (including fields the delta
+    legitimately NULLs out, here c_mktsegment), unmatched target rows
+    pass through, source-only rows insert.  The delta is derived
+    deterministically from the snapshot (every 10th key updated with a
+    repriced balance, every 97th key re-inserted under a new id)."""
+    _prep(spark, sf_dir)
+    target = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updates = target.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    inserts = target.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return joins.merge_upsert(target, updates.unionByName(inserts), ["c_custkey"])
+
+
+@query(
     "st_python_stream_source",
     oracle="""
     SELECT 8000 AS n_rows, 8000 AS n_distinct_ids, 0 AS n_out_of_bounds
