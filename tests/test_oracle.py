@@ -50,7 +50,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("float", "NaN")
-        return ("float", round(v, 9))
+        # BIT-exact: the driver hashes the typed double, so engines must
+        # agree to the last bit (catalog entries round() explicitly to
+        # guarantee it) — a tolerance here would hide driver mismatches
+        return ("float", v.hex())
     if isinstance(v, decimal.Decimal):
         return ("decimal", str(v))
     if isinstance(v, datetime.datetime):
