@@ -2375,6 +2375,76 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+    ), pair AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    tot AS (SELECT count(*) AS n FROM bg),
+    lft AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    rgt AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2)
+    SELECT w1, w2, c12,
+           round(ln(c12 * 1.0 * n / (c1 * 1.0 * c2)), 6) AS pmi
+    FROM pair JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+    WHERE c12 >= 20
+    """,
+)
+def t_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram pointwise mutual information over the corpus —
+    ``pmi(w1,w2) = ln(N·c12 / (c1·c2))`` for bigrams occurring ≥ 20
+    times: the standard collocation/template-detection statistic for
+    training-data analysis (boilerplate shows up as high-count,
+    high-PMI pairs).
+
+    Scale shape: bigrams assemble via posexplode + window ``lead`` over
+    (doc, pos) — whole-stage codegen, same pattern as the shingle
+    pipeline; the three count aggregations shuffle (token, count)
+    pairs, vocabulary-sized, never corpus-sized; the final PMI join
+    runs on the count-filtered pair list.  The exact integer counts
+    feed one ``ln`` per surviving pair, rounded to 6 — bit-identical
+    across engines."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(text.tokens(F.lower(F.col("text")))).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("w1", 1).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    lft = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    rgt = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    tot = bg.agg(F.count("*").alias("n"))  # 1-row; rides as a cross join
+    return (
+        pair.filter(F.col("c12") >= 20)
+        .join(lft, "w1")
+        .join(rgt, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12") * F.lit(1.0) * F.col("n")
+                    / (F.col("c1") * F.lit(1.0) * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
     "t_zipf_token_slope",
     oracle=f"""
     WITH {_DUCK_TOKS_CTE},
