@@ -1767,8 +1767,9 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -2153,7 +2154,7 @@ def s_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT lang, count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(n_tokens), 4) AS avg_tokens,
            round(avg(n_chars), 4) AS avg_chars
     FROM toks GROUP BY lang
@@ -2321,9 +2322,11 @@ _DUCK_TOKS_CTE = """
                   AS BIGINT) AS idf_micro
       FROM tf GROUP BY term
     ),
-    lang_tf AS (SELECT lang, term, sum(tf) AS total_tf FROM tf GROUP BY lang, term),
+    lang_tf AS (SELECT lang, term, CAST(sum(tf) AS BIGINT) AS total_tf
+                FROM tf GROUP BY lang, term),
     scored AS (
-      SELECT lang, lang_tf.term AS term, total_tf * idf_micro AS tfidf_micro
+      SELECT lang, lang_tf.term AS term,
+             CAST(total_tf * idf_micro AS BIGINT) AS tfidf_micro
       FROM lang_tf JOIN idf ON lang_tf.term = idf.term
     ),
     ranked AS (
@@ -2499,9 +2502,9 @@ _URL_RE = r"https?://\S+"
       FROM aug
     )
     SELECT lang, count(*) AS n_docs,
-           count_if(r LIKE '%<EMAIL>%') AS n_email_docs,
-           count_if(r LIKE '%<URL>%') AS n_url_docs,
-           sum(length(t) - length(r)) AS chars_removed
+           CAST(count_if(r LIKE '%<EMAIL>%') AS BIGINT) AS n_email_docs,
+           CAST(count_if(r LIKE '%<URL>%') AS BIGINT) AS n_url_docs,
+           CAST(sum(length(t) - length(r)) AS BIGINT) AS chars_removed
     FROM red GROUP BY lang
     """,
 )
@@ -3232,10 +3235,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate
       AND l_shipdate >= TIMESTAMP '1996-01-01'
@@ -3932,7 +3935,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 8 AS bucket,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY 1
     """,
 )
@@ -4157,7 +4160,7 @@ def p_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS offset_before
       FROM documents)
     SELECT CAST(offset_before // 8000 AS BIGINT) AS context_window,
-           count(*) AS n_docs, sum(n_chars) AS sum_chars
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM c GROUP BY 1
     """,
 )
@@ -4578,7 +4581,7 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn FROM norm)
       WHERE rn = 1
     )
-    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(score), 4) AS avg_quality
     FROM winners GROUP BY lang
     """,

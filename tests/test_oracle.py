@@ -78,6 +78,54 @@ def _normalize(rows, colnames):
     return sorted(out, key=repr), [colnames[i] for i in order]
 
 
+def _arrow_cat(t) -> str:
+    """Coarse type category of a pyarrow type (width-insensitive, like the
+    value comparison) — but DECIMAL is its own category so DuckDB's
+    HUGEINT sum() (-> decimal128) can never pass against Spark BIGINT.
+    That exact trap made 6 CORRECTNESS_r02 rows red while this gate was
+    fetchall()-based (duckdb materializes HUGEINT as plain int)."""
+    import pyarrow.types as pt
+
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_timestamp(t):
+        return "ts"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "bin"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return "array"
+    return "other"
+
+
+_SPARK_CAT = {
+    "byte": "int", "short": "int", "integer": "int", "long": "int",
+    "float": "float", "double": "float", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+    "string": "str", "binary": "bin",
+}
+
+
+def _spark_cat(dt) -> str:
+    name = dt.typeName()
+    if name in _SPARK_CAT:
+        return _SPARK_CAT[name]
+    if name == "decimal":
+        return "decimal"
+    if name == "array":
+        return "array"
+    return "other"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
@@ -90,11 +138,23 @@ def test_query_matches_oracle(spark, name):
         return
 
     con = _duck(SF_DIR)
-    ddf = con.sql(ORACLES[name])
-    drows = ddf.fetchall()
-    dcols = list(ddf.columns)
+    # Arrow-typed extraction, mirroring the driver's typed value-hash:
+    # fetchall() would launder HUGEINT/decimal128 into plain Python int
+    # and hide the #1 cross-engine divergence class.
+    atbl = con.sql(ORACLES[name]).fetch_arrow_table()
+    dcols = list(atbl.column_names)
+    drows = [tuple(d[c] for c in dcols) for d in atbl.to_pylist()]
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    duck_types = {f.name: f.type for f in atbl.schema}
+    for f in sdf.schema.fields:
+        s_cat, d_cat = _spark_cat(f.dataType), _arrow_cat(duck_types[f.name])
+        assert s_cat == d_cat, (
+            f"{name}: column '{f.name}' type category differs — spark "
+            f"{f.dataType.simpleString()} ({s_cat}) vs oracle arrow "
+            f"{duck_types[f.name]} ({d_cat}); if the oracle is decimal, "
+            f"CAST the DuckDB expression (sum over ints -> HUGEINT) to BIGINT"
+        )
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
     s_norm, _ = _normalize([tuple(r) for r in srows], scols)
     d_norm, _ = _normalize(drows, dcols)
