@@ -360,7 +360,14 @@ def embedding_near_dup_pairs(
             F.greatest("a.id", "b.id").alias("id_b"),
         )
         .distinct()
+        .persist()
     )
+    # eagerly materialize the candidate pairs (bounded by LSH design, not
+    # corpus size) so the large codes cache can be released NOW instead of
+    # leaking for the session lifetime (ADVICE r2); the verification join
+    # below reuses the materialized candidates.
+    cand.count()
+    codes.unpersist()
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (

@@ -1887,10 +1887,13 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shingle_jaccard_pairs(docs, threshold=0.2, k=3)
 
 
-@query(
-    "d_minhash_lsh_pairs",
-    oracle="""
-    WITH toks AS (
+# Exact word-3-gram Jaccard pairs as a DuckDB CTE chain ending in
+# `pairs(id_a, id_b, jaccard)` — shared by the MinHash-LSH oracle and
+# the transitive-closure clusters oracle so the ground truth has ONE
+# definition.
+def _jaccard_pairs_ctes(threshold: float) -> str:
+    return f"""
+    toks AS (
       SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ), sh AS (
@@ -1902,38 +1905,76 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = id_a
-               JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= 0.2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= {threshold}
+    )"""
+
+
+@query(
+    "d_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_jaccard_pairs_ctes(0.8)}
+    SELECT id_a, id_b, jaccard FROM pairs
     """,
 )
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16×4 LSH banding → candidates → exact-Jaccard
-    verify (threshold 0.2).
+    verify (threshold 0.8).
 
     The LSH machinery itself is not ANSI-SQL, but its OUTPUT is
-    comparable against the exact ground truth: every fixture pair at
-    j >= 0.2 is a high-jaccard near-dup twin whose bands all collide
-    (P(candidate | j) = 1-(1-j^4)^16; the banding is deterministic
-    hash-based), so recall on the fixtures is exactly 1 — verified by
-    tests/test_operators.py and the fact that this oracle is the SAME
-    exact-jaccard SQL d_ngram_jaccard_pairs uses.  A recall miss at
-    scale would surface here as a row-count mismatch, which is
-    precisely the signal we want the gate to carry."""
+    comparable against the exact ground truth (the SAME exact-jaccard
+    SQL d_ngram_jaccard_pairs uses).  The threshold sits in the regime
+    the banding statistically guarantees: P(miss | j) = (1-j^4)^16 is
+    2.2e-4 at j = 0.8 and 5e-8 at j = 0.9, and every fixture pair above
+    the threshold is a near-twin at j >= 0.889 — an earlier 0.2
+    threshold was green only by fixture accident (ADVICE r2): a drifted
+    moderate-jaccard pair there would hit P(miss | 0.2) ≈ 97%.  Pairs
+    below the threshold are excluded deterministically on BOTH sides by
+    the exact-jaccard verify, so only the vanishing miss band remains."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_dedup_pairs(docs, threshold=0.2)
+    return dedup.minhash_lsh_dedup_pairs(docs, threshold=0.8)
 
 
-@query("d_simhash_near_pairs")  # rows-only: bit-vote fingerprint not ANSI-SQL
+@query(
+    "d_simhash_near_pairs",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_planted,
+           CAST(count(*) AS BIGINT) AS n_planted_found,
+           true AS hamming_zero_ok,
+           true AS ordering_ok
+    FROM documents
+    """,
+)
 def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming <= 6 via 4×16-bit banding."""
+    """SimHash-64 near-dup pairs at Hamming <= 6 via 4×16-bit banding.
+
+    The bit-vote fingerprint is not ANSI-SQL, so (ANN-recall pattern)
+    the entry returns a deterministic property summary instead of raw
+    pairs: every document is planted an EXACT twin at doc_id + 1e6,
+    and an identical text yields an identical simhash (Hamming 0), so
+    the 4×16 banding MUST recover all n_docs planted pairs — a
+    guarantee by construction, immune to fixture drift.  ordering_ok
+    pins the id_a < id_b canonical pair orientation across all output
+    rows."""
     _prep(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=6)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    pairs = dedup.simhash_near_pairs(docs.unionByName(twins), max_hamming=6)
+    planted = (F.col("id_b") == F.col("id_a") + 1_000_000) & (
+        F.col("id_a") < 1_000_000
+    )
+    props = pairs.agg(
+        F.sum(planted.cast("long")).alias("n_planted_found"),
+        (F.max(F.when(planted, F.col("hamming"))) == 0).alias("hamming_zero_ok"),
+        (F.min(F.col("id_b") - F.col("id_a")) > 0).alias("ordering_ok"),
+    )
+    return docs.agg(F.count("*").alias("n_planted")).crossJoin(props)
 
 
 @query(
@@ -1975,15 +2016,40 @@ def d_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d_dedup_clusters")  # rows-only: iterative CC over LSH pairs isn't ANSI-SQL
+@query(
+    "d_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(0.8)},
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS comp
+             FROM reach GROUP BY src)
+    SELECT comp AS canonical_doc, CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed
+    FROM comp GROUP BY comp
+    """,
+)
 def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup REMOVAL: MinHash-LSH pairs → connected
     components → one canonical (min-id) doc kept per cluster.  The
     keep/drop decision is the actual product of a dedup pipeline; pair
-    lists (d_minhash_lsh_pairs) are just its intermediate."""
+    lists (d_minhash_lsh_pairs) are just its intermediate.
+
+    Previously rows-only; now EXACTLY verified — the oracle rebuilds
+    the ground-truth near-dup graph (same exact-jaccard CTE as
+    d_minhash_lsh_pairs) and takes its transitive closure with a
+    recursive CTE, so DuckDB independently computes the same
+    min-label components the iterative Spark algorithm converges to.
+    Closure cost is bounded by the near-dup pair graph (tens of
+    edges), not the corpus."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.2)
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.8)
     cc = dedup.connected_components(pairs)
     clusters = cc.groupBy("comp").agg(
         F.count("*").alias("cluster_size"),
@@ -2097,7 +2163,11 @@ def _recall_props(exact: DataFrame, approx: DataFrame) -> DataFrame:
         .agg(
             F.count_distinct("query_id").alias("n_queries"),
             (
-                F.sum("__hit").cast("double") / F.count(F.lit(1)) >= F.lit(0.5)
+                # coalesce: zero approx hits must read as recall 0.0 ->
+                # false, not NULL (ADVICE r2)
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("double")
+                / F.count(F.lit(1))
+                >= F.lit(0.5)
             ).alias("recall_ok"),
         )
     )
@@ -2267,17 +2337,49 @@ def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("t_fingerprints")  # rows-only: xxhash64 winnowing not ANSI-SQL
+@query(
+    "t_fingerprints",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_twin_matches,
+           true AS fps_nonnull_ok
+    FROM documents
+    """,
+)
 def t_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprints: xxhash64 over word
-    5-grams, keep per-doc minima (4 rotating salts) as the sketch."""
+    5-grams, keep per-doc minima (4 rotating salts) as the sketch.
+
+    xxhash64 is not ANSI-SQL, so (ANN-recall pattern) the entry returns
+    a property summary: every doc gets an exact twin at doc_id + 1e6,
+    and the sketch — a pure function of text content — must match its
+    twin's on all 4 salts (content-determined: no id leakage into the
+    hash), every doc must yield a fingerprint row (>= 5 tokens), and
+    no fingerprint slot may be null."""
     _prep(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    sh = docs.unionByName(twins).select(
         "doc_id", F.explode(text.word_shingles(F.col("text"), 5)).alias("gram")
     )
-    return sh.groupBy("doc_id").agg(
+    fps = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"fp{i}") for i in range(4)]
+    )
+    orig = fps.filter(F.col("doc_id") < 1_000_000)
+    twin = fps.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        *[F.col(f"fp{i}").alias(f"tfp{i}") for i in range(4)],
+    )
+    joined = orig.join(twin, "doc_id", "left")
+    match = F.lit(True)
+    nonnull = F.lit(True)
+    for i in range(4):
+        match = match & (F.col(f"fp{i}") == F.col(f"tfp{i}"))
+        nonnull = nonnull & F.col(f"fp{i}").isNotNull()
+    return joined.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(match.cast("long")).alias("n_twin_matches"),
+        F.min(nonnull).alias("fps_nonnull_ok"),
     )
 
 
