@@ -39,6 +39,20 @@ _NAMED_WEIGHT = {
     "q_hash_mod_sample": 7,
     "q_sessionization": 7,
     "q_asof_join": 7,
+    # r3 promotions: first-class SURVEY 2.D rows still driver-unverified
+    # (VERDICT r2 task 4) — must land in the 50-entry window ahead of
+    # generic SQL-surface samplers.
+    "q_merge_upsert_snapshot": 8,
+    "q_cogroup_asof_align": 8,
+    "q_variant_semistructured": 8,
+    "q_profile_stats": 8,
+    # r3 demotions to make room (wait for r4): redundant with entries
+    # already green or already in the window (null-semantics / window
+    # -frame / set-op coverage overlap).
+    "q_cross_join_grid": 60,
+    "q_not_in_null_semantics": 60,
+    "q_window_value_frames": 60,
+    "q_union_by_name": 60,
 }
 
 
