@@ -4,7 +4,14 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: median sec, ...}, "sf": <sf>}
+
+Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+the per-query MEDIAN — single-run numbers cannot certify a 2× gate
+when the VM-boot environmental spread is ~1.7× and first runs carry
+one-off Janino codegen / JIT costs (measured ~4s on the 64-perm
+minhash agg).  queries_spread carries [min, max] so a noisy rep is
+visible rather than silently folded in.
 
 Query set: the generation-heavy flagship (the reference's core purpose),
 one query per operator family (agg/join/window/dedup/similarity/text),
@@ -104,33 +111,50 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").limit(1000).count()
     spark.sql("SELECT count(*) FROM (SELECT randgen_int64_uniform(1, 10) AS x FROM range(1, 1001))").collect()
 
+    import statistics
+
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
     # Environment calibration: one fixed shuffle-heavy probe, identical
     # every round.  Cross-round comparisons should read value/calib —
     # VM boots differ (measured: the same commit's per-stage overhead
     # varies ~1.7× between boots), and this separates machine speed
     # from plan regressions.
-    t0 = time.perf_counter()
-    (
-        spark.range(0, 20_000_000, 1, int(cpus))
-        .selectExpr("id % 100000 AS k", "id AS v")
-        .groupBy("k")
-        .agg({"v": "sum"})
-        .selectExpr("count(*) AS n", "sum(`sum(v)`) AS s")
-        .collect()
-    )
-    calib = round(time.perf_counter() - t0, 3)
+    def calib_probe() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, int(cpus))
+            .selectExpr("id % 100000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .selectExpr("count(*) AS n", "sum(`sum(v)`) AS s")
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    calib = round(statistics.median(calib_probe() for _ in range(reps)), 3)
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, fn in bench_queries.items():
-        # per-query isolation: operators that persist() intermediates
-        # (minhash shingles, LSH codes) must not ride caches left by an
-        # earlier query, nor leak theirs into the next measurement
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # materialize fully
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(reps):
+            # per-query isolation: operators that persist() intermediates
+            # (minhash shingles, LSH codes) must not ride caches left by
+            # an earlier query or rep, nor leak theirs into the next
+            # measurement
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # materialize fully
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        print(
+            f"# {name}: median {timings[name]}s of {reps} "
+            f"(spread {spread[name][0]}-{spread[name][1]}s, {n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -140,6 +164,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "reps": reps,
                 "calib_shuffle_probe_sec": calib,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1,0 +1,91 @@
+"""Scale-out primitives for operations whose naive Spark form collapses
+to a single partition.
+
+The flagship here is :func:`global_cumsum`: a running total over a
+GLOBAL row order.  The obvious ``Window.orderBy(key)`` form is correct
+but serializes the whole input through ONE task (Catalyst plans
+``Exchange SinglePartition`` under an unpartitioned ordered window) —
+fine at sf0.1, fatal at 100 TB.  This module implements the classic
+two-phase parallel prefix sum instead, entirely with DataFrame ops:
+
+1. one light pass estimates bucket boundaries (``approxQuantile`` —
+   Greenwald-Khanna, deterministic for a given input);
+2. each row is assigned a range bucket with a codegen'd comparison
+   chain (boundary skew affects balance only, never correctness);
+3. ONE shuffle clusters by bucket; a bucket-local ordered window
+   computes partial cumsums in parallel;
+4. per-bucket totals (a bucket-count-sized frame) get prefix offsets
+   via a window over that TINY frame, and are broadcast-joined back.
+
+The result is bit-identical to the single-partition window for a
+unique order key, with max partition size bounded by corpus/buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_cumsum"]
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Cumulative sum of ``value_col`` in ascending ``order_col`` order
+    (inclusive of the current row), distributed over ``num_buckets``
+    range buckets instead of one global sort partition.
+
+    ``order_col`` must be numeric and unique (a rowid / offset key —
+    the same precondition the single-window form needs for a
+    well-defined per-row result).  Rows equal to a bucket boundary all
+    land in the lower bucket, so no order inversion can cross buckets.
+    """
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    n = max(1, n)
+
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        # one lightweight stats pass; 1% relative error only skews
+        # bucket BALANCE, never assignment consistency
+        bounds = sorted(set(df.stat.approxQuantile(order_col, qs, 0.01)))
+    else:
+        bounds = []
+
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    bucketed = df.withColumn("__bucket", bucket)
+
+    local_w = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn("__local_cum", F.sum(value_col).over(local_w))
+
+    # derive totals from `local`, not `bucketed`: both branches then hang
+    # off the IDENTICAL Exchange(hashpartitioning(__bucket)) subtree, so
+    # ReuseExchange scans and shuffles the input once (column pruning
+    # drops the unused window expression from this branch)
+    totals = local.groupBy("__bucket").agg(F.sum(value_col).alias("__tot"))
+    # prefix offsets over the bucket-count-sized totals frame: the ONLY
+    # single-partition window left, and it touches num_buckets rows
+    off_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off"),
+    )
+
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.col("__local_cum") + F.col("__off"))
+        .drop("__bucket", "__local_cum", "__off")
+    )

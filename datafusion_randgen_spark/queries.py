@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 from datafusion_randgen_spark import add_udfs
 from datafusion_randgen_spark.functions import exprs, seeded, text, vectors
-from datafusion_randgen_spark.operators import dedup, joins, multimodal, similarity
+from datafusion_randgen_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    scale,
+    similarity,
+)
 from datafusion_randgen_spark.sources import load_table, register_views
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -675,10 +681,11 @@ def p_synthetic_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     token_total = kept.select(
         F.sum(F.size(text.tokens(F.col("text"))))
     ).first()[0]
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     packed = (
-        kept.select((F.sum("n_chars").over(w) - F.col("n_chars")).alias("off"))
-        .select(F.floor(F.col("off") / 4000).alias("win"))
+        scale.global_cumsum(
+            kept.select("doc_id", "n_chars"), "doc_id", "n_chars", out_col="__cum"
+        )
+        .select(F.floor((F.col("__cum") - F.col("n_chars")) / 4000).alias("win"))
         .groupBy("win")
         .count()
     )
@@ -4270,17 +4277,19 @@ def p_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (the concat-then-cut discipline of LLM
     pretraining): lay the corpus out in deterministic doc_id order,
     assign each doc to the 8000-char context window where it STARTS
-    (cumulative-offset // capacity).  One global-ordered window cumsum
-    — at 100 TB you'd compute per-partition subtotals + a scan of
-    partition boundaries (two passes) instead of a single total order;
-    semantics identical."""
+    (cumulative-offset // capacity).
+
+    The cumsum runs through ``operators.scale.global_cumsum`` — the
+    two-phase distributed prefix sum (range buckets → bucket-local
+    window → broadcast prefix offsets) — NOT a ``Window.orderBy``
+    without partitioning, which would serialize the whole corpus
+    through one task at 100 TB.  Results are bit-identical."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = docs.select(
+    c = scale.global_cumsum(docs, "doc_id", "n_chars", out_col="__cum").select(
         "doc_id",
         "n_chars",
-        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("offset_before"),
+        (F.col("__cum") - F.col("n_chars")).alias("offset_before"),
     )
     return (
         c.groupBy(
