@@ -46,6 +46,7 @@ _NAMED_WEIGHT = {
     "q_cogroup_asof_align": 8,
     "q_variant_semistructured": 8,
     "q_profile_stats": 8,
+    "q_recursive_cte": 8,
     # r3 demotions to make room (wait for r4): redundant with entries
     # already green or already in the window (null-semantics / window
     # -frame / set-op coverage overlap).
@@ -53,6 +54,7 @@ _NAMED_WEIGHT = {
     "q_not_in_null_semantics": 60,
     "q_window_value_frames": 60,
     "q_union_by_name": 60,
+    "q_unpivot_measures": 60,
 }
 
 

@@ -4903,6 +4903,66 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_stream_stream_join",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_left_matched,
+           round(sum(v.value), 4) AS sum_right_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts
+     AND epoch_us(v.ts) - epoch_us(p.ts) <= 1800000000
+    """,
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream event-time interval join: views landing within 30
+    minutes after a purchase by the same user, both sides arriving as
+    independent micro-batched streams.  THE stateful-join shape of
+    Structured Streaming — each side buffers rows in the state store
+    until the other side's watermark passes them, so state is bounded
+    by the watermark delay, not stream length (the operator docstring
+    details the eviction math).  A finite replay must reproduce the
+    batch join exactly; the 365-day watermark >> the fixture's span
+    guarantees no mid-run eviction, so the memory sink sees every pair.
+    The join runs in append mode (no agg inside the stream); the
+    deterministic reduction to (n_pairs, n_left_matched, sum) happens
+    batch-side on the sink table."""
+    import tempfile
+
+    from datafusion_randgen_spark import streaming as st
+
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    lstream = st.file_stream_from(
+        purchases, tempfile.mkdtemp(prefix="randgen_st_ssjl_")
+    )
+    rstream = st.file_stream_from(views, tempfile.mkdtemp(prefix="randgen_st_ssjr_"))
+    joined = st.stream_stream_interval_join(
+        lstream,
+        rstream,
+        key="user_id",
+        watermark="365 days",
+        max_delay="30 minutes",
+        extra_left_cols=("event_id",),
+    )
+    got = _drive_stream(joined, "st_ssjoin_out", "append")
+    return got.agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("left_event_id").alias("n_left_matched"),
+        F.round(F.sum("right_value"), 4).alias("sum_right_value"),
+    )
+
+
+@query(
     "st_session_window_stream",
     oracle="""
     WITH flagged AS (

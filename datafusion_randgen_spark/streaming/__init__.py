@@ -124,6 +124,8 @@ def stream_stream_interval_join(
     key: str = "user_id",
     watermark: str = "1 hour",
     max_delay: str = "30 minutes",
+    extra_left_cols: tuple[str, ...] = (),
+    extra_right_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stream-stream inner join with an event-time interval condition:
     a right event joins a left event with the same ``key`` if it lands
@@ -148,6 +150,8 @@ def stream_stream_interval_join(
         F.col("r.ts").alias("right_ts"),
         F.col("l.value").alias("left_value"),
         F.col("r.value").alias("right_value"),
+        *[F.col(f"l.{c}").alias(f"left_{c}") for c in extra_left_cols],
+        *[F.col(f"r.{c}").alias(f"right_{c}") for c in extra_right_cols],
     )
 
 
