@@ -4601,6 +4601,102 @@ def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2_history",
+    oracle="""
+    WITH v AS (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, price, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 history build: each key's
+    change log becomes versioned rows with [valid_from, valid_to)
+    ranges — valid_to is the NEXT version's start (lead over the key
+    window), NULL marks the open current version.  The warehouse
+    primitive behind every point-in-time dimension join; one shuffle
+    on the key, the lead window is per-key partitioned (scales with
+    keys, never a global sort)."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    return v.withColumn("is_current", F.col("valid_to").isNull())
+
+
+@query(
+    "q_freq_items_heavy_hitters",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN user_id % 10 < 3 THEN user_id % 7
+                  ELSE user_id END AS k
+      FROM events
+    ),
+    counts AS (SELECT k, count(*) AS c FROM skewed GROUP BY k),
+    heavy AS (
+      SELECT k FROM counts
+      WHERE c * 1.0 / (SELECT count(*) FROM skewed) > 0.02
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_heavy,
+           CAST(min(k) AS BIGINT) AS min_heavy_key,
+           CAST(max(k) AS BIGINT) AS max_heavy_key,
+           true AS all_heavy_found
+    FROM heavy
+    """,
+)
+def q_freq_items_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via the single-pass frequent-items sketch
+    (``df.stat.freqItems`` — merged Misra-Gries/Karp summaries) with
+    exact verification: the sketch guarantees NO false negatives above
+    the support threshold, so candidates ∩ exact-heavy = exact-heavy,
+    making the output deterministic even though the sketch itself may
+    carry false positives.  Skew is planted deterministically (30% of
+    events fold onto 7 hot keys).  The sketch pass is one map-side
+    scan + driver-merge of bounded summaries — no shuffle of the fact
+    table; the verify join touches only candidate keys."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 3, F.col("user_id") % 7)
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    )
+    n_total = ev.count()
+    cand_row = ev.stat.freqItems(["k"], support=0.02).collect()[0]
+    candidates = set(cand_row["k_freqItems"])
+    exact = (
+        ev.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") * 1.0 / F.lit(n_total) > 0.02)
+    )
+    heavy = [r.k for r in exact.collect()]
+    return spark.createDataFrame(
+        [
+            (
+                len(heavy),
+                int(min(heavy)) if heavy else None,
+                int(max(heavy)) if heavy else None,
+                all(k in candidates for k in heavy),
+            )
+        ],
+        "n_heavy long, min_heavy_key long, max_heavy_key long,"
+        " all_heavy_found boolean",
+    )
+
+
+@query(
     "q_nullsafe_join",
     oracle="""
     WITH a AS (SELECT n_nationkey, nullif(n_regionkey, 2) AS rk
