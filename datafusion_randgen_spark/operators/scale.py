@@ -69,11 +69,16 @@ def global_cumsum(
     )
     local = bucketed.withColumn("__local_cum", F.sum(value_col).over(local_w))
 
-    # derive totals from `local`, not `bucketed`: both branches then hang
-    # off the IDENTICAL Exchange(hashpartitioning(__bucket)) subtree, so
-    # ReuseExchange scans and shuffles the input once (column pruning
-    # drops the unused window expression from this branch)
-    totals = local.groupBy("__bucket").agg(F.sum(value_col).alias("__tot"))
+    # per-bucket total = the LAST row's inclusive local cumsum (max_by on
+    # the order key — sign-safe, unlike max(cumsum)).  Deriving it from
+    # the window output makes this branch Aggregate(Window(Exchange)) on
+    # the IDENTICAL Exchange(hashpartitioning(__bucket)) the main branch
+    # uses, so ReuseExchange scans + shuffles the input ONCE (a plain
+    # groupBy(value) would push a partial aggregate below its own
+    # exchange and defeat the reuse — verified in tests/test_scale.py)
+    totals = local.groupBy("__bucket").agg(
+        F.max_by("__local_cum", F.col(order_col)).alias("__tot")
+    )
     # prefix offsets over the bucket-count-sized totals frame: the ONLY
     # single-partition window left, and it touches num_buckets rows
     off_w = Window.orderBy("__bucket").rowsBetween(

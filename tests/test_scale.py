@@ -63,9 +63,18 @@ def test_plan_has_no_full_data_single_partition_sort(spark):
     df = spark.range(0, 100_000, 1, 16).select(
         F.col("id").alias("k"), F.lit(1).alias("v")
     )
-    out = scale.global_cumsum(df, "k", "v", num_buckets=8)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # static planning (AQE off) so ReuseExchange is visible in the plan
+    # string; under AQE the same dedup happens via shuffle-stage reuse
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = scale.global_cumsum(df, "k", "v", num_buckets=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("SinglePartition") <= 1
+    # the totals branch must hang off the SAME exchange as the window
+    # branch — one scan + one shuffle of the input, not two
+    assert "ReusedExchange" in plan
     # spot-check correctness at the tail
     tail = out.filter(F.col("k") == 99_999).collect()
     assert tail[0].cumsum == 100_000
