@@ -5105,6 +5105,243 @@ def st_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Training-data pipeline, part 2: decontamination / quality filtering /
+# mixture weighting / deterministic ordering
+# =========================================================================
+
+def _word_grams(toks, n: int):
+    """All ``n``-token word grams of a token array as strings (empty
+    when the document is shorter than ``n`` tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "d_contamination_check",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+4], ' ')
+                     for i in range(1, len(t) - 3)]) AS g
+      FROM toks WHERE len(t) >= 5
+    ),
+    train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 != 0),
+    bench AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 20 = 0),
+    overlap AS (
+      SELECT b.doc_id, count(*) AS n_hit
+      FROM bench b JOIN train t ON b.g = t.g GROUP BY 1
+    ),
+    perdoc AS (
+      SELECT d.doc_id, coalesce(o.n_hit, 0) AS n_hit
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+      LEFT JOIN overlap o USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bench_docs,
+           CAST(count(*) FILTER (n_hit > 0) AS BIGINT) AS n_contaminated,
+           CAST(sum(n_hit) AS BIGINT) AS total_overlap_grams,
+           CAST(max(n_hit) AS BIGINT) AS max_overlap
+    FROM perdoc
+    """,
+)
+def d_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents' 5-gram overlap
+    with a held-out benchmark split (doc_id % 20 == 0 plays the benchmark
+    here).  The standard pre-training hygiene step (n-gram collision
+    against eval sets).
+
+    Scale design: grams are DISTINCT'd per side before the equi-join, so
+    the shuffle carries one row per unique gram, never per occurrence;
+    the train side is further reduced to a distinct gram set (at 100 TB
+    a bench set is tiny relative to train, so the bench gram set — not
+    train — would be the broadcast side; here sizes are comparable and
+    AQE picks the build side).  Gram strings stay ~5 words; a production
+    run would map them through ``xxhash64`` first so the shuffle carries
+    fixed-width longs (the established pattern in
+    ``operators/dedup.py``); the string join keeps the oracle exact."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(_word_grams(text.tokens(F.col("text")), 5)).alias("g"),
+    )
+    train = grams.filter(F.col("doc_id") % 20 != 0).select("g").distinct()
+    bench = grams.filter(F.col("doc_id") % 20 == 0).distinct()
+    overlap = (
+        bench.join(train, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    perdoc = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+    )
+    return perdoc.agg(
+        F.count("*").alias("n_bench_docs"),
+        F.count_if(F.col("n_hit") > 0).alias("n_contaminated"),
+        F.sum("n_hit").alias("total_overlap_grams"),
+        F.max("n_hit").alias("max_overlap"),
+    )
+
+
+@query(
+    "t_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x != '')) AS tok
+      FROM documents
+    ),
+    pc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(max(c) AS BIGINT) AS top_c,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM pc GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(top_c * 1.0 / n_tokens, 4) AS top_token_ratio,
+           round(n_distinct * 1.0 / n_tokens, 4) AS distinct_ratio,
+           (top_c * 1.0 / n_tokens <= 0.15
+            AND n_distinct * 1.0 / n_tokens >= 0.2) AS keep
+    FROM agg
+    """,
+)
+def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: most-common-
+    token fraction and distinct-token fraction, with a keep/drop verdict
+    (drop docs dominated by one token or with a collapsed vocabulary).
+
+    Scale design: explode → two-level aggregate.  The first groupBy
+    (doc_id, tok) does map-side partial aggregation, so the shuffle
+    carries per-doc term counts, not raw tokens; the second groupBy
+    (doc_id) is a prefix of the first key so AQE coalesces it cheaply.
+    Both ratios divide exact BIGINTs, so the doubles are bit-identical
+    across engines and the keep boolean can use the unrounded value."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pc = (
+        docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = pc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+        F.count("*").alias("n_distinct"),
+    )
+    top_ratio = F.col("top_c") * 1.0 / F.col("n_tokens")
+    dis_ratio = F.col("n_distinct") * 1.0 / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_ratio, 4).alias("top_token_ratio"),
+        F.round(dis_ratio, 4).alias("distinct_ratio"),
+        ((top_ratio <= 0.15) & (dis_ratio >= 0.2)).alias("keep"),
+    )
+
+
+@query(
+    "p_domain_mixture",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x != ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    sq AS (
+      SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS s FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(s * 1.0 / (SELECT sum(s) FROM sq), 6) AS mix_weight
+    FROM sq
+    """,
+)
+def p_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weighting for training-data sampling: per-source
+    token counts and a sqrt-temperature mixture weight (upweights small
+    domains, the standard multilingual/multi-domain sampling scheme).
+
+    Scale design: one full scan with map-side partial aggregation down
+    to a domain-count-sized frame; the normalizing total is a window
+    over that TINY frame (domains, not documents — the same
+    dimension-sized single-partition window `global_cumsum` reserves
+    for bucket totals).  The sqrt is floored to a BIGINT before
+    normalizing so the cross-engine sum is exact integer arithmetic and
+    the final double division is bit-identical."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    sq = per_src.withColumn(
+        "s", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    total_w = Window.partitionBy()
+    return sq.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("s") * 1.0 / F.sum("s").over(total_w), 6).alias("mix_weight"),
+    )
+
+
+@query(
+    "p_deterministic_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS h
+      FROM documents
+    )
+    SELECT doc_id, h,
+           CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS position
+    FROM h ORDER BY h, doc_id LIMIT 20
+    """,
+)
+def p_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: sort documents by a
+    multiplicative hash of the key (Knuth constant mod a large prime) —
+    a reproducible pseudo-random permutation with no RNG state, the
+    shuffle step every epoch-ordered training pipeline needs.
+
+    Scale design: ordering by a computed hash is a range-partitioned
+    sort (Spark samples hash boundaries, each partition sorts locally —
+    no single-partition stage); a production run writes the full sorted
+    output, this entry materializes the top-20 head (TopK: per-partition
+    heads, then one tiny merge) to keep the verification frame small.
+    The position column is computed AFTER the 20-row head so its window
+    touches 20 rows, not the corpus.  A production pipeline would use
+    ``xxhash64(doc_id, epoch_seed)``; the arithmetic hash keeps the
+    oracle engine-portable."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)).alias("h"),
+    )
+    top = d.orderBy("h", "doc_id").limit(20)
+    w = Window.orderBy("h", "doc_id")
+    return top.withColumn(
+        "position", F.row_number().over(w).cast("long")
+    )
+
+
+# =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
 
