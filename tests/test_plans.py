@@ -306,3 +306,62 @@ def test_q8_star_join_broadcasts_all_dims(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plans.python_eval_nodes(df) == 0
+
+
+def test_deterministic_shuffle_is_topk_not_global_sort(spark):
+    """The head of a hash-ordered permutation must plan as TopK
+    (per-partition heads + tiny merge), never a full global sort; the
+    position window rides ABOVE the 20-row TopK, and the scan reads
+    only the key column."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["p_deterministic_shuffle"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plans.exchange_count(df) == 0  # no shuffle at all: TopK + tiny window
+    [schema_line] = plans.scan_read_schema(df)
+    assert "doc_id" in schema_line and "text" not in schema_line
+
+
+def test_contamination_check_joins_are_hash_only(spark):
+    """Every decontamination join must be an equi-hash join (broadcast
+    or shuffled) — an accidental nested-loop over gram sets would be
+    quadratic in the corpus; the bench-doc scan must push the %20
+    split down to a doc_id-only read."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["d_contamination_check"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "partial_count" in plan  # distinct/agg combine map-side
+    assert plans.python_eval_nodes(df) == 0
+
+
+def test_repetition_filter_two_shuffles_with_map_side_combine(spark):
+    """Token explode stays map-local: the first shuffle already carries
+    per-(doc, term) partial counts, the second reduces to per-doc — two
+    exchanges total for the whole quality signal."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["t_repetition_filter"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert plans.exchange_count(df) == 2
+    assert "partial_count" in plan
+    assert plans.python_eval_nodes(df) == 0
+
+
+def test_domain_mixture_single_partition_only_on_domain_frame(spark):
+    """The normalizing window's Exchange SinglePartition must sit ABOVE
+    the per-source aggregate (domain-sized frame), never below it, and
+    the scan reads only text+source."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["p_domain_mixture"](spark, SF)
+    plan = plans.physical_plan(df)
+    single = plan.index("Exchange SinglePartition")
+    agg = plan.index("HashAggregate(keys=[source")
+    assert single < agg  # plan prints top-down: SinglePartition is above
+    [schema_line] = plans.scan_read_schema(df)
+    assert "text" in schema_line and "source" in schema_line
+    assert "doc_id" not in schema_line
