@@ -5341,6 +5341,83 @@ def p_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m_binary_file_source",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           true AS all_match
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def m_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source: how raw media corpora (images/audio/video)
+    enter Spark — one row per file with an opaque binary ``content``
+    column, feeding the ``operators/multimodal.py`` decode plumbing.
+
+    Materializes 20 documents as files, reads them back through the
+    binaryFile reader, and verifies byte-exactness against the source
+    rows (content == utf-8 bytes of the text).  Scale design: the
+    reader plans one split per file group (``maxPartitionBytes``
+    bounds grouping), the content column stays opaque bytes end-to-end
+    (no decode until an explicit Arrow-batch UDF), and the verify join
+    broadcasts the 20-row id→text side."""
+    import os
+    import tempfile
+
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    base = tempfile.mkdtemp(prefix="randgen_binfile_")
+    for r in docs.select("doc_id", "text").collect():  # 20-row fixture setup
+        with open(os.path.join(base, f"doc_{r['doc_id']:04d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(base)
+    parsed = back.select(
+        F.regexp_extract("path", r"doc_(\d+)\.bin", 1).cast("long").alias("doc_id"),
+        "length",
+        "content",
+    )
+    joined = parsed.join(F.broadcast(docs.select("doc_id", "text")), "doc_id")
+    return joined.agg(
+        F.count("*").alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.every(
+            F.col("content") == F.encode(F.col("text"), "UTF-8")
+        ).alias("all_match"),
+    )
+
+
+@query(
+    "q_text_lines_source",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_text_lines_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited text as a source/sink format (write ``.text`` →
+    read ``spark.read.text``), completing the format matrix alongside
+    parquet / CSV / JSON / ORC / binaryFile / the Python data source.
+    Raw text shards are the most common ingest format for web-crawl
+    corpora; the round trip is verified by line count, distinct-line
+    count, and total characters (order is not preserved by design —
+    line files have no row identity)."""
+    import tempfile
+
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    base = tempfile.mkdtemp(prefix="randgen_text_")
+    docs.select("text").write.mode("overwrite").text(base + "/txt")
+    back = spark.read.text(base + "/txt")
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
