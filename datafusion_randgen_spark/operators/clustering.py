@@ -1,0 +1,137 @@
+"""Distributed k-means (Lloyd's algorithm) with the classic combiner
+pattern: raw vectors NEVER shuffle.
+
+Each iteration is one Arrow-batched ``mapInPandas`` pass that assigns
+every vector to its nearest centroid AND emits per-batch partial
+statistics — (cluster, count, inertia, per-dimension sums) — so the
+only data crossing partitions is O(partitions × k × dim) partial rows,
+reduced by a tiny groupBy and collected to the driver as the next
+k × dim centroid matrix.  That is the shape that survives 100 TB: the
+corpus is scanned once per iteration, map-only; state held on the
+driver is k × dim floats.
+
+Reference scope note: the reference crate implements no clustering
+(`/root/reference/src/lib.rs:8-10`); north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans"]
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 10,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, list[float], DataFrame]:
+    """Lloyd's k-means over an embedding column.
+
+    Returns ``(centroids, inertia_per_iteration, assignments)`` where
+    ``assignments`` is a lazy (id, cluster) DataFrame evaluated against
+    the FINAL centroids.  Deterministic: centroids initialize from the
+    k lowest-id vectors (no RNG), iteration count is fixed, and the
+    per-iteration reduction is a sum whose partition-order FP jitter is
+    confined to last-bit noise (callers verify via tolerant booleans,
+    not exact hashes).
+
+    Empty clusters keep their previous centroid (the standard fix).
+    """
+    spark = df.sparkSession
+    dim_row = df.select(F.size(vec_col)).first()
+    dim = dim_row[0]
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = np.array([r[0] for r in init], dtype=np.float64)
+    assert centroids.shape == (k, dim)
+
+    vecs = df.select(id_col, vec_col)
+    inertias: list[float] = []
+    for _ in range(iterations):
+        c_bc = spark.sparkContext.broadcast(centroids)
+
+        def partial_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = c_bc.value  # (k, dim)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # squared L2 distance via the expansion trick: one matmul
+                # per Arrow batch, no (n, k, dim) intermediate
+                d2 = (
+                    (M * M).sum(axis=1)[:, None]
+                    - 2.0 * (M @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                a = d2.argmin(axis=1)
+                best = d2[np.arange(len(a)), a]
+                rows = []
+                for c in np.unique(a):
+                    mask = a == c
+                    rows.append(
+                        {
+                            "cluster": int(c),
+                            "cnt": int(mask.sum()),
+                            "inertia": float(best[mask].sum()),
+                            "sums": M[mask].sum(axis=0).tolist(),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        stats = vecs.mapInPandas(
+            partial_stats,
+            schema="cluster int, cnt long, inertia double, sums array<double>",
+        )
+        # tiny reduce: partitions × k rows in, k rows out — materialize
+        # the partial frame once so counts and dimension sums don't
+        # re-run the assignment pass
+        stats = stats.localCheckpoint(eager=True)
+        rows = stats.groupBy("cluster").agg(
+            F.sum("cnt").alias("cnt"), F.sum("inertia").alias("inertia")
+        )
+        sums = (
+            stats.select("cluster", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"))
+        )
+        meta = {r["cluster"]: (r["cnt"], r["inertia"]) for r in rows.collect()}
+        new_c = centroids.copy()
+        svals = sums.collect()
+        acc = np.zeros((k, dim))
+        for r in svals:
+            acc[r["cluster"], r["pos"]] = r["s"]
+        total_inertia = 0.0
+        for c, (cnt, inertia) in meta.items():
+            total_inertia += inertia
+            if cnt > 0:
+                new_c[c] = acc[c] / cnt
+        inertias.append(total_inertia)
+        centroids = new_c
+        c_bc.destroy()
+
+    final_bc = spark.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = final_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (M * M).sum(axis=1)[:, None]
+                - 2.0 * (M @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": d2.argmin(axis=1).astype("int32")}
+            )
+
+    assignments = vecs.mapInPandas(assign, schema=f"{id_col} long, cluster int")
+    return centroids, inertias, assignments

@@ -1,0 +1,83 @@
+"""Iterative graph algorithms as DataFrame loops (Pregel-style).
+
+Complements ``operators/dedup.py:connected_components`` (min-label
+propagation).  Each iteration is one keyed shuffle — rank state hashes
+by node, edges by source — so a round costs a single hash exchange of
+(node, rank) pairs regardless of graph size; the driver only ever holds
+loop counters, never data.
+
+Reference scope note: the reference crate has no graph operators
+(`/root/reference/src/lib.rs:8-10` registers one scalar UDF); this is
+north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Weighted PageRank over ``edges(src, dst, w)``; returns
+    ``(node, rank)``.
+
+    Nodes are the union of sources and destinations.  Each iteration:
+    contribution(dst) = sum over incoming (rank(src) * w / out_w(src)),
+    rank(dst) = (1-d)/n + d * contribution — nodes with no inbound
+    edges keep the teleport term via a left join.  Dangling mass (nodes
+    with no outgoing edges) is dropped, the common simplification.
+
+    ``round_to`` rounds the rank after EVERY iteration: cross-engine
+    double summation is order-sensitive at the last bits, and rounding
+    at each step re-synchronizes both engines onto identical doubles so
+    an exact-value oracle can verify the output (the same trick the
+    catalog uses for floating aggregates).  Pass None for raw doubles.
+
+    Scale design: the rank frame is (node, rank) — tiny relative to
+    edges; the per-iteration join shuffles edges by src ONCE (Catalyst
+    reuses the exchange across iterations when the loop is unrolled in
+    one plan) and re-aggregates by dst.  For long iteration counts,
+    callers should ``localCheckpoint`` every few rounds exactly as
+    ``connected_components`` does; at 3-5 iterations lineage stays
+    shallow enough to skip it.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm_edges = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
+    )
+
+    def _round(c):
+        return F.round(c, round_to) if round_to is not None else c
+
+    ranks = nodes.select("node", _round(F.lit(1.0 / n)).alias("rank"))
+    teleport = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            norm_edges.join(ranks, norm_edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                _round(
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

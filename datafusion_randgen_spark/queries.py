@@ -5418,6 +5418,132 @@ def q_text_lines_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_ITER = """
+    {out} AS (
+      SELECT n.node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                     / (SELECT count(*) FROM nodes)
+                   + CAST(0.85 AS DOUBLE)
+                     * coalesce(c.contrib, CAST(0.0 AS DOUBLE)), 6) AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst, sum(r.rank * e.share) AS contrib
+        FROM ne e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+      ) c ON n.node = c.dst
+    )"""
+
+
+@query(
+    "q_pagerank_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    edges AS (
+      SELECT prev AS src, event_type AS dst, count(*) AS w
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    ne AS (
+      SELECT e.src, e.dst, e.w / CAST(o.ow AS DOUBLE) AS share
+      FROM edges e JOIN outw o ON e.src = o.src
+    ),
+    r0 AS (
+      SELECT node,
+             round(CAST(1.0 AS DOUBLE)
+                   / (SELECT count(*) FROM nodes), 6) AS rank
+      FROM nodes
+    ),{i1},{i2},{i3}
+    SELECT node AS event_type, rank FROM r3
+    """.format(
+        i1=_PAGERANK_ITER.format(out="r1", prev="r0"),
+        i2=_PAGERANK_ITER.format(out="r2", prev="r1"),
+        i3=_PAGERANK_ITER.format(out="r3", prev="r2"),
+    ),
+)
+def q_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph: per-user event
+    sequences become weighted (prev -> next) edges, then 3 damped
+    power iterations (`operators/graph.py:pagerank`) rank the types by
+    steady-state visit mass.  The iterative-graph-algorithm shape next
+    to connected components — each round is ONE keyed shuffle of
+    (node, rank), Pregel-style; edge construction is a per-user lag
+    window (scales with users, never a global sort).
+
+    Oracle: the SAME three iterations unrolled as chained CTEs, every
+    literal forced to DOUBLE (DuckDB decimal literals would otherwise
+    diverge from IEEE arithmetic), ranks re-rounded to 6 digits each
+    round so cross-engine summation order can never drift the hash."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    edges = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    from datafusion_randgen_spark.operators import graph
+
+    ranks = graph.pagerank(edges, damping=0.85, iterations=3, round_to=6)
+    return ranks.select(F.col("node").alias("event_type"), "rank")
+
+
+@query(
+    "s_kmeans_embeddings",
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_points,
+           5 AS n_iters,
+           true AS inertia_monotone,
+           true AS all_assigned_once
+    """,
+)
+def s_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's) over the embedding column —
+    `operators/clustering.py:kmeans`, k=10 (the fixture's planted
+    cluster count), 5 iterations, deterministic lowest-id init.
+
+    Not ANSI-SQL-expressible (iterative), so (ANN-recall pattern) the
+    entry verifies Lloyd's invariants: inertia is non-increasing
+    across iterations (the algorithm's defining guarantee, checked
+    with 1e-9 relative tolerance for partition-order FP jitter) and
+    every vector receives exactly one cluster.  Scale design: raw
+    vectors never shuffle — each iteration is one map-only Arrow pass
+    emitting O(partitions × k × dim) partial sums, reduced by a tiny
+    groupBy; driver state is the k × dim centroid matrix."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, inertias, assignments = clustering.kmeans(emb, k=10, iterations=5)
+    monotone = all(
+        b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:])
+    )
+    counts = assignments.agg(
+        F.count("*").alias("n"), F.countDistinct("vec_id").alias("nd")
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                counts["n"],
+                len(inertias),
+                monotone,
+                counts["n"] == counts["nd"],
+            )
+        ],
+        "n_points long, n_iters int, inertia_monotone boolean,"
+        " all_assigned_once boolean",
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
