@@ -47,6 +47,24 @@ _NAMED_WEIGHT = {
     "q_variant_semistructured": 8,
     "q_profile_stats": 8,
     "q_recursive_cte": 8,
+    # r3: complete the partially-verified SURVEY components in one
+    # window — D9 (the 16 TPC-H shapes without a driver row yet), D14
+    # (event analytics beyond sessionization), D15 (stratified
+    # sampling), D19 (outlier filtering) — ahead of generic samplers.
+    **{
+        n: 9
+        for n in (
+            "q2_min_cost_supplier q4_order_priority q6_forecast_revenue "
+            "q7_volume_shipping q8_market_share q9_product_profit "
+            "q11_important_stock q12_shipping_priority_split "
+            "q13_customer_distribution q15_top_supplier "
+            "q16_parts_supplier_relationship q17_small_quantity_revenue "
+            "q18_large_volume_customers q20_excess_suppliers "
+            "q21_waiting_supplier q22_global_sales_opportunity "
+            "q_event_transitions q_cohort_retention q_funnel_analysis "
+            "q_stratified_sample q_outlier_zscore"
+        ).split()
+    },
     # r3 demotions to make room (wait for r4): redundant with entries
     # already green or already in the window (null-semantics / window
     # -frame / set-op coverage overlap).
