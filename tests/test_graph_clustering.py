@@ -1,0 +1,91 @@
+"""Unit tests for operators/graph.py and operators/clustering.py with
+hand-checkable answers — the oracle entries check engine-vs-engine;
+these check the algorithms against closed forms."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datafusion_randgen_spark.operators import clustering, graph
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, w long")
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    """A symmetric cycle's stationary distribution is uniform, and the
+    uniform vector is a fixed point of every damped iteration — so
+    ranks must stay exactly 1/n at any iteration count."""
+    e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+    got = {r["node"]: r["rank"] for r in graph.pagerank(e, iterations=4).collect()}
+    assert got == {"a": pytest.approx(1 / 3, abs=1e-6),
+                   "b": pytest.approx(1 / 3, abs=1e-6),
+                   "c": pytest.approx(1 / 3, abs=1e-6)}
+
+
+def test_pagerank_low_indegree_node_ranks_lowest(spark):
+    """In a->{b,c}, b->c, c->a the stationary split is 0.4/0.2/0.4
+    (undamped): b only ever receives half of a's mass, so b must rank
+    strictly below both a and c, which stay near-tied; total mass ~1
+    (no dangling nodes in this graph)."""
+    e = _edges(
+        spark,
+        [("a", "b", 1), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1)],
+    )
+    got = {r["node"]: r["rank"] for r in graph.pagerank(e, iterations=5).collect()}
+    assert got["b"] < got["a"] and got["b"] < got["c"]
+    assert got["a"] == pytest.approx(got["c"], abs=0.02)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_weighted_edges_split_contribution(spark):
+    """One iteration from uniform: a splits its mass 3:1 between b and
+    c, so b = (1-d)/3 + d*(1/3)*(3/4) and c = (1-d)/3 + d*(1/3)*(1/4)
+    (+ the b->a, c->a edges keep the graph dangling-free)."""
+    e = _edges(spark, [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)])
+    got = {r["node"]: r["rank"] for r in
+           graph.pagerank(e, damping=0.85, iterations=1, round_to=None).collect()}
+    base = 0.15 / 3
+    assert got["b"] == pytest.approx(base + 0.85 * (1 / 3) * 0.75, abs=1e-9)
+    assert got["c"] == pytest.approx(base + 0.85 * (1 / 3) * 0.25, abs=1e-9)
+
+
+def _vec_df(spark, pts):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_kmeans_separable_clusters_recovered(spark):
+    """Two tight groups far apart: k=2 must assign each group to one
+    cluster, centroids land on the group means, inertia is monotone."""
+    rng = np.random.default_rng(7)
+    g1 = rng.normal([0, 0], 0.05, size=(20, 2))
+    g2 = rng.normal([10, 10], 0.05, size=(20, 2))
+    df = _vec_df(spark, np.vstack([g1, g2]))
+    centroids, inertias, assignments = clustering.kmeans(
+        df, k=2, iterations=4
+    )
+    a = {r["vec_id"]: r["cluster"] for r in assignments.collect()}
+    first_group = {a[i] for i in range(20)}
+    second_group = {a[i] for i in range(20, 40)}
+    assert len(first_group) == 1 and len(second_group) == 1
+    assert first_group != second_group
+    means = sorted([g1.mean(axis=0).tolist(), g2.mean(axis=0).tolist()])
+    got = sorted(centroids.tolist())
+    assert np.allclose(got, means, atol=0.05)
+    assert all(b <= x * (1 + 1e-9) for x, b in zip(inertias, inertias[1:]))
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k larger than the number of distinct points: surplus clusters go
+    empty and must keep their init centroid instead of NaN-ing out."""
+    df = _vec_df(spark, [[0.0, 0.0]] * 5 + [[5.0, 5.0]] * 5)
+    centroids, inertias, assignments = clustering.kmeans(df, k=3, iterations=3)
+    assert not np.isnan(centroids).any()
+    n = assignments.count()
+    assert n == 10
+    assert inertias[-1] <= inertias[0] * (1 + 1e-9)
