@@ -5544,6 +5544,93 @@ def s_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS w,
+             (((doc_id * 2654435761 + 12345) % 1000000007) * 1000000)
+               // n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, w, k
+    FROM keyed ORDER BY k, doc_id LIMIT 50
+    """,
+)
+def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sampling: every doc draws a
+    pseudo-random integer priority from a multiplicative hash, divides
+    it by its weight (here n_chars), and the min-k keys win — heavier
+    documents systematically draw smaller keys, the distributed
+    min-k/top-k shape of weighted reservoir sampling (A-ES/A-ExpJ).
+    The exact-PPS production variant uses -ln(u)/w exponential keys;
+    the rational integer form keeps every arithmetic step exact in
+    both engines so the sample SET is oracle-hashable (transcendental
+    keys differ in last bits across engines and can flip boundary
+    membership).
+
+    Scale design: key assignment is map-only; min-k plans as TopK
+    (per-partition heads + one tiny merge), so no global sort and no
+    full shuffle — the same shape as p_deterministic_shuffle."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        F.expr(
+            "((doc_id * 2654435761 + 12345) % 1000000007) * 1000000"
+            " div n_chars"
+        ).alias("k"),
+    )
+    return keyed.orderBy("k", "doc_id").limit(50)
+
+
+@query(
+    "t_char_bigram_vocab",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x != '')) AS tok
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest([substr(tok, i, 2) for i in range(1, len(tok))]) AS bigram
+      FROM toks WHERE len(tok) >= 2
+    )
+    SELECT bigram, count(*) AS c
+    FROM bg GROUP BY bigram
+    ORDER BY c DESC, bigram LIMIT 20
+    """,
+)
+def t_char_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-vocabulary induction statistics: the corpus-wide
+    character-bigram frequency table (top 20) — the unit of work a BPE
+    trainer repeats per merge (count adjacent pairs, take the max).
+
+    Scale design: bigram fan-out is map-local (explode inside the
+    scan stage); the single shuffle carries (bigram, partial count)
+    after map-side combine — vocabulary-sized, not corpus-sized; the
+    top-20 is a TopK merge.  Ties at the cut break on the bigram
+    string in both engines, so the result set is exact."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    bg = toks.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substr(tok, i, 2))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "bigram")
+        .limit(20)
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
