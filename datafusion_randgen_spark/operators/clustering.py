@@ -47,8 +47,14 @@ def kmeans(
     """
     spark = df.sparkSession
     dim_row = df.select(F.size(vec_col)).first()
+    if dim_row is None:
+        raise ValueError("kmeans: input DataFrame is empty")
     dim = dim_row[0]
     init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans: k={k} exceeds the {len(init)} available vectors"
+        )
     centroids = np.array([r[0] for r in init], dtype=np.float64)
     assert centroids.shape == (k, dim)
 

@@ -325,7 +325,18 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
     Banding: split the 64-bit fingerprint into 4 16-bit chunks; Hamming
     ≤ 3 guarantees ≥ 1 identical chunk (pigeonhole), so candidates come
     from 4 equi-joins (union), then an exact popcount filter.
+
+    ``max_hamming`` is capped at 3 — the regime this banding FULLY
+    recalls.  Radii 4-6 would silently return only the pairs the bands
+    happen to catch; supporting them honestly needs more tables (bit
+    permutations), not a looser filter.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_near_pairs: 4x16-bit banding guarantees recall only "
+            f"for Hamming <= 3 (got max_hamming={max_hamming}); add "
+            "permuted tables for larger radii"
+        )
     fps = simhash(docs, **kw)
     chunks = fps.select(
         "id",

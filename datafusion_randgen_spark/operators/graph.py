@@ -54,6 +54,8 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     norm_edges = edges.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("share")

@@ -17,8 +17,12 @@ two-phase parallel prefix sum instead, entirely with DataFrame ops:
 4. per-bucket totals (a bucket-count-sized frame) get prefix offsets
    via a window over that TINY frame, and are broadcast-joined back.
 
-The result is bit-identical to the single-partition window for a
-unique order key, with max partition size bounded by corpus/buckets.
+For integer/decimal value columns the result is bit-identical to the
+single-partition window; for floating-point values it is identical up
+to FP addition order (offset + bucket-local sum associates additions
+differently than one sequential running sum — last-bit jitter, the
+same caveat any parallel reduction carries).  Max partition size is
+bounded by corpus/buckets.
 """
 
 from __future__ import annotations
@@ -60,6 +64,10 @@ def global_cumsum(
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    # NULL order keys sort first under the window form (ASC NULLS FIRST),
+    # so route them to the first bucket instead of letting a NULL bucket
+    # key silently drop them in the offsets equi-join
+    bucket = F.when(F.col(order_col).isNull(), F.lit(0)).otherwise(bucket)
     bucketed = df.withColumn("__bucket", bucket)
 
     local_w = (

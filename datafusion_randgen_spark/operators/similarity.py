@@ -360,13 +360,15 @@ def embedding_near_dup_pairs(
             F.greatest("a.id", "b.id").alias("id_b"),
         )
         .distinct()
-        .persist()
     )
-    # eagerly materialize the candidate pairs (bounded by LSH design, not
-    # corpus size) so the large codes cache can be released NOW instead of
-    # leaking for the session lifetime (ADVICE r2); the verification join
-    # below reuses the materialized candidates.
-    cand.count()
+    # eager local checkpoint: materializes the candidate pairs (bounded
+    # by LSH design, not corpus size) so the large codes cache can be
+    # released NOW (ADVICE r2) — and unlike persist(), the checkpoint
+    # blocks are garbage-collected with the DataFrame instead of
+    # accumulating for the session lifetime across repeated calls.
+    # Cost: plan-only callers pay the candidate job; freeing the codes
+    # cache requires materializing its consumer, so that is inherent.
+    cand = cand.localCheckpoint(eager=True)
     codes.unpersist()
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))

@@ -1948,6 +1948,21 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup_pairs(docs, threshold=0.8)
 
 
+_TWIN_OFFSET = 1_000_000
+
+
+def _with_exact_twins(docs: DataFrame) -> DataFrame:
+    """Corpus ∪ an exact copy of every doc at doc_id + _TWIN_OFFSET —
+    the planted ground truth the content-hash property oracles
+    (simhash, winnowing fingerprints) verify against: identical text
+    MUST produce identical sketches, so every twin pair must be
+    recovered regardless of fixture drift."""
+    twins = docs.select(
+        (F.col("doc_id") + _TWIN_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(twins)
+
+
 @query(
     "d_simhash_near_pairs",
     oracle="""
@@ -1959,22 +1974,22 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming <= 6 via 4×16-bit banding.
+    """SimHash-64 near-dup pairs at Hamming <= 3 — the radius the
+    4×16-bit pigeonhole banding FULLY recalls (larger radii would need
+    extra permuted tables; the operator refuses them).
 
     The bit-vote fingerprint is not ANSI-SQL, so (ANN-recall pattern)
     the entry returns a deterministic property summary instead of raw
     pairs: every document is planted an EXACT twin at doc_id + 1e6,
     and an identical text yields an identical simhash (Hamming 0), so
-    the 4×16 banding MUST recover all n_docs planted pairs — a
-    guarantee by construction, immune to fixture drift.  ordering_ok
-    pins the id_a < id_b canonical pair orientation across all output
-    rows."""
+    the banding MUST recover all n_docs planted pairs — a guarantee by
+    construction, immune to fixture drift.  ordering_ok pins the
+    id_a < id_b canonical pair orientation across all output rows."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    pairs = dedup.simhash_near_pairs(docs.unionByName(twins), max_hamming=6)
-    planted = (F.col("id_b") == F.col("id_a") + 1_000_000) & (
-        F.col("id_a") < 1_000_000
+    pairs = dedup.simhash_near_pairs(_with_exact_twins(docs), max_hamming=3)
+    planted = (F.col("id_b") == F.col("id_a") + _TWIN_OFFSET) & (
+        F.col("id_a") < _TWIN_OFFSET
     )
     props = pairs.agg(
         F.sum(planted.cast("long")).alias("n_planted_found"),
@@ -2365,16 +2380,15 @@ def t_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     no fingerprint slot may be null."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-    sh = docs.unionByName(twins).select(
+    sh = _with_exact_twins(docs).select(
         "doc_id", F.explode(text.word_shingles(F.col("text"), 5)).alias("gram")
     )
     fps = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"fp{i}") for i in range(4)]
     )
-    orig = fps.filter(F.col("doc_id") < 1_000_000)
-    twin = fps.filter(F.col("doc_id") >= 1_000_000).select(
-        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+    orig = fps.filter(F.col("doc_id") < _TWIN_OFFSET)
+    twin = fps.filter(F.col("doc_id") >= _TWIN_OFFSET).select(
+        (F.col("doc_id") - _TWIN_OFFSET).alias("doc_id"),
         *[F.col(f"fp{i}").alias(f"tfp{i}") for i in range(4)],
     )
     joined = orig.join(twin, "doc_id", "left")
@@ -4283,7 +4297,9 @@ def p_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase distributed prefix sum (range buckets → bucket-local
     window → broadcast prefix offsets) — NOT a ``Window.orderBy``
     without partitioning, which would serialize the whole corpus
-    through one task at 100 TB.  Results are bit-identical."""
+    through one task at 100 TB.  Results are bit-identical here because
+    the summed column is integer (FP values would carry the usual
+    parallel-reduction last-bit caveat, see scale.py)."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     c = scale.global_cumsum(docs, "doc_id", "n_chars", out_col="__cum").select(
