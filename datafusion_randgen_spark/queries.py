@@ -5647,6 +5647,68 @@ def t_char_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(round(sum(value), 6), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def st_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-style incremental snapshot maintenance via
+    ``foreachBatch``: each micro-batch's per-user partial aggregate is
+    MERGEd into a versioned parquet snapshot (read previous version,
+    combine, write next version — the plain-parquet upsert loop every
+    lakehouse table format automates).  The maintained aggregate is
+    associative (count/sum), so the final snapshot is independent of
+    how rows split across micro-batches and equals the batch answer —
+    the strongest determinism statement a foreachBatch sink allows.
+
+    Scale design: per-batch work is delta-sized (partial agg before the
+    merge join); the snapshot join shuffles on the key and AQE
+    broadcasts the delta when small; versioned dirs avoid
+    read-while-overwrite on the snapshot being replaced."""
+    import tempfile
+
+    from datafusion_randgen_spark import streaming as st
+
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    base = tempfile.mkdtemp(prefix="randgen_fb_")
+    stream = st.file_stream_from(ev, base + "/src")
+    state = {"cur": None}
+
+    def upsert(batch_df, batch_id):
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        if state["cur"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["cur"])
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        else:
+            merged = delta
+        out = f"{base}/snap_v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state["cur"] = out
+
+    st.run_stream_foreachbatch(stream, upsert, base + "/ckpt")
+    final = spark.read.parquet(state["cur"])
+    return final.select(
+        "user_id",
+        "n_events",
+        F.round(F.round("total_value", 6), 4).alias("total_value"),
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================

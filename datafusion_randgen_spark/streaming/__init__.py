@@ -189,6 +189,24 @@ def file_stream_from(df: DataFrame, path: str, n_files: int = 3) -> DataFrame:
     )
 
 
+def run_stream_foreachbatch(df: DataFrame, batch_fn, checkpoint: str):
+    """Drive a streaming DF synchronously through a ``foreachBatch``
+    sink: start → processAllAvailable → stop.  ``batch_fn(batch_df,
+    batch_id)`` owns the write — the escape hatch for sinks Structured
+    Streaming lacks natively (MERGE into plain parquet, JDBC upsert,
+    multi-table fan-out); the checkpoint dir gives batch-id-based
+    restart idempotence."""
+    q = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory(df: DataFrame, name: str, spark: SparkSession, mode: str = "append"):
     """Drive a streaming DF synchronously into an in-memory table (test
     sink): start → processAllAvailable → stop, then query the table."""
