@@ -98,6 +98,11 @@ def main() -> None:
         "s_ann_ivf_recall": cat.QUERIES["s_ann_ivf_recall"],
         "t_token_stats": cat.QUERIES["t_token_stats"],
         "p_training_data_prep": cat.QUERIES["p_training_data_prep"],
+        # r3 additions: the iterative-algorithm family (driver-side
+        # loops over keyed shuffles) and the decontamination join
+        "q_pagerank_transitions": cat.QUERIES["q_pagerank_transitions"],
+        "s_kmeans_embeddings": cat.QUERIES["s_kmeans_embeddings"],
+        "d_contamination_check": cat.QUERIES["d_contamination_check"],
     }
 
     # Warmup: JIT/codegen compilation, Arrow runtime init, parquet

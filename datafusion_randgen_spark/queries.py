@@ -3977,6 +3977,41 @@ def t_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_datasource_filter_pushdown",
+    oracle="""
+    SELECT 1000 AS n_rows, 100 AS min_id, 1099 AS max_id,
+           1000 AS n_in_range
+    """,
+)
+def r_datasource_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-time predicate pushdown in the randgen table provider
+    (Spark 4.1 Python Data Source ``pushFilters``): an id-range filter
+    reaches the reader BEFORE planning, so only the surviving id range
+    is ever generated.  This scan declares 10^9 rows but materializes
+    exactly 1000 — unpruned it would grind through a billion NumPy rows,
+    so the entry doubles as a tripwire: a pushdown regression turns it
+    from milliseconds into a driver timeout.  Volatile mode only —
+    seeded reads decline the filters (values are per-split stream
+    positional; see python_datasource.py) and Spark re-applies them."""
+    _prep(spark, sf_dir)
+    df = (
+        spark.read.format("randgen")
+        .option("rows", 1_000_000_000)
+        .option("partitions", 8)
+        .option("lo", 1)
+        .option("hi", 100)
+        .load()
+        .filter((F.col("id") >= 100) & (F.col("id") < 1100))
+    )
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.count_if(F.col("x").between(1, 100)).alias("n_in_range"),
+    )
+
+
+@query(
     "r_python_datasource_props",
     oracle="""
     SELECT 20000 AS n_rows, 0 AS n_out_of_bounds, 0 AS n_dup_ids,

@@ -78,17 +78,71 @@ class RandgenReader(DataSourceReader):
             raise ValueError(f"randgen: lo ({self.lo}) > hi ({self.hi})")
         if self.rows < 0:
             raise ValueError(f"randgen: rows ({self.rows}) must be >= 0")
+        # id-range pruned by pushFilters (generation-time predicate
+        # pushdown: rows outside the range are never generated)
+        self.row_lo = 0
+        self.row_hi = self.rows
+
+    def pushFilters(self, filters):
+        """Generation-time filter pushdown on the ``id`` column: a
+        conjunctive range predicate shrinks [row_lo, row_hi) so pruned
+        rows are never generated at all — at 10^9-row scale the
+        difference between a metadata-only scan and minutes of NumPy.
+
+        Sound ONLY for volatile (unseeded) reads: seeded splits draw
+        their x/u values from sequential per-split RNG streams, so
+        changing the generated range would change surviving rows'
+        values — seeded mode therefore declines every filter and lets
+        Spark evaluate them post-scan (correct, just unpruned).  The
+        splitmix64 pure-function-of-id scheme the STREAM reader uses
+        (`_splitmix` above) is the upgrade path if seeded pruning is
+        ever needed."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        if self.seed is not None:
+            yield from filters
+            return
+        for f in filters:
+            v = getattr(f, "value", None)
+            if getattr(f, "attribute", None) == ("id",) and isinstance(
+                v, int
+            ) and not isinstance(v, bool):
+                if isinstance(f, GreaterThan):
+                    self.row_lo = max(self.row_lo, v + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.row_lo = max(self.row_lo, v)
+                    continue
+                if isinstance(f, LessThan):
+                    self.row_hi = min(self.row_hi, v)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.row_hi = min(self.row_hi, v + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.row_lo = max(self.row_lo, v)
+                    self.row_hi = min(self.row_hi, v + 1)
+                    continue
+            yield f  # unsupported: Spark re-applies it post-scan
 
     def partitions(self):
-        if self.rows == 0:
+        lo, hi = max(0, self.row_lo), min(self.rows, self.row_hi)
+        count = hi - lo
+        if count <= 0:
             # one empty split: the ceil-division below would build
-            # range(0, 0, 0), and an EMPTY list makes Spark call
+            # range(lo, lo, 0), and an EMPTY list makes Spark call
             # read(None) with no partition object at all
             return [_Split(0, 0, 0)]
-        per = -(-self.rows // self.n_parts)  # ceil
+        per = -(-count // self.n_parts)  # ceil
         return [
-            _Split(i, start, min(start + per, self.rows))
-            for i, start in enumerate(range(0, self.rows, per))
+            _Split(i, start, min(start + per, hi))
+            for i, start in enumerate(range(lo, hi, per))
         ]
 
     def read(self, split: _Split):
@@ -128,6 +182,10 @@ class RandgenDataSource(DataSource):
 def register_datasources(spark) -> None:
     """Idempotently register the randgen table provider and the
     pyparquet two-phase-commit sink."""
+    # RandgenReader implements pushFilters(); Spark HARD-ERRORS any
+    # scan of such a reader while this conf is off (rather than
+    # ignoring the hook), so enabling it here is part of registration
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(RandgenDataSource)
     spark.dataSource.register(PyParquetSink)
 

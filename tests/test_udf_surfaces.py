@@ -228,3 +228,68 @@ def test_arrow_normalize_handles_null_and_empty_rows(spark):
     assert [round(x, 6) for x in rows[1]] == [0.6, 0.8]
     assert rows[2] is None
     assert rows[3] == []
+
+
+def test_python_datasource_filter_pushdown_prunes_generation(spark):
+    """Volatile reads push id-range filters into the reader: the
+    pruned split set covers exactly the surviving range, so out-of-
+    range rows are never generated."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    from datafusion_randgen_spark.sources.python_datasource import RandgenReader
+
+    r = RandgenReader({"rows": "1000000", "partitions": "4"})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 100),
+                LessThan(("id",), 1100),
+                IsNotNull(("id",)),
+                EqualTo(("x",), 5),  # non-id: must come back
+            ]
+        )
+    )
+    # unsupported filters returned by reference for Spark to re-apply
+    assert {type(f).__name__ for f in leftover} == {"IsNotNull", "EqualTo"}
+    parts = r.partitions()
+    assert parts[0].start == 100 and parts[-1].end == 1100
+    assert sum(p.end - p.start for p in parts) == 1000
+
+
+def test_python_datasource_seeded_declines_pushdown(spark):
+    """Seeded values are per-split stream positional, so pruning would
+    change them — the reader must hand every filter back and produce
+    the SAME values filtered post-scan."""
+    from pyspark.sql.datasource import LessThan
+
+    from datafusion_randgen_spark.sources.python_datasource import RandgenReader
+
+    r = RandgenReader({"rows": "1000", "seed": "7"})
+    fs = [LessThan(("id",), 10)]
+    assert list(r.pushFilters(fs)) == fs
+    assert r.partitions()[-1].end == 1000  # range untouched
+    # end-to-end: seeded scan + filter equals unfiltered scan head
+    full = (
+        spark.read.format("randgen")
+        .option("rows", 1000).option("seed", 7).option("partitions", 2)
+        .load().filter("id < 10").orderBy("id").collect()
+    )
+    assert [row["id"] for row in full] == list(range(10))
+
+
+def test_python_datasource_pushdown_empty_range(spark):
+    """Contradictory range prunes to a single empty split, not an
+    empty split list (Spark would pass read(None))."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from datafusion_randgen_spark.sources.python_datasource import RandgenReader
+
+    r = RandgenReader({"rows": "1000"})
+    list(r.pushFilters([GreaterThanOrEqual(("id",), 500), LessThan(("id",), 500)]))
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].start == parts[0].end
