@@ -47,6 +47,9 @@ _NAMED_WEIGHT = {
     "q_variant_semistructured": 8,
     "q_profile_stats": 8,
     "q_recursive_cte": 8,
+    "r_datasource_filter_pushdown": 8,
+    "st_foreachbatch_upsert": 8,
+    "q_pagerank_transitions": 8,
     # r3: complete the partially-verified SURVEY components in one
     # window — D9 (the 16 TPC-H shapes without a driver row yet), D14
     # (event analytics beyond sessionization), D15 (stratified
