@@ -5744,6 +5744,129 @@ def st_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT)
+            FROM orders) AS n_null_key,
+           (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders) AS n_dup_orderkey,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+             AS n_ri_violations,
+           (SELECT CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT)
+            FROM orders) AS n_nonpositive_price
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation report (the pre-ingest gate every
+    training pipeline runs): null-rate on the key, primary-key
+    uniqueness, referential integrity orders→customer, and a value-
+    range constraint — one row of violation counts.
+
+    Scale design: the null/dup/range checks ride ONE scan as a
+    multi-aggregate; the RI check is a left-anti join against the
+    DISTINCT key set of the dimension (broadcast when it fits —
+    customer keys, not customer rows, cross the wire)."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    c_keys = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    stats = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("o_custkey").isNull()).alias("n_null_key"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_dup_orderkey"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("n_nonpositive_price"),
+    )
+    ri = (
+        o.join(
+            F.broadcast(c_keys),
+            o.o_custkey == c_keys.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_ri_violations"))
+    )
+    return stats.crossJoin(ri).select(
+        "n_rows", "n_null_key", "n_dup_orderkey", "n_ri_violations",
+        "n_nonpositive_price",
+    )
+
+
+@query(
+    "q_changelog_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             round(CASE WHEN o_orderkey % 7 = 0
+                        THEN o_totalprice * 1.1
+                        ELSE o_totalprice END, 2) AS price
+      FROM orders WHERE o_orderkey % 10 != 1
+    ),
+    d AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             o.price AS op, n.price AS np,
+             o.o_orderkey IS NULL AS ins,
+             n.o_orderkey IS NULL AS del
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT CAST(count(*) FILTER (ins) AS BIGINT) AS n_inserted,
+           CAST(count(*) FILTER (del) AS BIGINT) AS n_deleted,
+           CAST(count(*) FILTER (NOT ins AND NOT del AND op != np)
+                AS BIGINT) AS n_updated,
+           CAST(count(*) FILTER (NOT ins AND NOT del AND op = np)
+                AS BIGINT) AS n_unchanged
+    FROM d
+    """,
+)
+def q_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff → changelog: compare two table versions by key and
+    classify every row as inserted / deleted / updated / unchanged —
+    how a plain-parquet pipeline derives a CDC feed without a table
+    format's commit log (the batch complement of
+    st_foreachbatch_upsert, which CONSUMES such a feed).
+
+    Versions are derived deterministically from orders (every key %10
+    == 0 is an insert, %10 == 1 a delete, %7 == 0 a price update).
+    One shuffle: the full-outer join on the key; the classification is
+    a map-side CASE over the join output."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    new = o.filter(F.col("o_orderkey") % 10 != 1).select(
+        "o_orderkey",
+        F.round(
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("price"),
+    )
+    j = old.alias("o").join(
+        new.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full_outer",
+    )
+    ins = F.col("o.o_orderkey").isNull()
+    dele = F.col("n.o_orderkey").isNull()
+    return j.agg(
+        F.count_if(ins).alias("n_inserted"),
+        F.count_if(dele).alias("n_deleted"),
+        F.count_if(
+            ~ins & ~dele & (F.col("o.price") != F.col("n.price"))
+        ).alias("n_updated"),
+        F.count_if(
+            ~ins & ~dele & (F.col("o.price") == F.col("n.price"))
+        ).alias("n_unchanged"),
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
