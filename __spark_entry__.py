@@ -68,6 +68,9 @@ _NAMED_WEIGHT = {
             "q_stratified_sample q_outlier_zscore"
         ).split()
     },
+    # q_dq_checks / q_changelog_diff intentionally stay at default
+    # weight (r4): the r3 window is already full of must-haves (reds,
+    # the 16 TPC-H shapes, the promoted first-class ops).
     # r3 demotions to make room (wait for r4): redundant with entries
     # already green or already in the window (null-semantics / window
     # -frame / set-op coverage overlap).

@@ -36,7 +36,12 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -97,14 +102,6 @@ class RandgenReader(DataSourceReader):
         splitmix64 pure-function-of-id scheme the STREAM reader uses
         (`_splitmix` above) is the upgrade path if seeded pruning is
         ever needed."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            LessThan,
-            LessThanOrEqual,
-        )
-
         if self.seed is not None:
             yield from filters
             return
@@ -132,7 +129,9 @@ class RandgenReader(DataSourceReader):
             yield f  # unsupported: Spark re-applies it post-scan
 
     def partitions(self):
-        lo, hi = max(0, self.row_lo), min(self.rows, self.row_hi)
+        # invariants: 0 <= row_lo (only ever raised) and row_hi <= rows
+        # (only ever lowered), so no clamping is needed here
+        lo, hi = self.row_lo, self.row_hi
         count = hi - lo
         if count <= 0:
             # one empty split: the ceil-division below would build

@@ -194,8 +194,15 @@ def run_stream_foreachbatch(df: DataFrame, batch_fn, checkpoint: str):
     sink: start → processAllAvailable → stop.  ``batch_fn(batch_df,
     batch_id)`` owns the write — the escape hatch for sinks Structured
     Streaming lacks natively (MERGE into plain parquet, JDBC upsert,
-    multi-table fan-out); the checkpoint dir gives batch-id-based
-    restart idempotence."""
+    multi-table fan-out).
+
+    The checkpoint makes Spark replay uncommitted batches with the
+    SAME batch_id after a restart; making that replay safe is the
+    batch_fn's job (e.g. write to a batch_id-derived path, as
+    ``st_foreachbatch_upsert`` does).  Restart RECOVERY of
+    driver-local merge state (like that entry's current-version
+    pointer) is NOT provided — a production caller must rehydrate its
+    pointer from durable storage, not a process-local variable."""
     q = (
         df.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint)

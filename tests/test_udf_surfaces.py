@@ -230,7 +230,7 @@ def test_arrow_normalize_handles_null_and_empty_rows(spark):
     assert rows[3] == []
 
 
-def test_python_datasource_filter_pushdown_prunes_generation(spark):
+def test_python_datasource_filter_pushdown_prunes_generation():
     """Volatile reads push id-range filters into the reader: the
     pruned split set covers exactly the surviving range, so out-of-
     range rows are never generated."""
@@ -282,7 +282,7 @@ def test_python_datasource_seeded_declines_pushdown(spark):
     assert [row["id"] for row in full] == list(range(10))
 
 
-def test_python_datasource_pushdown_empty_range(spark):
+def test_python_datasource_pushdown_empty_range():
     """Contradictory range prunes to a single empty split, not an
     empty split list (Spark would pass read(None))."""
     from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
