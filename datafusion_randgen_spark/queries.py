@@ -5867,6 +5867,59 @@ def q_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ab_test_stats",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (user_id % 2 = 1) AS BIGINT) AS n_b,
+             round(avg(value) FILTER (user_id % 2 = 0), 4) AS mean_a,
+             round(avg(value) FILTER (user_id % 2 = 1), 4) AS mean_b,
+             round(var_samp(value) FILTER (user_id % 2 = 0), 4) AS var_a,
+             round(var_samp(value) FILTER (user_id % 2 = 1), 4) AS var_b
+      FROM events
+    )
+    SELECT *,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 4) AS z_score,
+           abs(round((mean_a - mean_b)
+                     / sqrt(var_a / n_a + var_b / n_b), 4)) > 1.96
+             AS significant
+    FROM s
+    """,
+)
+def q_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: a two-sample z-test over a
+    deterministic 50/50 user split (user_id parity plays the variant
+    assignment) — per-arm counts, means, sample variances, the z
+    statistic, and the 95% significance verdict.
+
+    Scale design: both arms ride ONE scan as conditional aggregates
+    (no per-arm subqueries, no shuffle beyond the single global agg);
+    the z computation runs on the ROUNDED moments so cross-engine
+    last-bit variance jitter (parallel Welford merge order) can never
+    reach the hashed output."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("v"), "value"
+    )
+    a, b = F.col("v") == 0, F.col("v") == 1
+    s = ev.agg(
+        F.count_if(a).alias("n_a"),
+        F.count_if(b).alias("n_b"),
+        F.round(F.avg(F.when(a, F.col("value"))), 4).alias("mean_a"),
+        F.round(F.avg(F.when(b, F.col("value"))), 4).alias("mean_b"),
+        F.round(F.var_samp(F.when(a, F.col("value"))), 4).alias("var_a"),
+        F.round(F.var_samp(F.when(b, F.col("value"))), 4).alias("var_b"),
+    )
+    z = F.round(
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+        4,
+    )
+    return s.select("*", z.alias("z_score"), (F.abs(z) > 1.96).alias("significant"))
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
