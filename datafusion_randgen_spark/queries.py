@@ -5920,6 +5920,76 @@ def q_ab_test_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("*", z.alias("z_score"), (F.abs(z) > 1.96).alias("significant"))
 
 
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE), DATE '2024-03-01')
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(value), 2) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY recency_days, user_id) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      FROM rfm
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events: per-user metrics, quartile scores via ntile, and a
+    rule-based segment label — the standard marketing-analytics shape.
+
+    Scale design: one shuffle for the per-user aggregate; the three
+    ntile windows run over the USER-level frame (users, not events)
+    with a global order — at extreme user counts these become range-
+    partitioned sorts; ties are broken by user_id so quartile
+    boundaries are deterministic in both engines."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    rfm = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-03-01").cast("date"), F.max("ts").cast("date")
+        ).cast("long").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy("recency_days", "user_id")
+    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
+    m_w = Window.orderBy(F.col("monetary").desc(), "user_id")
+    scored = rfm.select(
+        "*",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        F.when(
+            (F.col("r_score") == 1) & (F.col("f_score") == 1), "champion"
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "at_risk")
+        .otherwise("regular")
+        .alias("segment"),
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
