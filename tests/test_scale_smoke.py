@@ -75,3 +75,44 @@ def test_minhash_lsh_finds_planted_twins_at_scale(big_docs):
     # identical texts share every shingle -> every band collides -> LSH
     # recall on exact twins is 1.0 by construction
     assert planted <= found
+
+
+def test_contamination_check_at_scale(big_docs):
+    """5-gram decontamination at ~200k docs: every planted twin of a
+    'benchmark' doc must register as contaminated (its text exists
+    verbatim in the train split), and the join stays hash-only."""
+    from datafusion_randgen_spark import plans
+    from datafusion_randgen_spark.functions import text as tx
+    from datafusion_randgen_spark.queries import _word_grams
+
+    grams = big_docs.select(
+        "doc_id",
+        F.explode(_word_grams(tx.tokens(F.col("text")), 5)).alias("g"),
+    )
+    bench_ids = F.col("doc_id") >= N_DOCS  # the planted twins
+    train = grams.filter(~bench_ids).select("g").distinct()
+    bench = grams.filter(bench_ids).distinct()
+    overlap = bench.join(train, "g").groupBy("doc_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    plan = plans.physical_plan(overlap)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # every twin's grams all exist in train (its source doc is there)
+    assert overlap.filter(F.col("n_hit") > 0).count() == N_DUP_PAIRS
+
+
+def test_kmeans_combiner_pattern_at_scale(spark):
+    """k-means over 200k synthetic 32-dim vectors: per-iteration driver
+    traffic is k x dim partials, raw vectors never shuffle, inertia
+    stays monotone."""
+    from datafusion_randgen_spark.functions.vectors import synthetic_embeddings
+    from datafusion_randgen_spark.operators import clustering
+
+    emb = synthetic_embeddings(
+        spark, n=200_000, dim=32, n_clusters=8, seed=5, num_partitions=16
+    ).localCheckpoint(eager=True)
+    _, inertias, assignments = clustering.kmeans(
+        emb, k=8, iterations=3, id_col="vec_id", vec_col="embedding"
+    )
+    assert assignments.count() == 200_000
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
