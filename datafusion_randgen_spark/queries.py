@@ -5990,6 +5990,101 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_skyline_pareto",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate
+      FROM orders WHERE o_orderkey % 4 = 0
+    )
+    SELECT a.o_orderkey, a.cents, a.o_orderdate
+    FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.cents < a.cents AND b.o_orderdate > a.o_orderdate
+    )
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query: orders not strictly dominated on
+    (minimize price, maximize date).  The Spark side is the SORT-BASED
+    skyline — one range-frame window over price-ascending order keeps a
+    row iff its date exceeds the running max among all STRICTLY cheaper
+    rows — while the oracle independently recomputes the answer with
+    the textbook quadratic NOT EXISTS, so two different algorithms must
+    agree (the strongest oracle form in the catalog).
+
+    Scale design: one range-partitioned sort + a windowed cummax —
+    O(n log n) and shuffle-light vs the oracle's O(n²) self-join; price
+    is bucketed to integer cents so the strict-dominance RANGE frame
+    (UNBOUNDED PRECEDING .. 1 PRECEDING) is exact, never a float
+    epsilon."""
+    _prep(spark, sf_dir)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderdate",
+        )
+    )
+    w = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    best_prior = F.max("o_orderdate").over(w)
+    return (
+        o.withColumn("__best", best_prior)
+        .filter(F.col("__best").isNull() | (F.col("o_orderdate") >= F.col("__best")))
+        .select("o_orderkey", "cents", "o_orderdate")
+    )
+
+
+@query(
+    "q_last_touch_attribution",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts < p.ts) AS attributed_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent STRICTLY-earlier click (NULL when none).
+    The Spark side is a single per-user event-time window (running max
+    of click timestamps over preceding rows) — one shuffle on user_id,
+    no self-join; the oracle recomputes it with a correlated subquery,
+    so again two different algorithms must agree.
+
+    Ties: the subquery demands STRICTLY earlier clicks, but a same-ts
+    click could fall in the ROWS-preceding frame — so the window result
+    is nulled unless it is < the purchase ts, making the two forms
+    equivalent even if fixture drift ever produces same-timestamp
+    events for one user (today's fixtures are microsecond-unique)."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    strict = F.when(prior_click < F.col("ts"), prior_click)
+    return (
+        ev.withColumn("attributed_click_ts", strict)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "attributed_click_ts",
+        )
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
