@@ -6085,6 +6085,72 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT (e * 1103515245 + 12345) % 1000003 % 1000 AS a,
+             (e * 69069 + 1) % 999983 % 1000 AS b
+      FROM range(0, 5000) r(e)
+    ),
+    edges AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a != b
+    )
+    SELECT (SELECT CAST(count(DISTINCT n) AS BIGINT)
+            FROM (SELECT u AS n FROM edges UNION SELECT v FROM edges))
+             AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting — the canonical graph-analytics
+    join pattern: orient every undirected edge low→high, then count
+    wedges (a,b),(b,c) closed by (a,c) with two equi-joins.  The graph
+    is synthesized deterministically from integer hashes (1000 nodes,
+    ~5000 edges) so both engines build the identical edge set.
+
+    Scale design: orientation makes each triangle counted exactly once
+    and caps join fan-out; at real scale the orientation key is DEGREE
+    (low-degree→high-degree), which bounds the wedge count by m^1.5
+    and prevents hub-node skew from dominating a shuffle — noted here,
+    id-orientation suffices for the synthetic graph.  Both joins are
+    hash equi-joins on edge endpoints."""
+    _prep(spark, sf_dir)
+    raw = spark.range(0, 5000).select(
+        ((F.col("id") * 1103515245 + 12345) % 1000003 % 1000).alias("a"),
+        ((F.col("id") * 69069 + 1) % 999983 % 1000).alias("b"),
+    )
+    edges = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("u").alias("n")).union(
+        edges.select(F.col("v").alias("n"))
+    ).distinct()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri)
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
