@@ -142,3 +142,67 @@ def test_udtf_random_specs_analyze_and_evaluate(spark, kinds, seed, data):
     assert len(rows) == 30
     again = spark.sql(f"SELECT * FROM randgen_table(30, '{spec}', {seed})").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+@_settings
+@given(
+    vals=hs.lists(
+        hs.integers(min_value=-(2**31), max_value=2**31),
+        min_size=1,
+        max_size=60,
+    ),
+    n_buckets=hs.integers(min_value=1, max_value=7),
+)
+def test_global_cumsum_matches_sequential_prefix_sum(spark, vals, n_buckets):
+    """The two-phase distributed prefix sum must equal the sequential
+    running total for ANY integer sequence and ANY bucket count
+    (boundary ties, negative values, single-element buckets)."""
+    from datafusion_randgen_spark.operators import scale
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    got = {
+        r["k"]: r["c"]
+        for r in scale.global_cumsum(
+            df, "k", "v", out_col="c", num_buckets=n_buckets
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+@_settings
+@given(
+    edges=hs.lists(
+        hs.tuples(
+            hs.sampled_from("abcdef"), hs.sampled_from("abcdef"),
+            hs.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+    ).filter(lambda es: any(a != b for a, b, _ in es)),
+)
+def test_pagerank_mass_conserved_on_random_graphs(spark, edges):
+    """On any self-loop-free weighted graph, total rank mass stays ~1
+    after damped iterations as long as every node has outgoing edges;
+    to guarantee that, the test symmetrizes the edge set (u<->v), which
+    also exercises multi-edge weight merging."""
+    from datafusion_randgen_spark.operators import graph
+
+    sym = {}
+    for a, b, w in edges:
+        if a == b:
+            continue
+        sym[(a, b)] = sym.get((a, b), 0) + w
+        sym[(b, a)] = sym.get((b, a), 0) + w
+    e = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in sym.items()], "src string, dst string, w long"
+    )
+    ranks = graph.pagerank(e, iterations=3, round_to=None).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert all(r["rank"] > 0 for r in ranks)
