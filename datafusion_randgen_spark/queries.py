@@ -6151,6 +6151,96 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_fuzzy_join_symspell",
+    oracle="""
+    WITH base AS (
+      SELECT e,
+             (SELECT string_agg(chr(97 + CAST((x * x % 2147483647 + x)
+                                              % 2147483647 % 26 AS INT)),
+                                '' ORDER BY i)
+              FROM (SELECT i, (e*26 + i + 1) * 16807 % 2147483647 AS x
+                    FROM range(0, 6) r2(i)) t) AS w
+      FROM range(0, 1800) r(e)
+    ),
+    mutated AS (
+      SELECT substr(w, 1, (e % 6))
+             || chr(97 + (ascii(substr(w, (e % 6) + 1, 1)) - 97 + 1) % 26)
+             || substr(w, (e % 6) + 2) AS w
+      FROM base WHERE e < 200
+    ),
+    d AS (SELECT DISTINCT w
+          FROM (SELECT w FROM base UNION ALL SELECT w FROM mutated)),
+    pairs AS (
+      SELECT a.w AS w_a, b.w AS w_b
+      FROM d a JOIN d b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_words,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_near_pairs
+    """,
+)
+def q_fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join at edit distance ≤ 1 via SymSpell deletion-
+    neighborhood hashing: each word emits itself plus its 6 single-
+    deletion variants; any distance-≤1 pair MUST share a variant
+    (substitution → delete the differing position from both; indel →
+    one word IS the other's deletion), so candidates come from a hash
+    equi-join on variants and only candidates pay a levenshtein
+    verification.  The oracle recomputes the answer with the quadratic
+    all-pairs levenshtein join — two structurally different algorithms
+    must agree (200 planted one-substitution mutants guarantee the
+    answer is non-trivial).
+
+    Scale design: the variant join replaces the O(n²) cross join with
+    O(n·(len+1)) fixed-width keys — the same inverted-index shape as
+    the shingle dedup family; the vocabulary is synthesized from a
+    squared-LCG so both engines build the identical word set (affine
+    hashes mod 26 are Weyl-structured and collapse — squaring breaks
+    the linearity)."""
+    _prep(spark, sf_dir)
+    M = 2147483647
+
+    def char_at(e, i):
+        x = (e * 26 + i + 1) * 16807 % M
+        y = (x * x % M + x) % M % 26
+        return F.char(F.lit(97) + y)
+
+    e = F.col("id")
+    base = spark.range(0, 1800).select(
+        "id", F.concat(*[char_at(e, i) for i in range(6)]).alias("w")
+    )
+    mutated = base.filter(F.col("id") < 200).select(
+        F.expr(
+            "concat(substr(w, 1, id % 6),"
+            " char(97 + (ascii(substr(w, id % 6 + 1, 1)) - 97 + 1) % 26),"
+            " substr(w, id % 6 + 2)) AS w"
+        )
+    )
+    d = base.select("w").unionByName(mutated).distinct()
+    variants = d.select(
+        "w",
+        F.explode(
+            F.array(
+                F.col("w"),
+                *[
+                    F.expr(f"concat(substr(w, 1, {j - 1}), substr(w, {j + 1}))")
+                    for j in range(1, 7)
+                ],
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
+        .select(F.col("a.w").alias("w_a"), F.col("b.w").alias("w_b"))
+        .distinct()
+    )
+    pairs = cand.filter(F.levenshtein("w_a", "w_b") <= 1)
+    return d.agg(F.count("*").alias("n_words")).crossJoin(
+        pairs.agg(F.count("*").alias("n_near_pairs"))
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
