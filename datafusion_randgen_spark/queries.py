@@ -5954,10 +5954,14 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule-based segment label — the standard marketing-analytics shape.
 
     Scale design: one shuffle for the per-user aggregate; the three
-    ntile windows run over the USER-level frame (users, not events)
-    with a global order — at extreme user counts these become range-
-    partitioned sorts; ties are broken by user_id so quartile
-    boundaries are deterministic in both engines."""
+    ntile windows run over the USER-level frame (users, not events) —
+    an unpartitioned ordered window, which Spark plans as Exchange
+    SinglePartition: acceptable because the frame is per-user rows,
+    orders of magnitude smaller than events; at extreme user counts
+    the quartile boundaries would come from approxQuantile + a
+    bucketed two-phase pass instead (the operators/scale.py pattern).
+    Ties are broken by user_id so quartile boundaries are
+    deterministic in both engines."""
     _prep(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -6015,11 +6019,14 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook quadratic NOT EXISTS, so two different algorithms must
     agree (the strongest oracle form in the catalog).
 
-    Scale design: one range-partitioned sort + a windowed cummax —
-    O(n log n) and shuffle-light vs the oracle's O(n²) self-join; price
-    is bucketed to integer cents so the strict-dominance RANGE frame
-    (UNBOUNDED PRECEDING .. 1 PRECEDING) is exact, never a float
-    epsilon."""
+    Scale design: O(n log n) vs the oracle's O(n²) self-join.  The
+    unpartitioned cummax window plans as Exchange SinglePartition —
+    fine at this selectivity; the full-scale form range-buckets on
+    price and carries each bucket's max date forward as a broadcast
+    prefix (exactly operators/scale.py:global_cumsum with max instead
+    of sum).  Price is bucketed to integer cents so the strict-
+    dominance RANGE frame (UNBOUNDED PRECEDING .. 1 PRECEDING) is
+    exact, never a float epsilon."""
     _prep(spark, sf_dir)
     o = (
         load_table(spark, sf_dir, "orders")
@@ -6057,24 +6064,28 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     no self-join; the oracle recomputes it with a correlated subquery,
     so again two different algorithms must agree.
 
-    Ties: the subquery demands STRICTLY earlier clicks, but a same-ts
-    click could fall in the ROWS-preceding frame — so the window result
-    is nulled unless it is < the purchase ts, making the two forms
-    equivalent even if fixture drift ever produces same-timestamp
-    events for one user (today's fixtures are microsecond-unique)."""
+    Ties: the subquery demands STRICTLY earlier clicks, so the window
+    orders by integer microseconds with a RANGE frame ending at -1 —
+    the frame contains exactly the rows with ts < current ts, no more,
+    no less.  A ROWS frame plus a post-hoc strictness guard would
+    diverge under same-microsecond events (a tied click would mask
+    strictly-earlier ones into NULL); the RANGE form is equivalent to
+    the subquery for ANY fixture, drift included."""
     _prep(spark, sf_dir)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__us", F.unix_micros("ts")
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy("__us")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     prior_click = F.max(
         F.when(F.col("event_type") == "click", F.col("ts"))
     ).over(w)
-    strict = F.when(prior_click < F.col("ts"), prior_click)
     return (
-        ev.withColumn("attributed_click_ts", strict)
+        ev.withColumn("attributed_click_ts", prior_click)
+        .drop("__us")
         .filter(F.col("event_type") == "purchase")
         .select(
             "event_id",
@@ -6181,12 +6192,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy self-join at edit distance ≤ 1 via SymSpell deletion-
-    neighborhood hashing: each word emits itself plus its 6 single-
-    deletion variants; any distance-≤1 pair MUST share a variant
-    (substitution → delete the differing position from both; indel →
-    one word IS the other's deletion), so candidates come from a hash
+    neighborhood hashing: each word emits its 6 single-deletion
+    variants; any distance-1 substitution pair MUST share one (delete
+    the differing position from both), so candidates come from a hash
     equi-join on variants and only candidates pay a levenshtein
-    verification.  The oracle recomputes the answer with the quadratic
+    verification.  (The general mixed-length form also emits each word
+    itself so indel pairs collide; this vocabulary is fixed-length, so
+    that variant would be inert — see the inline note.)  The oracle recomputes the answer with the quadratic
     all-pairs levenshtein join — two structurally different algorithms
     must agree (200 planted one-substitution mutants guarantee the
     answer is non-trivial).
@@ -6217,15 +6229,18 @@ def q_fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = base.select("w").unionByName(mutated).distinct()
+    # deletion variants only: the identity variant (the word itself)
+    # would matter for indel pairs, but a fixed-length-6 vocabulary
+    # has none (indels change length) and the a.w < b.w condition
+    # excludes equal words — emitting it would only pad the join input
     variants = d.select(
         "w",
         F.explode(
             F.array(
-                F.col("w"),
                 *[
                     F.expr(f"concat(substr(w, 1, {j - 1}), substr(w, {j + 1}))")
                     for j in range(1, 7)
-                ],
+                ]
             )
         ).alias("v"),
     )

@@ -97,8 +97,15 @@ def test_contamination_check_at_scale(big_docs):
     )
     plan = plans.physical_plan(overlap)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
-    # every twin's grams all exist in train (its source doc is there)
-    assert overlap.filter(F.col("n_hit") > 0).count() == N_DUP_PAIRS
+    # EVERY distinct gram of every twin must hit train (its source doc
+    # is there verbatim): per-doc overlap count == per-doc distinct
+    # gram count, not merely >= 1
+    per_doc = bench.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    full = per_doc.join(overlap, "doc_id", "left")
+    assert full.count() == N_DUP_PAIRS
+    assert full.filter(
+        F.col("n_hit").isNull() | (F.col("n_hit") != F.col("n_grams"))
+    ).count() == 0
 
 
 def test_kmeans_combiner_pattern_at_scale(spark):
