@@ -365,3 +365,22 @@ def test_domain_mixture_single_partition_only_on_domain_frame(spark):
     [schema_line] = plans.scan_read_schema(df)
     assert "text" in schema_line and "source" in schema_line
     assert "doc_id" not in schema_line
+
+
+def test_symspell_and_triangle_joins_are_hash_only(spark):
+    """The two newest self-join entries must never degenerate to a
+    nested loop: SymSpell candidates join on the deletion-variant key
+    (the a.w < b.w condition is a post-join filter, not the join key),
+    and triangle counting's two wedge joins key on edge endpoints."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    for name in ("q_fuzzy_join_symspell", "q_triangle_count"):
+        df = QUERIES[name](spark, SF)
+        plan = plans.physical_plan(df)
+        assert "CartesianProduct" not in plan, name
+        # the data-sized joins must be hash joins; the only nested
+        # loops allowed are the 1-row×1-row scalar-assembly crossJoins
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), name
+        n_scalar_crossjoins = 1 if name == "q_fuzzy_join_symspell" else 2
+        assert plan.count("BroadcastNestedLoopJoin") <= n_scalar_crossjoins, name
+        assert plans.python_eval_nodes(df) == 0, name
