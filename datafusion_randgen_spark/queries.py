@@ -6256,6 +6256,45 @@ def q_fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_decimal_exact_money",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS total,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS min_price,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-money arithmetic: monetary values cast to DECIMAL(18,2)
+    BEFORE aggregation, so the sums are exact fixed-point — no IEEE
+    reassociation, no round() crutch.  The rest of the catalog rounds
+    double aggregates instead; this entry pins the deliberate-decimal
+    path, with both engines casting the SUM to an explicit common
+    DECIMAL(24,2) because their automatic sum-precision widening rules
+    differ (Spark 18,2→28,2; DuckDB →38,2) while the driver's
+    value-hash needs matching scale.
+
+    Scale design: decimal aggregation stays inside whole-stage codegen
+    (Spark Decimal is an unscaled long for precision ≤ 18) with
+    map-side partial aggregation — same shuffle profile as the double
+    form."""
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.sum("p").cast("decimal(24,2)").alias("total"),
+        F.min("p").cast("decimal(18,2)").alias("min_price"),
+        F.max("p").cast("decimal(18,2)").alias("max_price"),
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================
