@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "bfs_distances"]
 
 
 def pagerank(
@@ -83,3 +83,47 @@ def pagerank(
             )
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    max_hops: int = 20,
+) -> DataFrame:
+    """Single-source shortest hop distances over directed ``edges(src,
+    dst)`` via level-synchronous BFS; returns ``(node, dist)`` for every
+    node reachable within ``max_hops``.
+
+    Each round expands the current frontier through ONE hash equi-join
+    on ``src``, dedups, and anti-joins the visited set — so a round
+    shuffles (frontier × out-degree) candidate rows, never the whole
+    graph's distance state.  ``localCheckpoint`` after every round
+    truncates the growing lineage (the same discipline as
+    ``dedup.connected_components``); the per-round ``isEmpty`` probe is
+    the standard convergence action (limit-1 scan, not a collect of
+    data).  Frontier-based BFS touches each edge at most once per
+    incident frontier round — on a 100 TB edge list the per-round cost
+    is proportional to the frontier's out-edges, and the visited set
+    holds (node, dist) pairs only.
+    """
+    frontier = (
+        edges.sparkSession.range(1)
+        .select(
+            F.lit(source).cast("long").alias("node"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.union(frontier).localCheckpoint()
+    return visited

@@ -6446,6 +6446,50 @@ def q_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_bfs_shortest_path",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT i AS src, (i + 1) % 200 AS dst FROM range(0, 200) t(i)
+      UNION ALL
+      SELECT i, (i * 2) % 200 FROM range(0, 200) t(i)
+    ),
+    walk(node, dist) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.dst, walk.dist + 1
+      FROM walk JOIN e ON walk.node = e.src
+      WHERE walk.dist < 20
+    )
+    SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node
+    """,
+)
+def q_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop distances: frontier BFS
+    (operators/graph.bfs_distances — one equi-join + anti-join per
+    level, localCheckpoint lineage truncation) over a deterministic
+    200-node graph with ring (+1) and doubling (×2) edges, source 0.
+    The doubling chords give ~log₂ diameter, the iterative-BFS analog
+    of pointer jumping.
+
+    Oracle: a STRUCTURALLY DIFFERENT algorithm — DuckDB's recursive CTE
+    enumerates all (node, dist≤20) walk endpoints (UNION-deduped
+    transitive closure) and takes min(dist); BFS's first-discovery
+    distance must equal that min for every node."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.operators import graph
+
+    base = spark.range(200)
+    edges = base.select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 200).alias("dst")
+    ).union(
+        base.select(F.col("id"), (F.col("id") * 2) % 200)
+    )
+    return graph.bfs_distances(edges, 0, max_hops=20).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+
+
 # =========================================================================
 # entry points used by __spark_entry__.py
 # =========================================================================

@@ -89,3 +89,44 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     n = assignments.count()
     assert n == 10
     assert inertias[-1] <= inertias[0] * (1 + 1e-9)
+
+
+# -------------------------------------------------------------------------
+# bfs_distances
+# -------------------------------------------------------------------------
+
+def _long_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_bfs_chain_distances_are_hop_counts(spark):
+    e = _long_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    got = {r.node: r.dist for r in graph.bfs_distances(e, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_takes_shortest_of_two_routes(spark):
+    # 0->1->2->3 and shortcut 0->3: dist(3) must be 1, not 3
+    e = _long_edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+    got = {r.node: r.dist for r in graph.bfs_distances(e, 0).collect()}
+    assert got[3] == 1
+
+
+def test_bfs_ignores_unreachable_and_respects_direction(spark):
+    # 5->0 edge must not make 5 reachable FROM 0; 7-8 disconnected
+    e = _long_edges(spark, [(0, 1), (5, 0), (7, 8)])
+    got = {r.node: r.dist for r in graph.bfs_distances(e, 0).collect()}
+    assert got == {0: 0, 1: 1}
+
+
+def test_bfs_cycle_terminates_before_max_hops(spark):
+    # 3-cycle: frontier empties at hop 3; self-loop on 1 must not recur
+    e = _long_edges(spark, [(0, 1), (1, 2), (2, 0), (1, 1)])
+    got = {r.node: r.dist for r in graph.bfs_distances(e, 0, max_hops=50).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_max_hops_truncates(spark):
+    e = _long_edges(spark, [(i, i + 1) for i in range(10)])
+    got = {r.node: r.dist for r in graph.bfs_distances(e, 0, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
