@@ -384,3 +384,46 @@ def test_symspell_and_triangle_joins_are_hash_only(spark):
         n_scalar_crossjoins = 1 if name == "q_fuzzy_join_symspell" else 2
         assert plan.count("BroadcastNestedLoopJoin") <= n_scalar_crossjoins, name
         assert plans.python_eval_nodes(df) == 0, name
+
+
+def test_sparse_matmul_is_hash_join_with_partial_aggs(spark):
+    """COO matmul must plan as scan→partial-agg→shuffle→join→partial-agg
+    →shuffle — hash joins only, and BOTH aggregates map-side-combined
+    (two HashAggregate nodes per agg: partial below the exchange)."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["q_sparse_matmul"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert plans.python_eval_nodes(df) == 0
+    # 3 logical aggregates (A histogram, B histogram, output) × 2
+    # (partial + final) — partials prove map-side combine everywhere
+    assert plan.count("HashAggregate") >= 6
+
+
+def test_forward_fill_window_partitions_by_user(spark):
+    """The LOCF window must run partitioned by user — never the
+    unpartitioned form (Exchange SinglePartition over the spine)."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["q_forward_fill_locf"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert plans.python_eval_nodes(df) == 0
+
+
+def test_exact_pctl_histogram_corpus_path_is_one_shuffle(spark):
+    """The corpus flows ONLY through the histogram groupBy (one
+    exchange with a partial aggregate below it); the rank-range joins
+    must broadcast the tiny rank frame, not shuffle the histogram
+    against it."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["q_exact_pctl_histogram"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plans.python_eval_nodes(df) == 0
+    # sort-based percentile would appear as a `percentile` aggregate
+    assert "percentile" not in plan.lower()
