@@ -6447,6 +6447,78 @@ def q_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_lm_surprisal_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+    ), c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT u) AS v
+          FROM (SELECT unnest(t) AS u FROM toks)),
+    scored AS (
+      SELECT b.doc_id,
+             round(ln((c1.c1 + v.v) * 1.0) - ln((c12.c12 + 1) * 1.0), 6) AS s
+      FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(s), 4) AS avg_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t_lm_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM quality score: average bigram surprisal
+    ``-ln p(w2|w1)`` under an add-one-smoothed corpus bigram model —
+    the classic perplexity-style filter for training data (boilerplate
+    scores low, noise scores high).  ``p(w2|w1) = (c12+1)/(c1+V)`` with
+    V = corpus distinct-token count, so each term is
+    ``ln(c1+V) − ln(c12+1)`` — one ln per EXACT integer, rounded to 6
+    before the per-doc average (both engines see identical doubles;
+    the avg re-rounds to 4).
+
+    Scale shape: the bigram stream joins its own count frames on hash
+    keys (w1,w2)/(w1) — vocabulary-sized build sides that Spark
+    auto-broadcasts when small; V rides along as a 1-row cross join.
+    The per-doc aggregate is the only doc-keyed shuffle.  No Python
+    anywhere — tokenize/explode/lead/ln are all whole-stage codegen."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id"),
+        F.posexplode(text.tokens(F.lower(F.col("text")))).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("w1", 1).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = tok.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(v)
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c1") + F.col("v")) * F.lit(1.0))
+                - F.log((F.col("c12") + F.lit(1)) * F.lit(1.0)),
+                6,
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("s"), 4).alias("avg_surprisal"),
+    )
+
+
+@query(
     "q_bfs_shortest_path",
     oracle="""
     WITH RECURSIVE e AS (
