@@ -1,0 +1,68 @@
+"""Sequential time-series operators that genuinely need per-series
+imperative state — the legitimate grouped-``applyInPandas`` use case.
+
+Everything set-oriented (resample, gap fill, LOCF, windows) lives in
+the catalog as pure DataFrame ops; EWMA is the counter-example: the
+recursion ``ew_t = f(ew_{t-1}, x_t)`` has no bounded-depth window
+form, so each series is handed to one Arrow batch and scanned once.
+
+Scale design: ``groupBy(series_key).applyInPandas`` shuffles each
+series to ONE task — parallelism = number of series, the natural unit
+(a 100 TB corpus has millions of series of bounded length, not one
+unbounded one).  State per task is a single accumulator; batch
+transfer is Arrow, never per-row pickling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["ewma_fixed_point"]
+
+
+def ewma_fixed_point(
+    series: DataFrame,
+    key_col: str = "user_id",
+    t_col: str = "t",
+    x_col: str = "x",
+    num: int = 7,
+    den: int = 10,
+) -> DataFrame:
+    """Fixed-point EWMA over integer-unit series: ``ew_1 = x_1``,
+    ``ew_t = (num·ew_{t-1} + (den-num)·x_t) // den`` (integer floor
+    division, i.e. smoothing factor α = (den-num)/den = 0.3 by
+    default).
+
+    Integer fixed-point instead of float recursion is deliberate: it
+    makes the operator's output EXACTLY reproducible across engines
+    and batch boundaries (cross-engine float recursions drift in the
+    last bits; an integer recursion cannot), the same reasoning as
+    exact-money decimal aggregation.  Domain: non-negative inputs
+    (floor division == truncation there; Python's ``//`` floors while
+    some SQL engines truncate, so negatives would diverge).
+
+    Input columns: ``key_col`` (series id), ``t_col`` (1-based dense
+    position), ``x_col`` (integer units).  Output adds ``ew``.
+    """
+    import pandas as pd
+
+    alpha_num = den - num
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col)
+        out = []
+        prev: int | None = None
+        for x in pdf[x_col]:
+            x = int(x)
+            prev = x if prev is None else (num * prev + alpha_num * x) // den
+            out.append(prev)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].values,
+                t_col: pdf[t_col].values,
+                "ew": out,
+            }
+        )
+
+    out_schema = f"{key_col} long, {t_col} int, ew long"
+    return series.groupBy(key_col).applyInPandas(_ewma, schema=out_schema)

@@ -6447,6 +6447,53 @@ def q_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ewma_smoothing",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY hr)
+                  AS INT) AS t,
+             x
+      FROM (SELECT user_id, date_trunc('hour', ts) AS hr,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS x
+            FROM events WHERE user_id < 10 GROUP BY 1, 2)
+    ),
+    ser AS (SELECT * FROM hourly WHERE t <= 48),
+    rec(user_id, t, ew) AS (
+      SELECT user_id, t, x FROM ser WHERE t = 1
+      UNION ALL
+      SELECT s.user_id, s.t, (7 * rec.ew + 3 * s.x) // 10
+      FROM rec JOIN ser s ON s.user_id = rec.user_id AND s.t = rec.t + 1
+    )
+    SELECT user_id, t, ew FROM rec
+    """,
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of each user's hourly revenue series (first 48
+    points, integer cents) via grouped ``applyInPandas``
+    (operators/timeseries.ewma_fixed_point) — the one catalog op whose
+    recursion genuinely has no window form, run as one Arrow batch per
+    series.  Fixed-point integer arithmetic (ew = (7·ew + 3·x) // 10)
+    instead of float recursion so the result is bit-reproducible
+    across engines — the oracle replays the identical recursion as a
+    DuckDB recursive CTE stepping t→t+1."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.operators import timeseries
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.round(F.sum("value") * 100).cast("long").alias("x"))
+    rn = Window.partitionBy("user_id").orderBy("hr")
+    ser = (
+        hourly.withColumn("t", F.row_number().over(rn).cast("int"))
+        .filter(F.col("t") <= 48)
+        .select("user_id", "t", "x")
+    )
+    return timeseries.ewma_fixed_point(ser)
+
+
+@query(
     "t_lm_surprisal_quality",
     oracle="""
     WITH toks AS (

@@ -306,3 +306,28 @@ def test_multimodal_null_payload_yields_null_checksum(spark):
     )
     out = {r.doc_id: r.checksum for r in multimodal.extract_features(media).collect()}
     assert out[1] == sum(b"abc") and out[2] is None
+
+
+# -------------------------------------------------------------------------
+# timeseries.ewma_fixed_point
+# -------------------------------------------------------------------------
+
+def test_ewma_fixed_point_hand_computed(spark):
+    from datafusion_randgen_spark.operators import timeseries
+
+    ser = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 200), (1, 3, 0)], "user_id long, t int, x long"
+    )
+    got = {r.t: r.ew for r in timeseries.ewma_fixed_point(ser).collect()}
+    # ew1=100; ew2=(700+600)//10=130; ew3=(910+0)//10=91
+    assert got == {1: 100, 2: 130, 3: 91}
+
+
+def test_ewma_fixed_point_groups_independent_and_order_insensitive(spark):
+    from datafusion_randgen_spark.operators import timeseries
+
+    rows = [(2, 2, 50), (1, 1, 10), (2, 1, 100), (1, 2, 90)]
+    ser = spark.createDataFrame(rows, "user_id long, t int, x long").repartition(4)
+    got = {(r.user_id, r.t): r.ew for r in timeseries.ewma_fixed_point(ser).collect()}
+    assert got == {(1, 1): 10, (1, 2): (70 + 270) // 10,
+                   (2, 1): 100, (2, 2): (700 + 150) // 10}
