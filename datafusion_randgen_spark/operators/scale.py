@@ -133,9 +133,13 @@ def exact_percentiles(
     ≪ group size (prices, quantities, scores, token counts — the usual
     percentile targets).  For genuinely continuous columns, bucketize
     first (then this is the classic histogram-quantile with bounded
-    error) or use ``percentile_approx``.  Returns one row per
-    (group, p): ``(group_col, p, pct_value)``.
+    error) or use ``percentile_approx``.  NULL values are ignored,
+    matching ``percentile()`` / ``quantile_cont``; a group that is all
+    NULL disappears from the output (the sort-based form returns NULL
+    there instead).  Returns one row per (group, p):
+    ``(group_col, p, pct_value)``.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("__k"))
     cum_w = (
         Window.partitionBy(group_col)

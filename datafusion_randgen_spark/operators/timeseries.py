@@ -41,8 +41,11 @@ def ewma_fixed_point(
     (floor division == truncation there; Python's ``//`` floors while
     some SQL engines truncate, so negatives would diverge).
 
-    Input columns: ``key_col`` (series id), ``t_col`` (1-based dense
-    position), ``x_col`` (integer units).  Output adds ``ew``.
+    Input columns: ``key_col`` (a long series id), ``t_col`` (1-based
+    dense int position), ``x_col`` (long integer units).  Output is
+    exactly ``(key_col long, t_col int, ew long)`` — the input value
+    column and any extra columns are dropped, and the output types are
+    fixed; join back on (key, t) to recover other columns.
     """
     import pandas as pd
 

@@ -6454,8 +6454,12 @@ def q_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(row_number() OVER (PARTITION BY user_id ORDER BY hr)
                   AS INT) AS t,
              x
+      -- greatest(0, ·): the fixed-point recursion is defined on the
+      -- non-negative domain (DuckDB // truncates, Python // floors —
+      -- they agree only for non-negative intermediates), so clamp
+      -- identically on both sides
       FROM (SELECT user_id, date_trunc('hour', ts) AS hr,
-                   CAST(round(sum(value) * 100) AS BIGINT) AS x
+                   greatest(0, CAST(round(sum(value) * 100) AS BIGINT)) AS x
             FROM events WHERE user_id < 10 GROUP BY 1, 2)
     ),
     ser AS (SELECT * FROM hourly WHERE t <= 48),
@@ -6483,7 +6487,11 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.round(F.sum("value") * 100).cast("long").alias("x"))
+    ).agg(
+        F.greatest(
+            F.lit(0).cast("long"), F.round(F.sum("value") * 100).cast("long")
+        ).alias("x")
+    )
     rn = Window.partitionBy("user_id").orderBy("hr")
     ser = (
         hourly.withColumn("t", F.row_number().over(rn).cast("int"))
@@ -6505,8 +6513,11 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
     ), c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
     c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    -- u <> '': a whitespace-only document splits to [''] in DuckDB
+    -- while the Spark tokenizer emits nothing — the empty token must
+    -- not inflate V
     v AS (SELECT count(DISTINCT u) AS v
-          FROM (SELECT unnest(t) AS u FROM toks)),
+          FROM (SELECT unnest(t) AS u FROM toks) WHERE u <> ''),
     scored AS (
       SELECT b.doc_id,
              round(ln((c1.c1 + v.v) * 1.0) - ln((c12.c12 + 1) * 1.0), 6) AS s

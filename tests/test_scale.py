@@ -148,3 +148,18 @@ def test_exact_percentiles_plan_no_corpus_sort(spark):
     assert "percentile" not in plan.lower()
     rows = {r.g: r.pct_value for r in out.collect()}
     assert set(rows) == {0, 1, 2}
+
+
+def test_exact_percentiles_ignore_nulls_like_percentile(spark):
+    # percentile() skips NULLs: [NULL, 1.0, 2.0] has median 1.5
+    df = spark.createDataFrame(
+        [Row(g=1, v=None), Row(g=1, v=1.0), Row(g=1, v=2.0)],
+        "g int, v double",
+    )
+    got = {r.p: r.pct_value
+           for r in scale.exact_percentiles(df, "g", "v", [0.0, 0.5]).collect()}
+    assert got == {0.0: pytest.approx(1.0), 0.5: pytest.approx(1.5)}
+    # an all-NULL group vanishes (documented deviation: sort-based
+    # percentile would return a NULL row)
+    df2 = spark.createDataFrame([Row(g=9, v=None)], "g int, v double")
+    assert scale.exact_percentiles(df2, "g", "v", [0.5]).count() == 0
