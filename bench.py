@@ -103,6 +103,11 @@ def main() -> None:
         "q_pagerank_transitions": cat.QUERIES["q_pagerank_transitions"],
         "s_kmeans_embeddings": cat.QUERIES["s_kmeans_embeddings"],
         "d_contamination_check": cat.QUERIES["d_contamination_check"],
+        # r3 part 2: the histogram exact-percentile (corpus shuffle +
+        # tiny-frame windows) and the COO matmul (hash join + two
+        # map-side-combined aggs) — one probe per new scale family
+        "q_exact_pctl_histogram": cat.QUERIES["q_exact_pctl_histogram"],
+        "q_sparse_matmul": cat.QUERIES["q_sparse_matmul"],
     }
 
     # Warmup: JIT/codegen compilation, Arrow runtime init, parquet

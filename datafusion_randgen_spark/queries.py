@@ -6446,6 +6446,62 @@ def q_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic 64-dim weight vector for the pure-SQL LR scorer; the
+# SAME decimal literals are embedded in the Spark expression and the
+# DuckDB oracle, so both engines parse identical doubles
+_LR_W = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+@query(
+    "s_sql_lr_inference",
+    oracle=f"""
+    WITH scored AS (
+      SELECT label,
+             round(1 / (1 + exp(-(list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE)
+                          * ([{", ".join(repr(w) for w in _LR_W)}])[i]))
+                   + 0.1))), 6) AS score
+      FROM embeddings)
+    SELECT label, count(*) AS n,
+           count(*) FILTER (score > 0.5) AS n_pos,
+           round(avg(score), 4) AS avg_score
+    FROM scored GROUP BY label
+    """,
+)
+def s_sql_lr_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML inference fused into pure SQL expressions (the operator-fusion
+    idea of 'ML Inference Pipeline Execution Using Pure SQL', ICDE
+    2025): logistic-regression scoring of every embedding —
+    ``sigmoid(w·x + b)`` — entirely in Catalyst (``zip_with`` product +
+    sequential ``aggregate`` fold + ``exp``), zero Python, zero UDF.
+    At 100 TB this is THE shape for cheap model scoring: the dot
+    product rides inside whole-stage codegen in the same scan pipeline
+    as the aggregation — no batch handoff, no inference service.
+
+    Both engines fold the products left-to-right over identical
+    doubles (float32 elements cast exactly; identical weight
+    literals), so the pre-round score agrees to the last bits; round-6
+    then re-sync before the grouped aggregate."""
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    warr = F.array(*[F.lit(w) for w in _LR_W])
+    z = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), warr, lambda x, w: x.cast("double") * w
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) + F.lit(0.1)
+    scored = emb.select(
+        "label", F.round(1 / (1 + F.exp(-z)), 6).alias("score")
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("score") > 0.5).alias("n_pos"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )
+
+
 @query(
     "q_ewma_smoothing",
     oracle="""

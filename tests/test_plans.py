@@ -427,3 +427,13 @@ def test_exact_pctl_histogram_corpus_path_is_one_shuffle(spark):
     assert plans.python_eval_nodes(df) == 0
     # sort-based percentile would appear as a `percentile` aggregate
     assert "percentile" not in plan.lower()
+
+
+def test_sql_lr_inference_is_pure_codegen(spark):
+    """The LR scorer's claim: dot product + sigmoid + aggregate all
+    JVM-side — zero Python nodes, one exchange (the label groupBy)."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["s_sql_lr_inference"](spark, SF)
+    assert plans.python_eval_nodes(df) == 0
+    assert plans.exchange_count(df) <= 1
