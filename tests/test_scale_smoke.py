@@ -123,3 +123,43 @@ def test_kmeans_combiner_pattern_at_scale(spark):
     )
     assert assignments.count() == 200_000
     assert all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
+
+
+def test_exact_percentiles_at_scale(spark):
+    """5M rows, 3 groups, 100 distinct values: the histogram method
+    must return the same medians percentile() would, while shuffling
+    only the ~300-row histogram past the first aggregate."""
+    from datafusion_randgen_spark.operators import scale
+
+    df = spark.range(0, 5_000_000, 1, 32).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 7919) % 100).cast("double").alias("v"),
+    )
+    got = {
+        (r.g, r.p): r.pct_value
+        for r in scale.exact_percentiles(df, "g", "v", [0.25, 0.5, 0.75]).collect()
+    }
+    want_rows = df.groupBy("g").agg(
+        F.expr("percentile(v, array(0.25, 0.5, 0.75))").alias("ps")
+    ).collect()
+    want = {
+        (r.g, p): r.ps[i]
+        for r in want_rows
+        for i, p in enumerate([0.25, 0.5, 0.75])
+    }
+    assert got == pytest.approx(want)
+
+
+def test_bfs_distances_at_scale(spark):
+    """1M-node ring+doubling graph: BFS from 0 must terminate in
+    ~log2(n) frontier rounds (≤ 45 hops covers n=1M via doubling),
+    with per-round state bounded by the frontier."""
+    from datafusion_randgen_spark.operators import graph
+
+    n = 1_000_000
+    base = spark.range(n)
+    edges = base.select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    ).union(base.select(F.col("id"), (F.col("id") * 2) % n))
+    out = graph.bfs_distances(edges, 0, max_hops=45)
+    assert out.count() == n  # every node reachable within the cap
