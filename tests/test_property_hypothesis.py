@@ -206,3 +206,54 @@ def test_pagerank_mass_conserved_on_random_graphs(spark, edges):
     total = sum(r["rank"] for r in ranks)
     assert total == pytest.approx(1.0, abs=1e-6)
     assert all(r["rank"] > 0 for r in ranks)
+
+
+# -------------------------------------------------------------------------
+# r3 operators: histogram percentiles and fixed-point EWMA
+# -------------------------------------------------------------------------
+
+@_settings
+@given(
+    vals=hs.lists(
+        hs.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+    p=hs.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_exact_percentiles_equals_sort_based_any_input(spark, vals, p):
+    """Histogram method ≡ percentile() for arbitrary duplicated /
+    signed / tiny inputs and any p."""
+    from datafusion_randgen_spark.operators import scale
+
+    df = spark.createDataFrame(
+        [(1, float(v)) for v in vals], "g int, v double"
+    )
+    got = scale.exact_percentiles(df, "g", "v", [p]).collect()[0].pct_value
+    want = df.agg(F.expr(f"percentile(v, {p!r})").alias("w")).collect()[0].w
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+@_settings
+@given(
+    xs=hs.lists(
+        hs.integers(min_value=0, max_value=10**6), min_size=1, max_size=30
+    )
+)
+def test_ewma_fixed_point_matches_python_reference(spark, xs):
+    """The distributed EWMA must equal the sequential recursion, and
+    stay inside [min(xs), max(xs)] (a convex combination, up to the
+    floor-division bias which can only pull toward zero by < 1)."""
+    from datafusion_randgen_spark.operators import timeseries
+
+    ser = spark.createDataFrame(
+        [(1, t + 1, x) for t, x in enumerate(xs)], "user_id long, t int, x long"
+    )
+    got = [
+        r.ew
+        for r in timeseries.ewma_fixed_point(ser).orderBy("t").collect()
+    ]
+    want, prev = [], None
+    for x in xs:
+        prev = x if prev is None else (7 * prev + 3 * x) // 10
+        want.append(prev)
+    assert got == want
+    assert all(min(xs) - 1 <= e <= max(xs) for e in got)
