@@ -223,3 +223,64 @@ def run_stream_to_memory(df: DataFrame, name: str, spark: SparkSession, mode: st
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def tws_user_totals(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` — the Spark 4 arbitrary-state API
+    (state API v2) twin of :func:`stateful_user_totals`: the same
+    per-user (count, value total) accumulator, but held in a named
+    ``ValueState`` managed by a ``StatefulProcessor`` instead of the
+    legacy ``GroupState`` tuple.  The v2 API is where stateful
+    streaming is headed (typed state variables, timers, TTL per state,
+    initial-state bootstrap), so the engine exercises both.
+
+    Requires the RocksDB state store provider (the only provider that
+    implements state API v2) — the caller sets
+    ``spark.sql.streaming.stateStore.providerClass`` before starting
+    the query; state volume is bounded by live keys, and RocksDB spills
+    it off-heap, the 100 TB-stream configuration anyway.
+
+    ENVIRONMENT-GATED, not catalog-registered: the v2 state protocol
+    speaks protobuf between the JVM and the Python StatefulProcessor
+    (``pyspark/sql/streaming/proto/StateMessage_pb2.py``), and this
+    container has no ``google.protobuf`` — starting the query here dies
+    with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
+    ImportError (verified).  The operator code is complete and
+    ``tests/test_streaming.py`` runs it wherever protobuf exists; the
+    driver-verified stateful path is :func:`stateful_user_totals`
+    (state API v1, no protobuf dependency).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = self._agg.get()
+            n, total = st if st is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

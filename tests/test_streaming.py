@@ -4,6 +4,7 @@ via the in-memory sink."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datafusion_randgen_spark import streaming as st
@@ -271,3 +272,67 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     got = spark.read.option("basePath", out).parquet(out)
     assert got.count() == 300
     assert got.select(F.countDistinct("batch")).first()[0] >= 2  # really micro-batched
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_tws_user_totals_matches_batch(spark, tmp_path):
+    """State API v2 final per-user ValueState == batch groupBy (runs
+    only where protobuf exists — env-gated like the multimodal codec)."""
+    import tempfile
+
+    from datafusion_randgen_spark import streaming as st
+    from datafusion_randgen_spark.sources import load_table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "user_id", "ts", "value"
+        )
+        stream = st.file_stream_from(ev, tempfile.mkdtemp(prefix="tws_"))
+        out = st.tws_user_totals(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_test_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.user_id: (r.n_events, round(r.total_value, 3))
+            for r in spark.sql(
+                "SELECT user_id, max_by(n_events, n_events) AS n_events,"
+                " max_by(total_value, n_events) AS total_value"
+                " FROM tws_test_out GROUP BY user_id"
+            ).collect()
+        }
+        want = {
+            r.user_id: (r.n, round(r.t, 3))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("t"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
