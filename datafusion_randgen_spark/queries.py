@@ -6454,6 +6454,64 @@ def q_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_schema_evolution_merge",
+    oracle="""
+    SELECT CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS n_rows,
+           4 AS n_cols,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_null_extra,
+           true AS old_rows_intact
+    """,
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a v1 write (3 columns) and a v2 write
+    (adds ``priority``) coexist in one dataset directory;
+    ``mergeSchema`` reconciles them into the union schema with NULL
+    back-fill for pre-evolution files — the add-column drift every
+    long-lived lake accumulates.  Verifies the union column set, that
+    exactly the v1 rows carry NULL in the new column, and that v1 data
+    survives untouched.
+
+    Scale note: schema merging reads parquet FOOTERS only (one
+    metadata pass, no data scan); the back-fill is a constant-NULL
+    projection at scan time, free inside codegen."""
+    import tempfile
+
+    _prep(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="randgen_evolve_")
+    v1 = n.select("n_nationkey", "n_name", "n_regionkey")
+    v1.write.mode("overwrite").parquet(base + "/v=1")
+    v2 = v1.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        "n_name",
+        "n_regionkey",
+        (F.col("n_regionkey") % 3).alias("priority"),
+    )
+    v2.write.mode("overwrite").parquet(base + "/v=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        base + "/v=1", base + "/v=2"
+    )
+    old = merged.filter(F.col("n_nationkey") < 100)
+    intact = (
+        old.select("n_nationkey", "n_name", "n_regionkey")
+        .exceptAll(v1)
+        .isEmpty()
+        and v1.exceptAll(old.select("n_nationkey", "n_name", "n_regionkey")).isEmpty()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                merged.count(),
+                len(merged.columns),
+                merged.filter(F.col("priority").isNull()).count(),
+                bool(intact),
+            )
+        ],
+        "n_rows long, n_cols int, n_null_extra long, old_rows_intact boolean",
+    )
+
+
+@query(
     "q_small_file_compaction",
     oracle="""
     SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
