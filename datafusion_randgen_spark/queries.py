@@ -6468,6 +6468,59 @@ def q_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_median_impute",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events WHERE user_id < 20),
+    med AS (
+      SELECT user_id, quantile_cont(v, 0.5) AS m
+      FROM masked GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (masked.v IS NULL) AS BIGINT) AS n_imputed,
+           round(sum(round(coalesce(masked.v, med.m), 4)), 2) AS total_filled
+    FROM masked JOIN med USING (user_id)
+    """,
+)
+def q_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair by per-group median — the third imputation
+    semantics next to zero-fill (q_gap_fill_calendar) and LOCF
+    (q_forward_fill_locf): NULLs (here: masked 'error' events) take
+    their user's median of observed values.  The medians come from
+    ``operators/scale.exact_percentiles`` — the histogram two-phase
+    method — broadcast-joined back onto the corpus, so the impute pass
+    adds NO corpus shuffle beyond the histogram groupBy (the oracle
+    computes the same median with sort-based ``quantile_cont``, a
+    structurally different algorithm).
+
+    Each filled value is rounded to 4 before the checksum so
+    cross-engine interpolation arithmetic re-syncs, and the total to 2
+    (the corpus-sum association tolerance)."""
+    _prep(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    med = scale.exact_percentiles(masked, "user_id", "v", [0.5]).select(
+        "user_id", F.col("pct_value").alias("m")
+    )
+    filled = masked.join(F.broadcast(med), "user_id").select(
+        F.round(F.coalesce("v", "m"), 4).alias("fv"),
+        F.col("v").isNull().cast("long").alias("gap"),
+    )
+    return filled.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("gap").alias("n_imputed"),
+        F.round(F.sum("fv"), 2).alias("total_filled"),
+    )
+
+
+@query(
     "q_schema_evolution_merge",
     oracle="""
     SELECT CAST(2 * (SELECT count(*) FROM nation) AS BIGINT) AS n_rows,
