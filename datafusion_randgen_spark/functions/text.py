@@ -28,8 +28,12 @@ STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "is", "in", "it")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (empty strings filtered)."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    """Whitespace tokenization (empty strings filtered).
+
+    The explicit class [ \\t\\n\\f\\r] is exactly RE2's \\s, so every
+    DuckDB '\\s+' oracle agrees by construction; Java's \\s would also
+    match \\x0B and silently diverge on fixture drift."""
+    return F.filter(F.split(text, r"[ \t\n\f\r]+"), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:
@@ -46,7 +50,7 @@ def bpe_ish_token_count(text: Column) -> Column:
     word_pieces = F.aggregate(
         words, F.lit(0), lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int")
     )
-    non_word = F.length(F.regexp_replace(text, r"[A-Za-z\s]+", ""))
+    non_word = F.length(F.regexp_replace(text, r"[A-Za-z \t\n\f\r]+", ""))
     return (word_pieces + non_word).cast("long")
 
 

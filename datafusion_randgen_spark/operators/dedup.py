@@ -32,8 +32,16 @@ from datafusion_randgen_spark.functions.text import tokens, word_shingles
 
 def normalize_text(col):
     """Dedup normalization key: lowercase, collapse whitespace, strip
-    non-alphanumerics.  Same expression is used by the DuckDB oracle."""
-    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    non-alphanumerics.  Same expression is used by the DuckDB oracle.
+    [ \\t\\n\\f\\r] is exactly RE2's \\s (Java's adds \\x0B), so both
+    engines normalize identically on any fixture."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9 \t\n\f\r]", ""),
+            r"[ \t\n\f\r]+",
+            " ",
+        )
+    )
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

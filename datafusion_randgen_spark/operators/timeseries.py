@@ -47,23 +47,31 @@ def ewma_fixed_point(
     column and any extra columns are dropped, and the output types are
     fixed; join back on (key, t) to recover other columns.
     """
+    import numpy as np
     import pandas as pd
 
     alpha_num = den - num
-
     def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ufunc.accumulate drives the recursion from C instead of a
+        # Python for-loop over a pandas column (r3 VERDICT: the
+        # interpreter loop dominated on million-element series).
+        # Object dtype keeps the arithmetic in arbitrary-precision
+        # Python ints — bit-exact, no int64 overflow in num·prev.
+        # (Constructed per-batch: frompyfunc objects don't pickle.)
+        step = np.frompyfunc(
+            lambda prev, x: (num * prev + alpha_num * x) // den, 2, 1
+        )
         pdf = pdf.sort_values(t_col)
-        out = []
-        prev: int | None = None
-        for x in pdf[x_col]:
-            x = int(x)
-            prev = x if prev is None else (num * prev + alpha_num * x) // den
-            out.append(prev)
+        xs = pdf[x_col].to_numpy(dtype="int64")
+        if len(xs):
+            ew = step.accumulate(xs.astype(object), dtype=object).astype("int64")
+        else:
+            ew = xs
         return pd.DataFrame(
             {
                 key_col: pdf[key_col].values,
                 t_col: pdf[t_col].values,
-                "ew": out,
+                "ew": ew,
             }
         )
 

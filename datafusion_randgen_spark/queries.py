@@ -6475,8 +6475,11 @@ def q_forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
       FROM events WHERE user_id < 20),
     med AS (
+      -- HAVING count(v) > 0 mirrors exact_percentiles, which emits no
+      -- row for an all-NULL group; without it the engines diverge on
+      -- users whose every event is masked (r3 ADVICE).
       SELECT user_id, quantile_cont(v, 0.5) AS m
-      FROM masked GROUP BY user_id)
+      FROM masked GROUP BY user_id HAVING count(v) > 0)
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(*) FILTER (masked.v IS NULL) AS BIGINT) AS n_imputed,
            round(sum(round(coalesce(masked.v, med.m), 4)), 2) AS total_filled
@@ -6496,7 +6499,10 @@ def q_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each filled value is rounded to 4 before the checksum so
     cross-engine interpolation arithmetic re-syncs, and the total to 2
-    (the corpus-sum association tolerance)."""
+    (the corpus-sum association tolerance).  Users whose EVERY value is
+    masked have no median and are dropped by both engines (oracle:
+    ``HAVING count(v) > 0``; Spark: exact_percentiles emits no row →
+    inner join) — pinned so fixture drift can't split the semantics."""
     _prep(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     masked = ev.select(
@@ -6541,38 +6547,46 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: schema merging reads parquet FOOTERS only (one
     metadata pass, no data scan); the back-fill is a constant-NULL
     projection at scan time, free inside codegen."""
+    import shutil
     import tempfile
 
     _prep(spark, sf_dir)
     n = load_table(spark, sf_dir, "nation")
     base = tempfile.mkdtemp(prefix="randgen_evolve_")
-    v1 = n.select("n_nationkey", "n_name", "n_regionkey")
-    v1.write.mode("overwrite").parquet(base + "/v=1")
-    v2 = v1.select(
-        (F.col("n_nationkey") + 100).alias("n_nationkey"),
-        "n_name",
-        "n_regionkey",
-        (F.col("n_regionkey") % 3).alias("priority"),
-    )
-    v2.write.mode("overwrite").parquet(base + "/v=2")
-    merged = spark.read.option("mergeSchema", True).parquet(
-        base + "/v=1", base + "/v=2"
-    )
-    old = merged.filter(F.col("n_nationkey") < 100)
-    intact = (
-        old.select("n_nationkey", "n_name", "n_regionkey")
-        .exceptAll(v1)
-        .isEmpty()
-        and v1.exceptAll(old.select("n_nationkey", "n_name", "n_regionkey")).isEmpty()
-    )
-    counts = merged.agg(
-        F.count("*").alias("n"),
-        F.count_if(F.col("priority").isNull()).alias("n_null"),
-    ).collect()[0]
-    return spark.createDataFrame(
-        [(counts.n, len(merged.columns), counts.n_null, bool(intact))],
-        "n_rows long, n_cols int, n_null_extra long, old_rows_intact boolean",
-    )
+    try:
+        v1 = n.select("n_nationkey", "n_name", "n_regionkey")
+        v1.write.mode("overwrite").parquet(base + "/v=1")
+        v2 = v1.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            "n_name",
+            "n_regionkey",
+            (F.col("n_regionkey") % 3).alias("priority"),
+        )
+        v2.write.mode("overwrite").parquet(base + "/v=2")
+        merged = spark.read.option("mergeSchema", True).parquet(
+            base + "/v=1", base + "/v=2"
+        )
+        old = merged.filter(F.col("n_nationkey") < 100)
+        intact = (
+            old.select("n_nationkey", "n_name", "n_regionkey")
+            .exceptAll(v1)
+            .isEmpty()
+            and v1.exceptAll(
+                old.select("n_nationkey", "n_name", "n_regionkey")
+            ).isEmpty()
+        )
+        counts = merged.agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("priority").isNull()).alias("n_null"),
+        ).collect()[0]
+        # everything above is materialized (isEmpty/collect), so the
+        # scratch dir can go before the literal result DF is returned
+        return spark.createDataFrame(
+            [(counts.n, len(merged.columns), counts.n_null, bool(intact))],
+            "n_rows long, n_cols int, n_null_extra long, old_rows_intact boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(
@@ -6596,6 +6610,7 @@ def q_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     and maxRecordsPerFile bounds stragglers; the rewrite is one
     round-robin shuffle, no sort."""
     import math
+    import shutil
     import tempfile
 
     _prep(spark, sf_dir)
@@ -6603,6 +6618,16 @@ def q_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_quantity"
     )
     base = tempfile.mkdtemp(prefix="randgen_compact_")
+    try:
+        return _small_file_compaction_body(spark, li, base, math)
+    finally:
+        # all reads are collect()ed into the literal result DF before
+        # this runs, so the scratch parquet can go (ADVICE r3: repeated
+        # harness runs were accumulating lineitem copies in /tmp)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _small_file_compaction_body(spark, li, base, math):
     li.repartition(64).write.mode("overwrite").parquet(base + "/frag")
 
     def _file_stats(df: DataFrame):
