@@ -108,6 +108,17 @@ def main() -> None:
         # map-side-combined aggs) — one probe per new scale family
         "q_exact_pctl_histogram": cat.QUERIES["q_exact_pctl_histogram"],
         "q_sparse_matmul": cat.QUERIES["q_sparse_matmul"],
+        # r4: probes for the remaining r3 families (VERDICT r3 task 5)
+        # — frontier BFS (iterative keyed joins), grouped-applyInPandas
+        # EWMA (Arrow batch + ufunc accumulate), LOCF spine windows,
+        # histogram-median impute — plus the new permuted-simhash and
+        # span-coverage dedup ops so regressions in them move BENCH
+        "q_bfs_shortest_path": cat.QUERIES["q_bfs_shortest_path"],
+        "q_ewma_smoothing": cat.QUERIES["q_ewma_smoothing"],
+        "q_forward_fill_locf": cat.QUERIES["q_forward_fill_locf"],
+        "q_median_impute": cat.QUERIES["q_median_impute"],
+        "d_simhash_r6": cat.QUERIES["d_simhash_r6"],
+        "t_dup_span_coverage": cat.QUERIES["t_dup_span_coverage"],
     }
 
     # Warmup: JIT/codegen compilation, Arrow runtime init, parquet

@@ -2000,6 +2000,119 @@ def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d_simhash_r6",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_planted,
+           CAST(count(*) AS BIGINT) AS n_planted_found,
+           CAST(sum(4 + doc_id % 3) AS BIGINT) AS hamming_sum,
+           true AS ordering_ok
+    FROM documents
+    """,
+)
+def d_simhash_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming 4-6 via the permuted-table
+    scheme (``dedup.simhash_pairs_within``: 8 blocks × C(8,2)=28
+    block-pair keys) — the radius regime the 4×16 banding of
+    ``d_simhash_near_pairs`` honestly refuses.
+
+    Planted ground truth at CONTROLLED distance: every document's
+    fingerprint gets a perturbed twin at doc_id + 1e6 whose simhash is
+    XORed with a mask of exactly ``4 + doc_id % 3`` distinct bits (bit
+    positions (id·7 + 13k) mod 64, distinct for k < 6 since 13k mod 64
+    is injective there).  Pigeonhole guarantees the block-pair keys
+    recover EVERY planted pair, and the pair's exact Hamming distance
+    equals the mask popcount — so n_planted_found and the hamming_sum
+    checksum Σ(4 + doc_id % 3) are both exact by construction, immune
+    to fixture drift, and genuinely exercise radii 4, 5 AND 6 (an
+    exact-twin plant would only test Hamming 0)."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = dedup.simhash(docs)
+    r = (F.lit(4) + F.col("id") % 3).cast("int")
+    mask = F.lit(0).cast("long")
+    for k in range(6):
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST((id * 7 + {k * 13}) % 64 AS INT))"
+        )
+        mask = mask + F.when(F.lit(k) < r, bit).otherwise(F.lit(0).cast("long"))
+    twins = fps.select(
+        (F.col("id") + _TWIN_OFFSET).alias("id"),
+        F.col("simhash").bitwiseXOR(mask).alias("simhash"),
+    )
+    pairs = dedup.simhash_pairs_within(fps.unionByName(twins), max_hamming=6)
+    planted = (F.col("id_b") == F.col("id_a") + _TWIN_OFFSET) & (
+        F.col("id_a") < _TWIN_OFFSET
+    )
+    props = pairs.agg(
+        F.sum(planted.cast("long")).alias("n_planted_found"),
+        F.sum(F.when(planted, F.col("hamming")).otherwise(0)).alias("hamming_sum"),
+        (F.min(F.col("id_b") - F.col("id_a")) > 0).alias("ordering_ok"),
+    )
+    return docs.agg(F.count("*").alias("n_planted")).crossJoin(props)
+
+
+_SPAN_K = 4  # span length in tokens for duplicated-span coverage
+
+
+@query(
+    "t_dup_span_coverage",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
+                         x -> x != '') AS ts
+      FROM documents),
+    bb AS (SELECT doc_id, ts, len(ts) AS n FROM b),
+    sh AS (
+      SELECT doc_id, n, u.s AS s,
+             array_to_string(ts[u.s + 1 : u.s + {_SPAN_K}], ' ') AS g
+      FROM bb, unnest(generate_series(0, n - {_SPAN_K})) AS u(s)
+      WHERE n >= {_SPAN_K}),
+    d AS (
+      SELECT doc_id, s, count(*) OVER (PARTITION BY g) AS cnt FROM sh),
+    iv AS (
+      SELECT doc_id, s,
+             least(s + {_SPAN_K},
+                   coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY s),
+                            s + {_SPAN_K})) - s AS contrib
+      FROM d WHERE cnt > 1),
+    cov AS (
+      SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS covered
+      FROM iv GROUP BY doc_id)
+    SELECT bb.doc_id,
+           CAST(bb.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS n_dup_tokens,
+           CASE WHEN bb.n > 0
+                THEN round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / bb.n, 4)
+                ELSE CAST(0 AS DOUBLE) END AS dup_frac
+    FROM bb LEFT JOIN cov USING (doc_id)
+    """,
+)
+def t_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span token coverage — the RefinedWeb/C4-style
+    exact-substring dedup signal: per document, how many token
+    positions fall inside a K-token span whose exact text
+    occurs more than once in the corpus (incl. repeats within one
+    document); K = _SPAN_K = 4.  Pipelines trim or down-weight documents with high
+    coverage; this entry reports (doc_id, n_tokens, n_dup_tokens,
+    dup_frac) for every document.
+
+    The covered-token count is the length of the UNION of the
+    [s, s+K) intervals of duplicated span starts — computed
+    with the classic equal-length-interval identity
+    ``Σ min(s+K, next_s) - s`` over starts sorted per doc (no
+    gaps-and-islands grouping needed because all intervals have equal
+    length, so overlap only chains pairwise).
+
+    Implementation: ``operators/dedup.dup_span_coverage`` (scale notes
+    there); the oracle replays the identical interval-union identity
+    with DuckDB windows."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.dup_span_coverage(docs, k=_SPAN_K)
+
+
+@query(
     "d_connected_components",
     oracle="""
     WITH m AS (

@@ -58,6 +58,77 @@ def test_simhash_identical_zero_hamming(docs):
     assert fps[1] == fps[2]
 
 
+def test_simhash_pairs_within_exhaustive(spark):
+    """Permuted-table candidate generation vs brute-force popcount over
+    a synthetic fingerprint table with planted distances 1..8: every
+    pair <= 6 must be found (pigeonhole guarantee), none above."""
+    import random
+
+    rng = random.Random(42)
+    fps = [(i, rng.getrandbits(63)) for i in range(20)]
+    # plant perturbed copies of fp[0] at each Hamming distance 1..8
+    base = fps[0][1]
+    for d in range(1, 9):
+        mask = 0
+        for k in range(d):  # distinct positions: 7k+1 mod 64 injective
+            mask |= 1 << ((7 * k + 1) % 64)
+        assert bin(mask).count("1") == d
+        fps.append((100 + d, base ^ mask))
+    df = spark.createDataFrame(fps, "id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs_within(df, max_hamming=6).collect()
+    }
+    want = {}
+    for i, (ida, sa) in enumerate(fps):
+        for idb, sb in fps[i + 1 :]:
+            h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if h <= 6:
+                want[(min(ida, idb), max(ida, idb))] = h
+    assert got == want
+    assert (0, 106) in got and got[(0, 106)] == 6  # radius-6 planted
+    assert (0, 107) not in got  # distance 7 excluded
+
+
+def test_simhash_pairs_within_rejects_large_radius(spark):
+    df = spark.createDataFrame([(1, 0)], "id long, simhash long")
+    with pytest.raises(ValueError, match="Hamming <= 6"):
+        dedup.simhash_pairs_within(df, max_hamming=7)
+
+
+def test_dup_span_coverage_hand_computed(spark):
+    rows = [
+        (1, "a b c d e"),    # "a b c d" dup with doc 2 -> covers 4/5
+        (2, "a b c d x"),    # same -> 4/5
+        (3, "p q r s t u"),  # unique -> 0
+        (4, "m m m m m m"),  # self-repeating: all 3 starts dup -> 6/6
+        (5, "x y"),          # shorter than k -> 0 spans, 0 coverage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.dup_span_coverage(df, k=4).collect()}
+    assert {d: (r.n_tokens, r.n_dup_tokens) for d, r in out.items()} == {
+        1: (5, 4),
+        2: (5, 4),
+        3: (6, 0),
+        4: (6, 6),
+        5: (2, 0),
+    }
+    assert out[1].dup_frac == 0.8
+    assert out[4].dup_frac == 1.0
+
+
+def test_dup_span_coverage_overlapping_intervals(spark):
+    """Two overlapping dup spans in one doc must union, not double
+    count: starts {0, 2} with k=4 over 7 tokens cover [0,6) = 6."""
+    rows = [
+        (1, "a b c d e f g"),  # spans "a b c d"(0) and "c d e f"(2)
+        (2, "a b c d z c d e f z"),  # makes both spans global dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n_dup_tokens for r in dedup.dup_span_coverage(df, k=4).collect()}
+    assert out[1] == 6  # union of [0,4) and [2,6), not 8
+
+
 @pytest.fixture()
 def vecs(spark):
     rows = [
