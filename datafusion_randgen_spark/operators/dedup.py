@@ -404,6 +404,12 @@ def simhash_pairs_within(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
     key values are 16 bits so buckets stay balanced on random
     fingerprints, and the join is a plain equi-join Catalyst can
     shuffle-hash; 28 keys/doc is a constant fan-out, not O(n^2).
+    Bucket load grows as n/2^16 per table, so beyond ~10^7 docs the
+    16-bit keys start pairing quadratically: the 100 TB variant is a
+    128-bit simhash cut into 16 blocks (C(16,2)=120 tables, 16-bit
+    block pairs → 32-bit keys, clean blocks ≥ 16-6 = 10 ≥ 2 — same
+    pigeonhole, 2^32 buckets), a constant-factor change to this exact
+    plan shape.
     """
     if not 1 <= max_hamming <= 6:
         raise ValueError(

@@ -2027,7 +2027,10 @@ def d_simhash_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-twin plant would only test Hamming 0)."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = dedup.simhash(docs)
+    # checkpoint: fps feeds BOTH union branches and both self-join
+    # sides downstream — without truncation the 64-agg fingerprint
+    # subtree would execute up to 4× (measured 5.8s → 2.5s at sf0.1)
+    fps = dedup.simhash(docs).localCheckpoint(eager=True)
     r = (F.lit(4) + F.col("id") % 3).cast("int")
     mask = F.lit(0).cast("long")
     for k in range(6):
