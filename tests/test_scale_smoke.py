@@ -150,6 +150,35 @@ def test_exact_percentiles_at_scale(spark):
     assert got == pytest.approx(want)
 
 
+def test_ewma_fixed_point_at_scale(spark):
+    """5M rows across 32 series (~156k elements each): the ufunc
+    accumulate path must agree with the closed recursion spot-checked
+    in Python on one series, and the per-series Arrow batches must
+    come back complete."""
+    from datafusion_randgen_spark.operators import timeseries
+
+    n, series = 5_000_000, 32
+    df = spark.range(0, n, 1, 32).select(
+        (F.col("id") % series).alias("user_id"),
+        (F.col("id") / series + 1).cast("int").alias("t"),
+        ((F.col("id") * 7919) % 1000).alias("x"),
+    )
+    out = timeseries.ewma_fixed_point(df, num=7, den=10)
+    assert out.count() == n
+    got = [
+        r.ew
+        for r in out.filter(F.col("user_id") == 3)
+        .orderBy("t")
+        .limit(200)
+        .collect()
+    ]
+    xs = [((i * 32 + 3) * 7919) % 1000 for i in range(200)]
+    prev = None
+    for i, x in enumerate(xs):
+        prev = x if prev is None else (7 * prev + 3 * x) // 10
+        assert got[i] == prev
+
+
 def test_bfs_distances_at_scale(spark):
     """1M-node ring+doubling graph: BFS from 0 must terminate in
     ~log2(n) frontier rounds (≤ 45 hops covers n=1M via doubling),
