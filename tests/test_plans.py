@@ -437,3 +437,43 @@ def test_sql_lr_inference_is_pure_codegen(spark):
     df = QUERIES["s_sql_lr_inference"](spark, SF)
     assert plans.python_eval_nodes(df) == 0
     assert plans.exchange_count(df) <= 1
+
+
+def test_simhash_pairs_within_is_hash_equi_join(spark):
+    """The permuted-table candidate join must be an equi-join on
+    (table, value) keys — a nested-loop over fingerprints would be the
+    O(n²) all-pairs scan the scheme exists to avoid — and the whole
+    path must stay JVM-side (bit arithmetic, no Python nodes)."""
+    from datafusion_randgen_spark.operators import dedup
+
+    fps = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2654435761).alias("simhash")
+    )
+    df = dedup.simhash_pairs_within(fps, max_hamming=6)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "tbl" in plan and "val" in plan  # joined on the band keys
+    assert plans.python_eval_nodes(df) == 0
+
+
+def test_dup_span_coverage_single_span_shuffle_no_python(spark):
+    """Span strings cross the wire exactly once (the count-over-span
+    window); the interval-union window and the final join key on the
+    doc id — and none of it leaves the JVM."""
+    from datafusion_randgen_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    df = dedup.dup_span_coverage(docs, k=4)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plans.python_eval_nodes(df) == 0
+    # exactly one exchange partitions on the span text `g`; every other
+    # exchange keys on doc_id (window + join) — the corpus-size span
+    # strings are never shuffled twice
+    g_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(g#" in ln
+    ]
+    assert len(g_exchanges) == 1
