@@ -345,7 +345,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
             f"for Hamming <= 3 (got max_hamming={max_hamming}); use "
             "simhash_pairs_within (block-pair permuted tables) for 4-6"
         )
-    fps = simhash(docs, **kw)
+    # checkpoint: the 64-agg fingerprint subtree feeds BOTH sides of
+    # the candidate self-join (no ReusedExchange fires across the
+    # alias branches) — truncate so it executes once, same reasoning
+    # as the d_simhash_r6 entry (measured ~2x there)
+    fps = simhash(docs, **kw).localCheckpoint(eager=True)
     chunks = fps.select(
         "id",
         "simhash",
