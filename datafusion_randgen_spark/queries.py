@@ -2740,7 +2740,9 @@ def t_zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_URL_RE = r"https?://\S+"
+# explicit non-whitespace class, NOT \S: Java's \S excludes \x0B while
+# RE2's includes it — same cross-engine drift class as the tokens() fix
+_URL_RE = r"https?://[^ \t\n\f\r]+"
 
 
 @query(
