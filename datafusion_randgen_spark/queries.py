@@ -21,6 +21,7 @@ columns by name before hashing).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -54,6 +55,21 @@ def query(name: str, oracle: str | None = None):
 def _prep(spark: SparkSession, sf_dir: str) -> None:
     add_udfs(spark)
     register_views(spark, sf_dir)
+
+
+def _scratch_dir(name: str) -> str:
+    """Deterministic per-entry scratch path under the system tmp dir.
+
+    Entries that return a DataFrame lazily READING their scratch output
+    can't rmtree before returning (the harness collects after the
+    function exits) — a fixed path + ``mode("overwrite")`` prevents the
+    unbounded /tmp accumulation the r3 review flagged, while keeping
+    the read valid."""
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "randgen_scratch", name)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def _drop_managed_table(spark: SparkSession, name: str) -> None:
@@ -978,8 +994,6 @@ def r_write_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sink path: generate seeded → write partitioned parquet →
     read back; row-for-row identical to regeneration (write/read is
     lossless, partition pruning columns intact)."""
-    import tempfile
-
     _prep(spark, sf_dir)
     from datafusion_randgen_spark.sources.synthetic import synthetic_table, write_synthetic
 
@@ -987,7 +1001,7 @@ def r_write_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v": {"kind": "int64_uniform", "lo": 1, "hi": 10_000},
         "bucket": {"kind": "element_from", "values": ["a", "b"]},
     }
-    path = tempfile.mkdtemp(prefix="randgen_sink_") + "/t"
+    path = _scratch_dir("synthetic_sink") + "/t"
     write_synthetic(spark, path, 20_000, spec, seed=11, num_partitions=4, partition_by=["bucket"])
     back = spark.read.parquet(path)
     regen = synthetic_table(spark, 20_000, spec, seed=11, num_partitions=4)
@@ -1601,11 +1615,9 @@ def u_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connector surface beyond parquet: write nation to CSV and JSON,
     read both back with explicit schemas, verify losslessness."""
-    import tempfile
-
     _prep(spark, sf_dir)
     n = load_table(spark, sf_dir, "nation")
-    base = tempfile.mkdtemp(prefix="randgen_fmt_")
+    base = _scratch_dir("fmt_roundtrip")
     n.write.mode("overwrite").option("header", True).csv(base + "/csv")
     n.write.mode("overwrite").json(base + "/json")
     back_csv = spark.read.schema(n.schema).option("header", True).csv(base + "/csv")
@@ -2993,11 +3005,9 @@ def q_array_functions_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third columnar format (ORC) write→read losslessness, alongside
     parquet (native fixtures) and CSV/JSON (q_csv_json_roundtrip)."""
-    import tempfile
-
     _prep(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
-    base = tempfile.mkdtemp(prefix="randgen_orc_")
+    base = _scratch_dir("orc_roundtrip")
     s.write.mode("overwrite").orc(base + "/orc")
     back = spark.read.orc(base + "/orc")
     j = back.alias("b").join(s.alias("o"), "s_suppkey", "full_outer")
@@ -3026,11 +3036,9 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_plans.py), i.e. the scan never opens non-'F' files;
     at 100 TB that's the difference between reading one partition and
     reading the lake."""
-    import tempfile
-
     _prep(spark, sf_dir)
     o = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="randgen_part_")
+    base = _scratch_dir("partitioned_write") + "/t"
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
     back = spark.read.parquet(base).filter(F.col("o_orderstatus") == "F")
     return back.agg(
