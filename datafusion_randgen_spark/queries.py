@@ -5083,13 +5083,11 @@ def st_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (micro-batch per file), checked against the exact batch SQL — the
     strongest correctness statement streaming allows: stream result ==
     batch result on the same finite input."""
-    import tempfile
-
     from datafusion_randgen_spark import streaming as st
 
     _prep(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
-    stream = st.file_stream_from(ev, tempfile.mkdtemp(prefix="randgen_st_win_"))
+    stream = st.file_stream_from(ev, _scratch_dir("st_win"))
     # watermark wider than the fixture's ts span: rows can land in any
     # micro-batch, so a narrow watermark would nondeterministically
     # late-drop — correctness entries must be deterministic; watermark
@@ -5117,14 +5115,12 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch distinct count.  State is watermark-bounded — the ingest-
     scale dedup shape (a plain stream dropDuplicates would hold every
     key forever)."""
-    import tempfile
-
     from datafusion_randgen_spark import streaming as st
 
     _prep(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     doubled = ev.union(ev)
-    stream = st.file_stream_from(doubled, tempfile.mkdtemp(prefix="randgen_st_dd_"))
+    stream = st.file_stream_from(doubled, _scratch_dir("st_dd"))
     # 60-day watermark >> the fixture's one-month span: no copy is ever
     # late-dropped or state-evicted mid-stream, so the count is exact
     deduped = st.stream_dedup(stream, keys=["user_id", "ts"], watermark="60 days")
@@ -5144,13 +5140,11 @@ def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) driven over
     micro-batches; the FINAL emitted state per user must equal the batch
     groupBy — per-key accumulators survive across batches."""
-    import tempfile
-
     from datafusion_randgen_spark import streaming as st
 
     _prep(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    stream = st.file_stream_from(ev, tempfile.mkdtemp(prefix="randgen_st_state_"))
+    stream = st.file_stream_from(ev, _scratch_dir("st_state"))
     out = st.stateful_user_totals(stream)
     got = _drive_stream(out, "st_state_out", "update")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -5174,8 +5168,6 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a broadcast static dimension (the canonical "enrich events
     with a user/dim table" shape), then a running aggregation in
     complete mode.  Stream result must equal the batch answer."""
-    import tempfile
-
     from datafusion_randgen_spark import streaming as st
 
     _prep(spark, sf_dir)
@@ -5187,7 +5179,7 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment", F.concat(F.lit("seg_"), (F.col("user_id") % 5).cast("string"))
         )
     )
-    stream = st.file_stream_from(ev, tempfile.mkdtemp(prefix="randgen_st_ssj_"))
+    stream = st.file_stream_from(ev, _scratch_dir("st_ssj"))
     joined = stream.join(F.broadcast(dim), "user_id")
     agg = joined.groupBy("segment").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
@@ -5222,8 +5214,6 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join runs in append mode (no agg inside the stream); the
     deterministic reduction to (n_pairs, n_left_matched, sum) happens
     batch-side on the sink table."""
-    import tempfile
-
     from datafusion_randgen_spark import streaming as st
 
     _prep(spark, sf_dir)
@@ -5237,9 +5227,9 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "value"
     )
     lstream = st.file_stream_from(
-        purchases, tempfile.mkdtemp(prefix="randgen_st_ssjl_")
+        purchases, _scratch_dir("st_ssjl")
     )
-    rstream = st.file_stream_from(views, tempfile.mkdtemp(prefix="randgen_st_ssjr_"))
+    rstream = st.file_stream_from(views, _scratch_dir("st_ssjr"))
     joined = st.stream_stream_interval_join(
         lstream,
         rstream,
@@ -5283,13 +5273,11 @@ def st_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics: a diff of EXACTLY the gap starts a new session (merge
     while next_ts < prev_ts + gap), hence ``>=`` in the oracle — the
     batch q_sessionization entry uses the ``>`` convention."""
-    import tempfile
-
     from datafusion_randgen_spark import streaming as st
 
     _prep(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    stream = st.file_stream_from(ev, tempfile.mkdtemp(prefix="randgen_st_sess_"))
+    stream = st.file_stream_from(ev, _scratch_dir("st_sess"))
     # 60-day watermark >> the fixture's one-month span: no session is
     # ever finalized/evicted mid-stream, so complete mode sees them all
     agg = st.session_windows(stream, gap="30 minutes", watermark="60 days")
@@ -5561,11 +5549,9 @@ def m_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no decode until an explicit Arrow-batch UDF), and the verify join
     broadcasts the 20-row id→text side."""
     import os
-    import tempfile
-
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    base = tempfile.mkdtemp(prefix="randgen_binfile_")
+    base = _scratch_dir("binfile")  # same 20 filenames each run -> idempotent rewrite
     for r in docs.select("doc_id", "text").collect():  # 20-row fixture setup
         with open(os.path.join(base, f"doc_{r['doc_id']:04d}.bin"), "wb") as f:
             f.write(r["text"].encode("utf-8"))
@@ -5602,11 +5588,9 @@ def q_text_lines_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora; the round trip is verified by line count, distinct-line
     count, and total characters (order is not preserved by design —
     line files have no row identity)."""
-    import tempfile
-
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    base = tempfile.mkdtemp(prefix="randgen_text_")
+    base = _scratch_dir("text_lines")
     docs.select("text").write.mode("overwrite").text(base + "/txt")
     back = spark.read.text(base + "/txt")
     return back.agg(
