@@ -1562,7 +1562,14 @@ def u_udtf_random_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "u_udaf_gmean",
     oracle="""
-    SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS gmean_qty
+    -- CASE guard mirrors the UDAF's x[x > 0] filter: on fixture drift
+    -- a zero/negative quantity would ERROR DuckDB's ln() while the
+    -- UDAF silently skips it (NULL-in-CASE rows are skipped by avg,
+    -- and an all-nonpositive group stays present with NULL — exactly
+    -- the UDAF's semantics)
+    SELECT l_returnflag,
+           round(exp(avg(CASE WHEN l_quantity > 0 THEN ln(l_quantity) END)), 6)
+             AS gmean_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
