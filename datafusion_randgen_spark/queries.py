@@ -3789,8 +3789,12 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey,
            ntile(4)      OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cdist
+           -- raw doubles, deliberately UNROUNDED: both engines divide
+           -- the same two integers (IEEE-identical, verified bit-exact
+           -- on 15000 rows), while round-to-6 introduced true decimal
+           -- ties (e.g. 41/640 = 0.0640625) the engines break apart
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cdist
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -3807,8 +3811,8 @@ def q_window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
     )
 
 
@@ -4298,7 +4302,7 @@ def q_cogroup_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
          s AS (
-           SELECT c_custkey, c_name, round(c_acctbal * 1.1, 2) AS c_acctbal,
+           SELECT c_custkey, c_name, round(c_acctbal * 1.2, 2) AS c_acctbal,
                   CAST(NULL AS VARCHAR) AS c_mktsegment, 1 AS src
            FROM customer WHERE c_custkey % 10 = 0
            UNION ALL
@@ -4327,7 +4331,11 @@ def q_merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = target.filter(F.col("c_custkey") % 10 == 0).select(
         "c_custkey",
         "c_name",
-        F.round(F.col("c_acctbal") * 1.1, 2).alias("c_acctbal"),
+        # x1.2, not x1.1: cents*1.2 has 3rd decimal in {0,2,4,6,8} so
+        # round-to-cents never hits a decimal half; cents*1.1 lands on
+        # .xx5 exactly for every cents = 5 (mod 10) and the engines
+        # break those ties differently (caught by the sf0.1 sweep)
+        F.round(F.col("c_acctbal") * 1.2, 2).alias("c_acctbal"),
         F.lit(None).cast("string").alias("c_mktsegment"),
     )
     inserts = target.filter(F.col("c_custkey") % 97 == 0).select(
