@@ -188,20 +188,43 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_spread": spread,
-                "reps": reps,
-                "calib_shuffle_probe_sec": calib,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The driver captures only the LAST ~2000 chars of stdout, so the
+    # one JSON line must stay well under that (round-4's 2.6 KB line
+    # made BENCH_r04.json unparseable).  Per-query spreads go to stderr
+    # and a side file; the stdout line carries medians only and is
+    # progressively trimmed if the catalog ever grows it past ~1.4 KB.
+    print(f"# queries_spread: {json.dumps(spread)}", file=sys.stderr)
+    try:
+        with open("bench_detail.json", "w") as fh:
+            json.dump(
+                {"queries_spread": spread, "reps": reps, "extra_reps": extra_reps},
+                fh,
+            )
+    except OSError:
+        pass
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_reps": {n: r for n, r in extra_reps.items() if r != reps},
+        "reps": reps,
+        "calib_shuffle_probe_sec": calib,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    if len(line) > 1400:
+        payload.pop("queries_reps", None)
+        line = json.dumps(payload)
+    if len(line) > 1400:
+        # keep the slowest queries only; full map already on stderr
+        print(f"# queries_full: {json.dumps(timings)}", file=sys.stderr)
+        top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+        payload["queries"] = top
+        payload["queries_truncated_to_slowest"] = len(top)
+        line = json.dumps(payload)
+    assert len(line) < 1500, f"bench stdout line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

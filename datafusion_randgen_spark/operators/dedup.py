@@ -518,11 +518,12 @@ def dup_span_coverage(
             id_col,
             F.col("n").cast("long").alias("n_tokens"),
             F.coalesce("covered", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            # unrounded integer/integer division: bit-identical IEEE
+            # double in both engines, immune to the .xxxx5 decimal-half
+            # rounding-tie class (covered/n = odd/32 ties at scale 4)
             F.when(
                 F.col("n") > 0,
-                F.round(
-                    F.coalesce("covered", F.lit(0)).cast("double") / F.col("n"), 4
-                ),
+                F.coalesce("covered", F.lit(0)).cast("double") / F.col("n"),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),

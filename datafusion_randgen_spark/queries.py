@@ -21,6 +21,7 @@ columns by name before hashing).
 
 from __future__ import annotations
 
+import glob
 import os
 from collections.abc import Callable
 
@@ -57,17 +58,29 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     register_views(spark, sf_dir)
 
 
+_SCRATCH_ROOT: str | None = None
+
+
 def _scratch_dir(name: str) -> str:
-    """Deterministic per-entry scratch path under the system tmp dir.
+    """Per-entry scratch path: fixed names under ONE mkdtemp root per
+    interpreter.
 
     Entries that return a DataFrame lazily READING their scratch output
     can't rmtree before returning (the harness collects after the
-    function exits) — a fixed path + ``mode("overwrite")`` prevents the
-    unbounded /tmp accumulation the r3 review flagged, while keeping
-    the read valid."""
+    function exits) — fixed names + ``mode("overwrite")`` keep repeat
+    calls within a run bounded (the r3 accumulation fix), while the
+    mkdtemp root keeps concurrent runs (other users / other SFs on a
+    shared machine) collision-free where a predictable shared path
+    raced (r4 advice).  The root is removed at interpreter exit."""
+    import atexit
+    import shutil
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "randgen_scratch", name)
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="randgen_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    path = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(path, exist_ok=True)
     return path
 
@@ -2104,8 +2117,11 @@ _SPAN_K = 4  # span length in tokens for duplicated-span coverage
     SELECT bb.doc_id,
            CAST(bb.n AS BIGINT) AS n_tokens,
            CAST(coalesce(cov.covered, 0) AS BIGINT) AS n_dup_tokens,
+           -- unrounded int/int division: IEEE-bit-identical in both
+           -- engines; round(,4) would reintroduce the decimal-half
+           -- tie class whenever covered/n reduces to odd/32
            CASE WHEN bb.n > 0
-                THEN round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / bb.n, 4)
+                THEN CAST(coalesce(cov.covered, 0) AS DOUBLE) / bb.n
                 ELSE CAST(0 AS DOUBLE) END AS dup_frac
     FROM bb LEFT JOIN cov USING (doc_id)
     """,
@@ -4763,24 +4779,30 @@ def q_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg_collect",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
            string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
              AS status_csv,
+           count(DISTINCT o_orderstatus) AS n_statuses,
            count(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def q_array_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: collect_set → sorted array + delimited
+    """Array aggregation: collect_set → sorted array → delimited
     listagg.  Sorting AFTER the distinct-collect keeps the result
     deterministic regardless of shuffle order (raw collect_list order
-    is not reproducible and must never be compared)."""
+    is not reproducible and must never be compared).
+
+    Output contract: the array itself is flattened with ``array_join``
+    before returning — the driver's pandas canonicalizer cannot hash
+    ``array<string>`` columns (round-4 red row), so driver-facing
+    frames carry flat atomic columns only; the array cardinality is
+    pinned separately via ``size``."""
     _prep(spark, sf_dir)
     o = load_table(spark, sf_dir, "orders")
     statuses = F.sort_array(F.collect_set("o_orderstatus"))
     return o.groupBy("o_orderpriority").agg(
-        statuses.alias("statuses"),
         F.array_join(statuses, "|").alias("status_csv"),
+        F.size(statuses).cast("long").alias("n_statuses"),
         F.count("*").alias("n"),
     )
 
@@ -5566,7 +5588,9 @@ def m_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    base = _scratch_dir("binfile")  # same 20 filenames each run -> idempotent rewrite
+    base = _scratch_dir("binfile")
+    for stale in glob.glob(os.path.join(base, "doc_*.bin")):
+        os.remove(stale)  # a smaller fixture must not read back prior files
     for r in docs.select("doc_id", "text").collect():  # 20-row fixture setup
         with open(os.path.join(base, f"doc_{r['doc_id']:04d}.bin"), "wb") as f:
             f.write(r["text"].encode("utf-8"))
@@ -6406,24 +6430,27 @@ def q_fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decimal_exact_money",
     oracle="""
     SELECT o_orderstatus,
-           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                         AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS total,
-           CAST(min(CAST(o_totalprice AS DECIMAL(18,2)))
-                AS DECIMAL(18,2)) AS min_price,
-           CAST(max(CAST(o_totalprice AS DECIMAL(18,2)))
-                AS DECIMAL(18,2)) AS max_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                AS BIGINT) AS total_cents,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                AS BIGINT) AS min_cents,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                AS BIGINT) AS max_cents
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-money arithmetic: monetary values cast to DECIMAL(18,2)
     BEFORE aggregation, so the sums are exact fixed-point — no IEEE
-    reassociation, no round() crutch.  The rest of the catalog rounds
-    double aggregates instead; this entry pins the deliberate-decimal
-    path, with both engines casting the SUM to an explicit common
-    DECIMAL(24,2) because their automatic sum-precision widening rules
-    differ (Spark 18,2→28,2; DuckDB →38,2) while the driver's
-    value-hash needs matching scale.
+    reassociation, no round() crutch.
+
+    Output contract: the final projection converts the exact decimals
+    to BIGINT integer cents (×100) on BOTH sides.  Round 4 proved the
+    driver's typed value-hash diverges on DECIMAL output columns even
+    when the values are bit-identical (Spark ``Decimal`` objects vs
+    DuckDB's pandas conversion), so decimal types never leave the
+    query — the exactness argument is unchanged because ×100 of a
+    scale-2 decimal is an integer with no rounding step.
 
     Scale design: decimal aggregation stays inside whole-stage codegen
     (Spark Decimal is an unscaled long for precision ≤ 18) with
@@ -6435,9 +6462,9 @@ def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
     )
     return o.groupBy("o_orderstatus").agg(
-        F.sum("p").cast("decimal(24,2)").alias("total"),
-        F.min("p").cast("decimal(18,2)").alias("min_price"),
-        F.max("p").cast("decimal(18,2)").alias("max_price"),
+        (F.sum("p") * 100).cast("long").alias("total_cents"),
+        (F.min("p") * 100).cast("long").alias("min_cents"),
+        (F.max("p") * 100).cast("long").alias("max_cents"),
     )
 
 

@@ -126,9 +126,33 @@ def _spark_cat(dt) -> str:
     return "other"
 
 
+# Driver output contract (round-4 red rows): every catalog entry must
+# return FLAT ATOMIC, NON-DECIMAL columns.  The driver's pandas
+# canonicalizer throws `unhashable type: 'list'` on array/map/struct
+# output columns, and its typed value-hash diverges on DECIMAL output
+# columns even when values are bit-identical.  Aggregate internally with
+# whatever types you want — but array_join/to_json/size arrays and cast
+# decimals to BIGINT cents or rounded DOUBLE before returning.
+_ALLOWED_OUTPUT_TYPES = {
+    "byte", "short", "integer", "long", "float", "double", "boolean",
+    "string", "binary", "date", "timestamp", "timestamp_ntz",
+}
+
+
+def _assert_output_contract(name: str, sdf) -> None:
+    for f in sdf.schema.fields:
+        assert f.dataType.typeName() in _ALLOWED_OUTPUT_TYPES, (
+            f"{name}: output column '{f.name}' is "
+            f"{f.dataType.simpleString()} — catalog entries must return "
+            f"flat atomic non-decimal columns (driver canonicalizer/hash "
+            f"cannot handle array/map/struct/decimal outputs)"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
+    _assert_output_contract(name, sdf)
     srows = sdf.collect()
     scols = sdf.columns
     assert len(srows) >= 0  # smoke: executes
