@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_cumsum", "exact_percentiles"]
+__all__ = [
+    "global_cumsum",
+    "global_running_max",
+    "global_ntile",
+    "exact_percentiles",
+]
 
 
 def global_cumsum(
@@ -49,26 +54,11 @@ def global_cumsum(
     well-defined per-row result).  Rows equal to a bucket boundary all
     land in the lower bucket, so no order inversion can cross buckets.
     """
-    spark = df.sparkSession
-    n = num_buckets or spark.sparkContext.defaultParallelism
-    n = max(1, n)
-
-    if n > 1:
-        qs = [i / n for i in range(1, n)]
-        # one lightweight stats pass; 1% relative error only skews
-        # bucket BALANCE, never assignment consistency
-        bounds = sorted(set(df.stat.approxQuantile(order_col, qs, 0.01)))
-    else:
-        bounds = []
-
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
-    # NULL order keys sort first under the window form (ASC NULLS FIRST),
-    # so route them to the first bucket instead of letting a NULL bucket
-    # key silently drop them in the offsets equi-join
-    bucket = F.when(F.col(order_col).isNull(), F.lit(0)).otherwise(bucket)
-    bucketed = df.withColumn("__bucket", bucket)
+    # one lightweight stats pass; 1% relative error only skews bucket
+    # BALANCE, never assignment consistency.  NULL order keys sort first
+    # under the window form (ASC NULLS FIRST) and are routed to the
+    # first bucket inside _range_bucket.
+    bucketed = _range_bucket(df, order_col, num_buckets)
 
     local_w = (
         Window.partitionBy("__bucket")
@@ -101,6 +91,135 @@ def global_cumsum(
         local.join(F.broadcast(offsets), "__bucket")
         .withColumn(out_col, F.col("__local_cum") + F.col("__off"))
         .drop("__bucket", "__local_cum", "__off")
+    )
+
+
+def _range_bucket(df: DataFrame, order_col: str, num_buckets: int | None):
+    """Assign each row a range bucket on ``order_col`` (approxQuantile
+    boundaries; ties never split across buckets because assignment is a
+    pure function of the value).  Shared by the global_* primitives."""
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    n = max(1, n)
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        bounds = sorted(set(df.stat.approxQuantile(order_col, qs, 0.01)))
+    else:
+        bounds = []
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(order_col) > F.lit(b)).cast("int")
+    bucket = F.when(F.col(order_col).isNull(), F.lit(0)).otherwise(bucket)
+    return df.withColumn("__bucket", bucket)
+
+
+def global_running_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_max",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """STRICT-exclusive running max: for each row, the max of
+    ``value_col`` over all rows with ``order_col`` STRICTLY less than
+    this row's — the distributed form of
+    ``max(value) OVER (ORDER BY order_col
+    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``, which
+    Catalyst otherwise plans as Exchange SinglePartition over the whole
+    input.  Rows with no strictly-smaller predecessor get NULL, exactly
+    like the empty window frame.
+
+    Same two-phase shape as :func:`global_cumsum`: range-bucket on the
+    order key, bucket-local strict RANGE window in parallel, then
+    prefix-max of per-bucket maxima over the bucket-count-sized frame,
+    broadcast back.  Strictness across buckets is free: every row in an
+    earlier bucket has ``order_col <= boundary <`` every row in a later
+    bucket (equal keys can never straddle a boundary because assignment
+    is a pure function of the value).
+
+    Preconditions: ``order_col`` numeric non-NULL (RANGE frame
+    requirement, same as the single-window form); ``value_col`` any
+    ordered type (max is order-based, so dates/timestamps work)."""
+    bucketed = _range_bucket(df, order_col, num_buckets)
+    local_w = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("__local_max", F.max(value_col).over(local_w))
+    # per-bucket max derived FROM THE WINDOW OUTPUT (inclusive running
+    # max = greatest(strict frame, current row); its bucket max is the
+    # bucket max) → Aggregate(Window(Exchange)) reuses the identical
+    # hash exchange, scanning + shuffling the input once.  A plain
+    # max(value) would let Catalyst prune the Window and push a partial
+    # aggregate under its own exchange — second scan, no reuse.
+    totals = local.groupBy("__bucket").agg(
+        F.max(F.greatest("__local_max", value_col)).alias("__tot")
+    )
+    off_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bucket", F.max("__tot").over(off_w).alias("__off")
+    )
+    # greatest() skips NULLs (empty local frame / first bucket), exactly
+    # the semantics the single global frame would produce
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.greatest("__local_max", "__off"))
+        .drop("__bucket", "__local_max", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    sort_col: str,
+    tiebreak_col: str,
+    n_tiles: int,
+    out_col: str,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """EXACT ``ntile(n) OVER (ORDER BY sort_col, tiebreak_col)`` without
+    the Exchange SinglePartition that the unpartitioned window plans.
+
+    Two-phase: range-bucket on ``sort_col`` (ties stay together; the
+    ``tiebreak_col`` only orders within a bucket), bucket-local
+    ``row_number`` in parallel, prefix row-count offsets over the
+    bucket-count-sized frame → exact global 0-based position ``i``;
+    then SQL-standard ntile is a closed form of (i, n): with
+    ``q = n div k`` and ``r = n mod k``, the first ``r`` tiles hold
+    ``q+1`` rows, so
+    ``tile = i < r*(q+1) ? i div (q+1) + 1 : r + (i - r*(q+1)) div q + 1``.
+
+    Preconditions: ``sort_col`` numeric non-NULL; (sort_col,
+    tiebreak_col) unique (same determinism precondition the ntile
+    window needs for a well-defined result).  For DESC order pass a
+    negated sort key."""
+    bucketed = _range_bucket(df, sort_col, num_buckets)
+    local_w = Window.partitionBy("__bucket").orderBy(sort_col, tiebreak_col)
+    local = bucketed.withColumn(
+        "__rn", F.row_number().over(local_w).cast("long")
+    )
+    totals = local.groupBy("__bucket").agg(F.max("__rn").alias("__cnt"))
+    off_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(
+            Window.orderBy("__bucket").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    i = F.col("__rn") - 1 + F.col("__off")  # exact global 0-based position
+    k = F.lit(int(n_tiles))
+    q = (F.col("__n") / k).cast("long")  # floor: __n, k positive
+    r = F.col("__n") % k
+    tile = F.when(
+        i < r * (q + 1), (i / (q + 1)).cast("long") + 1
+    ).otherwise(r + ((i - r * (q + 1)) / q).cast("long") + 1)
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, tile.cast("long"))
+        .drop("__bucket", "__rn", "__off", "__n")
     )
 
 

@@ -6124,14 +6124,16 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule-based segment label — the standard marketing-analytics shape.
 
     Scale design: one shuffle for the per-user aggregate; the three
-    ntile windows run over the USER-level frame (users, not events) —
-    an unpartitioned ordered window, which Spark plans as Exchange
-    SinglePartition: acceptable because the frame is per-user rows,
-    orders of magnitude smaller than events; at extreme user counts
-    the quartile boundaries would come from approxQuantile + a
-    bucketed two-phase pass instead (the operators/scale.py pattern).
+    quartile scores come from ``operators/scale.global_ntile`` — exact
+    SQL-standard ntile via range-bucketed row numbers + closed-form
+    tile assignment — NOT three unpartitioned ``ntile()`` windows,
+    which Catalyst plans as Exchange SinglePartition over the whole
+    user-level frame (users scale with the corpus at 100 TB; this was
+    the round-4 "weak plan" finding).  The oracle still uses DuckDB's
+    native ntile windows, so two different algorithms must agree.
     Ties are broken by user_id so quartile boundaries are
-    deterministic in both engines."""
+    deterministic in both engines (for the DESC orders the tiebreak
+    is ASC in both, matching a negated sort key)."""
     _prep(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
@@ -6143,15 +6145,15 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.round(F.sum("value"), 2).alias("monetary"),
     )
-    r_w = Window.orderBy("recency_days", "user_id")
-    f_w = Window.orderBy(F.col("frequency").desc(), "user_id")
-    m_w = Window.orderBy(F.col("monetary").desc(), "user_id")
-    scored = rfm.select(
-        "*",
-        F.ntile(4).over(r_w).cast("long").alias("r_score"),
-        F.ntile(4).over(f_w).cast("long").alias("f_score"),
-        F.ntile(4).over(m_w).cast("long").alias("m_score"),
-    )
+    scored = scale.global_ntile(rfm, "recency_days", "user_id", 4, "r_score")
+    scored = scale.global_ntile(
+        scored.withColumn("__negf", -F.col("frequency")),
+        "__negf", "user_id", 4, "f_score",
+    ).drop("__negf")
+    scored = scale.global_ntile(
+        scored.withColumn("__negm", -F.col("monetary")),
+        "__negm", "user_id", 4, "m_score",
+    ).drop("__negm")
     return scored.select(
         "user_id", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",
@@ -6189,14 +6191,16 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook quadratic NOT EXISTS, so two different algorithms must
     agree (the strongest oracle form in the catalog).
 
-    Scale design: O(n log n) vs the oracle's O(n²) self-join.  The
-    unpartitioned cummax window plans as Exchange SinglePartition —
-    fine at this selectivity; the full-scale form range-buckets on
-    price and carries each bucket's max date forward as a broadcast
-    prefix (exactly operators/scale.py:global_cumsum with max instead
-    of sum).  Price is bucketed to integer cents so the strict-
-    dominance RANGE frame (UNBOUNDED PRECEDING .. 1 PRECEDING) is
-    exact, never a float epsilon."""
+    Scale design: O(n log n) vs the oracle's O(n²) self-join, and the
+    strict cummax runs through ``operators/scale.global_running_max``
+    — range-bucketed on cents, bucket-local strict RANGE windows in
+    parallel, per-bucket maxima prefix-combined over the bucket-count
+    frame and broadcast back — NOT the unpartitioned RANGE window,
+    which Catalyst plans as Exchange SinglePartition over the whole
+    frame (the round-4 "weak plan" finding; this frame is ¼ of
+    orders, corpus-proportional).  Price is bucketed to integer cents
+    so strict dominance (… RANGE 1 PRECEDING) is exact, never a float
+    epsilon."""
     _prep(spark, sf_dir)
     o = (
         load_table(spark, sf_dir, "orders")
@@ -6207,10 +6211,9 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
         )
     )
-    w = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
-    best_prior = F.max("o_orderdate").over(w)
+    scored = scale.global_running_max(o, "cents", "o_orderdate", "__best")
     return (
-        o.withColumn("__best", best_prior)
+        scored
         .filter(F.col("__best").isNull() | (F.col("o_orderdate") >= F.col("__best")))
         .select("o_orderkey", "cents", "o_orderdate")
     )

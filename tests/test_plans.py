@@ -477,3 +477,27 @@ def test_dup_span_coverage_single_span_shuffle_no_python(spark):
         if "Exchange hashpartitioning(g#" in ln
     ]
     assert len(g_exchanges) == 1
+
+
+def test_skyline_and_rfm_no_corpus_single_partition(spark):
+    """Round-4 weak-plan fix: the skyline strict-cummax and the three
+    RFM ntile scores must run through the range-bucketed two-phase
+    primitives — the only SinglePartition exchanges left feed the
+    bucket-count-sized offsets frames, never the data frame.  Static
+    planning so the exchanges are visible."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sky = plans.physical_plan(QUERIES["q_skyline_pareto"](spark, SF))
+        rfm = plans.physical_plan(QUERIES["q_rfm_segmentation"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # one tiny offsets window for skyline; one per ntile score for RFM
+    assert sky.count("Exchange SinglePartition") <= 1
+    assert rfm.count("Exchange SinglePartition") <= 3
+    # the data path must be bucket-hash-clustered, and ntile itself must
+    # be gone from the RFM plan (closed-form tile, no global ntile window)
+    assert "hashpartitioning(__bucket" in sky
+    assert "hashpartitioning(__bucket" in rfm
+    assert "ntile" not in rfm

@@ -4,6 +4,8 @@ must not serialize the input through one task."""
 
 from __future__ import annotations
 
+import datetime
+
 import pytest
 from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
@@ -163,3 +165,116 @@ def test_exact_percentiles_ignore_nulls_like_percentile(spark):
     # percentile would return a NULL row)
     df2 = spark.createDataFrame([Row(g=9, v=None)], "g int, v double")
     assert scale.exact_percentiles(df2, "g", "v", [0.5]).count() == 0
+
+
+# -------------------------------------------------------------------------
+# global_running_max: strict-exclusive distributed cummax must match the
+# single-partition RANGE window exactly
+# -------------------------------------------------------------------------
+
+def _reference_running_max(df, order_col, value_col):
+    w = Window.orderBy(order_col).rangeBetween(Window.unboundedPreceding, -1)
+    return df.withColumn("running_max", F.max(value_col).over(w))
+
+
+@pytest.mark.parametrize("num_buckets", [1, 3, 8])
+def test_running_max_matches_single_window(spark, num_buckets):
+    # non-monotone values + duplicate order keys: ties must share the
+    # SAME strict-predecessor max (RANGE, not ROWS, semantics)
+    df = spark.range(0, 2000, 1, 6).select(
+        (F.col("id") % 500).alias("k"),  # each key appears 4x
+        ((F.col("id") * 37) % 1000).alias("v"),
+    )
+    got = sorted(
+        (r.k, r.v, r.running_max)
+        for r in scale.global_running_max(
+            df, "k", "v", num_buckets=num_buckets
+        ).collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.running_max)
+        for r in _reference_running_max(df, "k", "v").collect()
+    )
+    assert got == want
+    # first key has no strict predecessor -> NULL, like the empty frame
+    assert all(rm is None for k, _, rm in got if k == 0)
+
+
+def test_running_max_dates(spark):
+    df = spark.createDataFrame(
+        [Row(k=10, d=datetime.date(2024, 3, 1)),
+         Row(k=20, d=datetime.date(2024, 1, 1)),
+         Row(k=30, d=datetime.date(2024, 2, 1))],
+        "k long, d date",
+    )
+    got = {r.k: r.running_max
+           for r in scale.global_running_max(df, "k", "d", num_buckets=2).collect()}
+    assert got == {
+        10: None,
+        20: datetime.date(2024, 3, 1),
+        30: datetime.date(2024, 3, 1),
+    }
+
+
+def test_running_max_plan_no_data_single_partition(spark):
+    df = spark.range(0, 100_000, 1, 16).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = scale.global_running_max(df, "k", "v", num_buckets=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("SinglePartition") <= 1  # only the tiny offsets frame
+    assert "ReusedExchange" in plan
+    tail = out.filter(F.col("k") == 99_999).collect()
+    assert tail[0].running_max == 996
+
+
+# -------------------------------------------------------------------------
+# global_ntile: closed-form two-phase ntile must match ntile() exactly,
+# including the uneven-remainder tile sizes
+# -------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_rows,n_tiles", [(1, 4), (3, 4), (103, 4), (1000, 7)])
+def test_global_ntile_matches_window_ntile(spark, n_rows, n_tiles):
+    df = spark.range(0, n_rows, 1, 5).select(
+        ((F.col("id") * 131) % 89).alias("s"),  # duplicate sort keys
+        F.col("id").alias("u"),
+    )
+    w = Window.orderBy("s", "u")
+    want = {(r.s, r.u): r.t
+            for r in df.select("s", "u", F.ntile(n_tiles).over(w).alias("t")).collect()}
+    got = {(r.s, r.u): r.t
+           for r in scale.global_ntile(df, "s", "u", n_tiles, "t").collect()}
+    assert got == want
+
+
+def test_global_ntile_desc_via_negated_key(spark):
+    df = spark.range(0, 40, 1, 3).select(
+        F.col("id").alias("f"), F.col("id").alias("u")
+    )
+    w = Window.orderBy(F.col("f").desc(), "u")
+    want = {r.u: r.t
+            for r in df.select("u", F.ntile(4).over(w).alias("t")).collect()}
+    got = {r.u: r.t
+           for r in scale.global_ntile(
+               df.withColumn("nf", -F.col("f")), "nf", "u", 4, "t"
+           ).collect()}
+    assert got == want
+
+
+def test_global_ntile_plan_no_data_single_partition(spark):
+    df = spark.range(0, 100_000, 1, 16).select(
+        F.col("id").alias("s"), F.col("id").alias("u")
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = scale.global_ntile(df, "s", "u", 4, "t", num_buckets=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("SinglePartition") <= 1
+    counts = {r.t: r.n for r in out.groupBy("t").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 25_000, 2: 25_000, 3: 25_000, 4: 25_000}
