@@ -300,31 +300,65 @@ def minhash_lsh_dedup_pairs(
     return out
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 0) -> DataFrame:
-    """64-bit SimHash per doc: sign-sum of token-hash bits.
+def simhash_multi(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_words: int = 1,
+) -> DataFrame:
+    """``n_words``×64-bit SimHash per doc as ``(id, sh0, sh1, …)`` —
+    sign-sum of token-hash bits, one independent 64-bit hash per word
+    (word 0 uses exactly the classic :func:`simhash` seed, so
+    ``n_words=1`` reproduces it bit-for-bit; extra words derive their
+    seed by golden-ratio stepping).
 
     Implemented as explode(tokens) → per-(doc, bit) vote via bitwise ops
-    → reassemble.  Pure Catalyst integer arithmetic.
-    """
+    → reassemble.  Pure Catalyst integer arithmetic: ONE token explode
+    feeds all words, one map-side-combinable aggregate carries the
+    n_words×64 vote sums."""
     from datafusion_randgen_spark.functions.text import tokens
 
     tok = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    h = tok.withColumn("h", F.xxhash64(F.col("tok"), F.lit(seed)))
+    h = tok.select(
+        "id",
+        *[
+            F.xxhash64(F.col("tok"), F.lit(seed + w * 0x9E3779B9)).alias(f"h{w}")
+            for w in range(n_words)
+        ],
+    )
     votes = h.groupBy("id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+                F.when(
+                    F.shiftright(F.col(f"h{w}"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{w}_{i}")
+            for w in range(n_words)
             for i in range(64)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        fp = fp + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return votes.select("id", fp.alias("simhash"))
+    fps = []
+    for w in range(n_words):
+        fp = F.lit(0).cast("long")
+        for i in range(64):
+            fp = fp + F.when(
+                F.col(f"b{w}_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(0)
+        fps.append(fp.alias(f"sh{w}"))
+    return votes.select("id", *fps)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of token-hash bits — the
+    single-word case of :func:`simhash_multi` (bit-identical to the
+    pre-generalization fingerprints)."""
+    return simhash_multi(docs, text_col, id_col, seed, n_words=1).select(
+        "id", F.col("sh0").alias("simhash")
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
@@ -409,11 +443,12 @@ def simhash_pairs_within(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
     fingerprints, and the join is a plain equi-join Catalyst can
     shuffle-hash; 28 keys/doc is a constant fan-out, not O(n^2).
     Bucket load grows as n/2^16 per table, so beyond ~10^7 docs the
-    16-bit keys start pairing quadratically: the 100 TB variant is a
-    128-bit simhash cut into 16 blocks (C(16,2)=120 tables, 16-bit
-    block pairs → 32-bit keys, clean blocks ≥ 16-6 = 10 ≥ 2 — same
-    pigeonhole, 2^32 buckets), a constant-factor change to this exact
-    plan shape.
+    16-bit keys start pairing quadratically: the 100 TB variant —
+    implemented in :func:`simhash_pairs_blocked` — is a 128-bit
+    simhash (:func:`simhash_multi` with ``n_words=2``) cut into 16-bit
+    blocks (32-bit pair keys → 2^32 buckets, same pigeonhole), a
+    parameter change to this exact plan shape; this function is now
+    the ``(fp_cols=("simhash",), block_bits=8)`` case of it.
     """
     if not 1 <= max_hamming <= 6:
         raise ValueError(
@@ -421,23 +456,71 @@ def simhash_pairs_within(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
             f"only for Hamming <= 6 (got {max_hamming}); use triples "
             "of smaller blocks for larger radii"
         )
-    block = [
-        F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(0xFF)).cast("int")
-        for i in range(8)
-    ]
+    return simhash_pairs_blocked(
+        fps, max_hamming, fp_cols=("simhash",), block_bits=8
+    )
+
+
+def simhash_pairs_blocked(
+    fps: DataFrame,
+    max_hamming: int,
+    fp_cols: tuple[str, ...] = ("simhash",),
+    block_bits: int = 8,
+) -> DataFrame:
+    """All pairs with Hamming distance <= ``max_hamming`` over a
+    fingerprint table whose fingerprint spans ``len(fp_cols)`` 64-bit
+    words — the parameterized generalization of the 64-bit 8-block
+    scheme, and the promised 100 TB variant: ``fp_cols=("sh0","sh1"),
+    block_bits=8`` is the 128-bit/16-block table (C(16,2)=120 pair
+    keys, full recall up to Hamming 14), while ``block_bits=16`` over
+    128 bits gives 8 blocks of 16 bits → 32-bit pair keys whose 2^32
+    bucket space keeps bucket loads sub-quadratic past 10^7 docs.
+
+    Pigeonhole: r dirty bits dirty at most r of the n_blocks blocks,
+    leaving >= n_blocks - r clean; recall is guaranteed when at least
+    2 blocks stay clean, i.e. ``max_hamming <= n_blocks - 2`` —
+    enforced, never silent.  Candidates come from ONE equi-join on
+    (table, combined block-pair value) after a C(n_blocks,2)-way key
+    explode; an exact multi-word popcount filter removes false
+    candidates.
+
+    Scale design: identical inverted-index shape as the 64-bit form —
+    the shuffle carries (id, tbl, val) rows only, the join is a plain
+    equi-join, and the per-doc fan-out C(n_blocks,2) is a constant.
+    """
+    total_bits = 64 * len(fp_cols)
+    if total_bits % block_bits:
+        raise ValueError(f"block_bits={block_bits} must divide {total_bits}")
+    n_blocks = total_bits // block_bits
+    if not 1 <= max_hamming <= n_blocks - 2:
+        raise ValueError(
+            f"simhash_pairs_blocked: {n_blocks} blocks guarantee recall "
+            f"only for Hamming <= {n_blocks - 2} (got {max_hamming})"
+        )
+    blocks_per_word = 64 // block_bits
+    mask = (1 << block_bits) - 1
+
+    def blk(t: int):
+        word = fp_cols[t // blocks_per_word]
+        off = (t % blocks_per_word) * block_bits
+        return (
+            F.shiftright(F.col(word), off).bitwiseAND(F.lit(mask)).cast("long")
+        )
+
     keys = F.array(
         *[
             F.struct(
-                F.lit(i * 8 + j).alias("tbl"),
-                (block[i] * 256 + block[j]).alias("val"),
+                F.lit(i * n_blocks + j).alias("tbl"),
+                (blk(i) * F.lit(1 << block_bits) + blk(j)).alias("val"),
             )
-            for i in range(8)
-            for j in range(i + 1, 8)
+            for i in range(n_blocks)
+            for j in range(i + 1, n_blocks)
         ]
     )
-    keyed = fps.select(
-        "id", "simhash", F.explode(keys).alias("k")
-    ).select("id", "simhash", F.col("k.tbl").alias("tbl"), F.col("k.val").alias("val"))
+    cols = list(fp_cols)
+    keyed = fps.select("id", *cols, F.explode(keys).alias("k")).select(
+        "id", *cols, F.col("k.tbl").alias("tbl"), F.col("k.val").alias("val")
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(
@@ -449,14 +532,20 @@ def simhash_pairs_within(fps: DataFrame, max_hamming: int = 6) -> DataFrame:
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            *[F.col(f"a.{c}").alias(f"__a_{c}") for c in cols],
+            *[F.col(f"b.{c}").alias(f"__b_{c}") for c in cols],
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"__a_{c}").bitwiseXOR(F.col(f"__b_{c}")))
+            for c in cols
+        ),
+        F.lit(0),
+    )
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

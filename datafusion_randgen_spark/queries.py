@@ -2086,6 +2086,74 @@ def d_simhash_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.agg(F.count("*").alias("n_planted")).crossJoin(props)
 
 
+@query(
+    "d_simhash128_r9",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_planted,
+           CAST(count(*) AS BIGINT) AS n_planted_found,
+           CAST(sum(7 + doc_id % 3) AS BIGINT) AS hamming_sum,
+           true AS ordering_ok
+    FROM documents
+    """,
+)
+def d_simhash128_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash near-dup pairs at Hamming 7-9 via the
+    parameterized block-pair scheme (``dedup.simhash_pairs_blocked``
+    over ``dedup.simhash_multi(n_words=2)`` fingerprints: 16 blocks ×
+    C(16,2)=120 pair keys, full recall up to Hamming 14 by pigeonhole)
+    — the 100 TB variant the 64-bit entry's docstring promised, now
+    exercised end-to-end at radii the 8-block table cannot reach.
+
+    Planted ground truth at CONTROLLED distance, the d_simhash_r6
+    design lifted to two words: each document's (sh0, sh1) twin at
+    doc_id + 1e6 is XORed with a mask of exactly ``7 + doc_id % 3``
+    distinct bit positions (id·7 + 13k) mod 128 — distinct for k < 9
+    since 13k < 128 — split across the two words.  n_planted_found and
+    the checksum Σ(7 + doc_id % 3) are exact by construction, immune
+    to fixture drift, and exercise radii 7, 8 AND 9."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # checkpoint: the 128-agg fingerprint subtree feeds both union
+    # branches and both self-join sides (same reasoning as d_simhash_r6)
+    fps = dedup.simhash_multi(docs, n_words=2).localCheckpoint(eager=True)
+    r = (F.lit(7) + F.col("id") % 3).cast("int")
+    mask_lo = F.lit(0).cast("long")
+    mask_hi = F.lit(0).cast("long")
+    for k in range(9):
+        pos = f"((id * 7 + {k * 13}) % 128)"
+        bit_lo = F.expr(
+            f"CASE WHEN {pos} < 64 THEN "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+        bit_hi = F.expr(
+            f"CASE WHEN {pos} >= 64 THEN "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} - 64 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+        zero = F.lit(0).cast("long")
+        mask_lo = mask_lo + F.when(F.lit(k) < r, bit_lo).otherwise(zero)
+        mask_hi = mask_hi + F.when(F.lit(k) < r, bit_hi).otherwise(zero)
+    twins = fps.select(
+        (F.col("id") + _TWIN_OFFSET).alias("id"),
+        F.col("sh0").bitwiseXOR(mask_lo).alias("sh0"),
+        F.col("sh1").bitwiseXOR(mask_hi).alias("sh1"),
+    )
+    pairs = dedup.simhash_pairs_blocked(
+        fps.unionByName(twins), max_hamming=9,
+        fp_cols=("sh0", "sh1"), block_bits=8,
+    )
+    planted = (F.col("id_b") == F.col("id_a") + _TWIN_OFFSET) & (
+        F.col("id_a") < _TWIN_OFFSET
+    )
+    props = pairs.agg(
+        F.sum(planted.cast("long")).alias("n_planted_found"),
+        F.sum(F.when(planted, F.col("hamming")).otherwise(0)).alias("hamming_sum"),
+        (F.min(F.col("id_b") - F.col("id_a")) > 0).alias("ordering_ok"),
+    )
+    return docs.agg(F.count("*").alias("n_planted")).crossJoin(props)
+
+
 _SPAN_K = 4  # span length in tokens for duplicated-span coverage
 
 

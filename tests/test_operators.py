@@ -96,6 +96,105 @@ def test_simhash_pairs_within_rejects_large_radius(spark):
         dedup.simhash_pairs_within(df, max_hamming=7)
 
 
+def _brute_pairs_2word(fps, r):
+    want = {}
+    m64 = (1 << 64) - 1
+    for i, (ida, a0, a1) in enumerate(fps):
+        for idb, b0, b1 in fps[i + 1:]:
+            h = bin((a0 ^ b0) & m64).count("1") + bin((a1 ^ b1) & m64).count("1")
+            if h <= r:
+                want[(min(ida, idb), max(ida, idb))] = h
+    return want
+
+
+@pytest.mark.parametrize("block_bits,radius", [(8, 9), (8, 14), (16, 6)])
+def test_simhash_pairs_blocked_128bit_exhaustive(spark, block_bits, radius):
+    """128-bit blocked candidate generation vs brute-force two-word
+    popcount, at both block widths (8-bit blocks: 16 tables, r <= 14;
+    16-bit blocks: the 2^32-bucket scale variant, r <= 6), with planted
+    distances 1..15 crossing each guarantee boundary."""
+    import random
+
+    rng = random.Random(7)
+    fps = [(i, rng.getrandbits(63), rng.getrandbits(63)) for i in range(15)]
+    b0, b1 = fps[0][1], fps[0][2]
+    for d in range(1, 16):
+        m0 = m1 = 0
+        for k in range(d):  # distinct positions 9k+1 mod 128
+            p = (9 * k + 1) % 128
+            if p < 64:
+                m0 |= 1 << p
+            else:
+                m1 |= 1 << (p - 64)
+        assert bin(m0).count("1") + bin(m1).count("1") == d
+        s64 = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+        fps.append((100 + d, s64(b0 ^ m0), s64(b1 ^ m1)))
+    df = spark.createDataFrame(fps, "id long, sh0 long, sh1 long")
+    got = {
+        (r_.id_a, r_.id_b): r_.hamming
+        for r_ in dedup.simhash_pairs_blocked(
+            df, max_hamming=radius, fp_cols=("sh0", "sh1"), block_bits=block_bits
+        ).collect()
+    }
+    assert got == _brute_pairs_2word(fps, radius)
+    assert (0, 100 + radius) in got  # the boundary-distance plant found
+    assert (0, 100 + radius + 1) not in got
+
+
+def test_simhash_pairs_blocked_rejects_out_of_range(spark):
+    df = spark.createDataFrame([(1, 0, 0)], "id long, sh0 long, sh1 long")
+    with pytest.raises(ValueError, match="Hamming <= 14"):
+        dedup.simhash_pairs_blocked(df, 15, ("sh0", "sh1"), 8)
+    with pytest.raises(ValueError, match="Hamming <= 6"):
+        dedup.simhash_pairs_blocked(df, 7, ("sh0", "sh1"), 16)
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.simhash_pairs_blocked(df, 3, ("sh0", "sh1"), 24)
+
+
+def test_simhash_multi_word0_matches_simhash(docs):
+    """n_words=1 must reproduce the classic fingerprints bit-for-bit,
+    and word 0 of a 2-word fingerprint must equal them too (same seed
+    path), so generalizing did not silently re-key existing sketches."""
+    classic = {r.id: r.simhash for r in dedup.simhash(docs).collect()}
+    multi = {r.id: (r.sh0, r.sh1) for r in dedup.simhash_multi(docs, n_words=2).collect()}
+    assert {i: m[0] for i, m in multi.items()} == classic
+    # the second word must be a DIFFERENT hash family, not a copy
+    assert any(m[0] != m[1] for m in multi.values())
+
+
+def test_simhash_blocked_bucket_load_bounded(spark):
+    """Property test for the inverted-index shape: on random 128-bit
+    fingerprints the per-(table, value) bucket load stays tiny — no
+    hidden quadratic hot bucket in the candidate join (2000 docs x 120
+    keys over 16-bit values: expected load ~= 3.7 per non-empty bucket
+    pair-key space; a skew bug like keying on one block would blow this
+    up by orders of magnitude)."""
+    import random
+
+    rng = random.Random(3)
+    fps = [(i, rng.getrandbits(63), rng.getrandbits(63)) for i in range(2000)]
+    df = spark.createDataFrame(fps, "id long, sh0 long, sh1 long")
+    from pyspark.sql import functions as F
+
+    n_blocks, block_bits = 16, 8
+    bpw = 64 // block_bits
+
+    def blk(t):
+        w = "sh0" if t < bpw else "sh1"
+        return F.shiftright(F.col(w), (t % bpw) * block_bits).bitwiseAND(F.lit(0xFF)).cast("long")
+
+    keys = F.array(*[
+        F.struct(F.lit(i * n_blocks + j).alias("tbl"), (blk(i) * 256 + blk(j)).alias("val"))
+        for i in range(n_blocks) for j in range(i + 1, n_blocks)
+    ])
+    loads = (
+        df.select(F.explode(keys).alias("k"))
+        .groupBy("k.tbl", "k.val").count()
+        .agg(F.max("count").alias("mx")).collect()
+    )
+    assert loads[0].mx <= 10  # binomial tail: P(load>10) ~ 0 at mean 2000/65536 per bucket
+
+
 def test_dup_span_coverage_hand_computed(spark):
     rows = [
         (1, "a b c d e"),    # "a b c d" dup with doc 2 -> covers 4/5

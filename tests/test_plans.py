@@ -501,3 +501,22 @@ def test_skyline_and_rfm_no_corpus_single_partition(spark):
     assert "hashpartitioning(__bucket" in sky
     assert "hashpartitioning(__bucket" in rfm
     assert "ntile" not in rfm
+
+
+def test_simhash_pairs_blocked_128bit_is_hash_equi_join(spark):
+    """The 128-bit/16-block variant must keep the exact inverted-index
+    plan shape of the 64-bit form: equi-join on (table, pair-value)
+    keys, no nested loop over fingerprints, all JVM-side."""
+    from datafusion_randgen_spark.operators import dedup
+
+    fps = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 2654435761).alias("sh0"),
+        (F.col("id") * 40503).alias("sh1"),
+    )
+    df = dedup.simhash_pairs_blocked(fps, 9, ("sh0", "sh1"), 8)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "tbl" in plan and "val" in plan
+    assert plans.python_eval_nodes(df) == 0
