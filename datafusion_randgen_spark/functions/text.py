@@ -139,3 +139,123 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]))
     )
     return F.when(n >= F.lit(k), grams).otherwise(F.array().cast("array<string>"))
+
+
+def synth_url(doc_id: Column, source: Column) -> Column:
+    """Deterministic noisy URL from (doc_id, source) — the fixture
+    generator for the URL-canonicalization entries (the corpus tables
+    carry no URL column, so one is synthesized reproducibly, the same
+    pattern as the binaryFile fixture).  Noise classes keyed off
+    doc_id: scheme case, www prefix (two cases), host case, explicit
+    default port, trailing slash, utm tracking params vs a meaningful
+    ?ref param, and a fragment — every class the canonicalizer must
+    strip or preserve."""
+    scheme = F.when(doc_id % 3 == 0, "HTTPS").otherwise("https")
+    www = (
+        F.when(doc_id % 4 == 1, "WWW.")
+        .when(doc_id % 4 == 2, "www.")
+        .otherwise("")
+    )
+    host = F.concat(
+        F.when(doc_id % 5 == 0, F.upper(source)).otherwise(source),
+        F.when(doc_id % 2 == 0, F.lit(".example.com")).otherwise(
+            F.lit(".Example.Com")
+        ),
+    )
+    port = F.when(doc_id % 7 == 2, ":443").otherwise("")
+    path = F.concat(F.lit("/articles/"), (doc_id % 25).cast("string"))
+    slash = F.when(doc_id % 2 == 0, "/").otherwise("")
+    query = (
+        F.when(doc_id % 3 == 1, "?utm_source=feed&utm_campaign=spring")
+        .when(doc_id % 3 == 2, "?ref=home")
+        .otherwise("")
+    )
+    frag = F.when(doc_id % 6 == 3, "#section-2").otherwise("")
+    return F.concat(
+        scheme, F.lit("://"), www, host, port, path, slash, query, frag
+    )
+
+
+SYNTH_URL_SQL = """
+    concat(
+      CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END, '://',
+      CASE WHEN doc_id % 4 = 1 THEN 'WWW.'
+           WHEN doc_id % 4 = 2 THEN 'www.' ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END,
+      CASE WHEN doc_id % 2 = 0 THEN '.example.com' ELSE '.Example.Com' END,
+      CASE WHEN doc_id % 7 = 2 THEN ':443' ELSE '' END,
+      '/articles/', CAST(doc_id % 25 AS VARCHAR),
+      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed&utm_campaign=spring'
+           WHEN doc_id % 3 = 2 THEN '?ref=home' ELSE '' END,
+      CASE WHEN doc_id % 6 = 3 THEN '#section-2' ELSE '' END
+    )
+"""  # the DuckDB mirror of synth_url — kept textually adjacent so the
+#      two definitions drift together or not at all
+
+
+def url_host(url: Column) -> Column:
+    """Canonical host: lowercased authority, default :443 port and
+    leading www. stripped."""
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    return F.regexp_replace(
+        F.regexp_replace(hostport, r":443$", ""), r"^www\.", ""
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """CCNet/RefinedWeb-style URL canonicalization, pure Catalyst string
+    ops: lowercase scheme+host, strip leading ``www.``, strip the
+    https default port, drop the fragment, strip ``utm_*`` tracking
+    params (preserving meaningful ones), and trim trailing slashes off
+    the path (root stays ``/``).  Row-local — no shuffle; the
+    canonical string then feeds ordinary hash-key dedup."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^#]*)", 1)
+    # utm params: non-leading ones drop with their '&'; a leading one
+    # either hands '?' to the next param or drops the whole query
+    s = F.regexp_replace(rest, r"&utm_[a-z]+=[^&]*", "")
+    s = F.regexp_replace(s, r"\?utm_[a-z]+=[^&]*&", "?")
+    s = F.regexp_replace(s, r"\?utm_[a-z]+=[^&]*$", "")
+    path = F.regexp_extract(s, r"^([^?]*)", 1)
+    query = F.regexp_extract(s, r"(\?.*)$", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", "/").otherwise(path)
+    return F.concat(scheme, F.lit("://"), url_host(url), path, query)
+
+
+CANONICALIZE_URL_SQL = """
+    concat(
+      lower(regexp_extract({u}, '^([A-Za-z]+)://', 1)), '://',
+      regexp_replace(regexp_replace(
+        lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)),
+        ':443$', ''), '^www\\.', ''),
+      CASE WHEN regexp_replace(
+             regexp_extract(
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+                 '&utm_[a-z]+=[^&]*', '', 'g'),
+                 '\\?utm_[a-z]+=[^&]*&', '?'),
+                 '\\?utm_[a-z]+=[^&]*$', ''),
+               '^([^?]*)', 1),
+             '/+$', '') = ''
+           THEN '/'
+           ELSE regexp_replace(
+             regexp_extract(
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+                 '&utm_[a-z]+=[^&]*', '', 'g'),
+                 '\\?utm_[a-z]+=[^&]*&', '?'),
+                 '\\?utm_[a-z]+=[^&]*$', ''),
+               '^([^?]*)', 1),
+             '/+$', '') END,
+      regexp_extract(
+        regexp_replace(regexp_replace(regexp_replace(
+          regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+          '&utm_[a-z]+=[^&]*', '', 'g'),
+          '\\?utm_[a-z]+=[^&]*&', '?'),
+          '\\?utm_[a-z]+=[^&]*$', ''),
+        '(\\?.*)$', 1)
+    )
+"""  # DuckDB mirror of canonicalize_url ({u} = the url expression);
+#      RE2 'g' flag matches Spark's replace-all default

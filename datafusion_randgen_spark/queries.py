@@ -2219,6 +2219,106 @@ def t_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {text.SYNTH_URL_SQL} AS url_raw FROM documents)
+    SELECT doc_id, url_raw,
+           {text.CANONICALIZE_URL_SQL.format(u="url_raw")} AS url_canonical,
+           regexp_replace(regexp_replace(
+             lower(regexp_extract(url_raw, '^[A-Za-z]+://([^/?#]+)', 1)),
+             ':443$', ''), '^www\\.', '') AS url_host
+    FROM raw
+    """,
+)
+def t_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the CCNet/RefinedWeb pre-filter stage
+    before any URL-keyed dedup: lowercase scheme+host, strip leading
+    www., strip the https default port, drop fragments, strip utm_*
+    tracking params while PRESERVING meaningful ones, and trim
+    trailing path slashes.  The corpus tables carry no URL column, so
+    a noisy one is synthesized deterministically from (doc_id, source)
+    (``functions/text.synth_url``) covering every noise class; both
+    engines synthesize AND canonicalize independently, so the oracle
+    string-hashes the full raw→canonical mapping.
+
+    Scale design: entirely row-local string expressions (zero
+    shuffles, zero Python) — the canonical column then feeds ordinary
+    hash-key dedup at any scale."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = docs.select(
+        "doc_id",
+        text.synth_url(F.col("doc_id"), F.col("source")).alias("url_raw"),
+    )
+    return raw.select(
+        "doc_id",
+        "url_raw",
+        text.canonicalize_url(F.col("url_raw")).alias("url_canonical"),
+        text.url_host(F.col("url_raw")).alias("url_host"),
+    )
+
+
+@query(
+    "t_url_host_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {text.SYNTH_URL_SQL} AS url_raw FROM documents),
+    canon AS (
+      SELECT doc_id,
+             {text.CANONICALIZE_URL_SQL.format(u="url_raw")} AS url_canonical,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url_raw, '^[A-Za-z]+://([^/?#]+)', 1)),
+               ':443$', ''), '^www\\.', '') AS url_host
+      FROM raw),
+    keep AS (
+      SELECT url_host, url_canonical, count(*) AS n_docs,
+             min(doc_id) AS keeper_doc_id
+      FROM canon GROUP BY url_host, url_canonical)
+    SELECT url_host,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_canonical_urls,
+           CAST(sum(n_docs) - count(*) AS BIGINT) AS n_dup_docs,
+           CAST(min(keeper_doc_id) AS BIGINT) AS first_keeper
+    FROM keep GROUP BY url_host
+    """,
+)
+def t_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level URL dedup stats after canonicalization — the second
+    half of the CCNet pre-filter: collapse raw URL variants onto their
+    canonical form (keeping the min-doc_id representative, the usual
+    deterministic keep-first rule), then aggregate per host: document
+    count, distinct canonical URLs, and how many documents URL-dedup
+    alone removes.
+
+    Scale design: one map-side-combinable shuffle on the canonical
+    string, one on the (already host-clustered) host — no text ever
+    shuffles, only URLs; skewed hosts are bounded because the first
+    aggregate keys on full canonical URLs, so a giant host arrives at
+    the host-level aggregate pre-collapsed."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    canon = docs.select(
+        "doc_id",
+        text.synth_url(F.col("doc_id"), F.col("source")).alias("url_raw"),
+    ).select(
+        "doc_id",
+        text.canonicalize_url(F.col("url_raw")).alias("url_canonical"),
+        text.url_host(F.col("url_raw")).alias("url_host"),
+    )
+    keep = canon.groupBy("url_host", "url_canonical").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+    return keep.groupBy("url_host").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count("*").alias("n_canonical_urls"),
+        (F.sum("n_docs") - F.count("*")).alias("n_dup_docs"),
+        F.min("keeper_doc_id").alias("first_keeper"),
+    )
+
+
+@query(
     "d_connected_components",
     oracle="""
     WITH m AS (

@@ -501,3 +501,36 @@ def test_ewma_fixed_point_groups_independent_and_order_insensitive(spark):
     got = {(r.user_id, r.t): r.ew for r in timeseries.ewma_fixed_point(ser).collect()}
     assert got == {(1, 1): 10, (1, 2): (70 + 270) // 10,
                    (2, 1): 100, (2, 2): (700 + 150) // 10}
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_randgen_spark.functions import text as tx
+
+    cases = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Foo.COM:443/A/b/?utm_source=x", "https://foo.com/A/b"),
+        ("https://foo.com/", "https://foo.com/"),          # root slash kept
+        ("https://foo.com", "https://foo.com/"),           # empty path -> /
+        ("http://foo.com/p?utm_a=1&utm_b=2", "http://foo.com/p"),
+        ("http://foo.com/p?utm_a=1&ref=h", "http://foo.com/p?ref=h"),
+        ("http://foo.com/p?ref=h&utm_a=1", "http://foo.com/p?ref=h"),
+        ("http://foo.com/p#frag", "http://foo.com/p"),
+        ("http://foo.com:443/p", "http://foo.com/p"),      # :443 stripped even on http (documented simplification)
+        ("https://www.www.foo.com/p", "https://www.foo.com/p"),  # only ONE leading www.
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
+    got = [r.c for r in df.select(tx.canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == [c for _, c in cases]
+
+
+def test_url_canonicalize_plan_is_row_local(spark):
+    """The canonicalization entry must be pure row-local string ops:
+    zero exchanges, zero Python nodes — that's the whole 100 TB story."""
+    from datafusion_randgen_spark import plans
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["t_url_canonicalize"](spark, "/root/testdata/sf0.001")
+    assert plans.exchange_count(df) == 0
+    assert plans.python_eval_nodes(df) == 0
