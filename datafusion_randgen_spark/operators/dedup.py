@@ -551,6 +551,56 @@ def simhash_pairs_blocked(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-token gram, slide a
+    w-gram window, select each window's MINIMUM hash; the distinct
+    selected hashes are the document's fingerprint set.  Guarantee:
+    two documents sharing any run of >= w + k - 1 tokens share >= w
+    consecutive identical grams, hence at least one full aligned
+    window, hence that window's min — at least one common fingerprint.
+    Density is ~2/(w+1) of all grams, so the fingerprint set is a
+    tunable fraction of the document.
+
+    Returns (id, fp) exploded — one row per distinct selected hash.
+
+    Scale design: selection is entirely ROW-LOCAL array arithmetic
+    (transform/slice/array_min over the token array — no shuffle, no
+    Python); only the selected ~2/(w+1) fraction ever leaves the row,
+    and downstream overlap joins are inverted-index equi-joins on the
+    64-bit hash, the same shape as shingle/minhash candidates.  Docs
+    shorter than k tokens have no grams and vanish (no fingerprint);
+    docs with fewer than w grams winnow over one truncated window."""
+    from datafusion_randgen_spark.functions.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    m = F.size(grams)
+    wins = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
 def dup_span_coverage(
     docs: DataFrame,
     k: int = 4,

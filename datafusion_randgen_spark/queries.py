@@ -2154,6 +2154,89 @@ def d_simhash128_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.agg(F.count("*").alias("n_planted")).crossJoin(props)
 
 
+@query(
+    "d_winnowing_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT len(list_filter(string_split_regex(lower(text),
+                                                '[ \\t\\n\\f\\r]+'),
+                             x -> x != '')) AS n
+      FROM documents)
+    SELECT CAST(sum(CASE WHEN n >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_planted,
+           CAST(sum(CASE WHEN n >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_found,
+           CAST(sum(CASE WHEN n >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_partial_planted,
+           CAST(sum(CASE WHEN n >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_partial_found,
+           true AS ordering_ok
+    FROM t
+    """,
+)
+def d_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (``dedup.winnow_fingerprints``,
+    k=4-token grams, w=5 windows — guarantee threshold w+k-1 = 8
+    shared tokens) with DOUBLE planted ground truth:
+
+    - exact twins at doc_id + 1e6 (identical text ⇒ identical
+      fingerprint set ⇒ every doc with >= k tokens must pair);
+    - 40-token-prefix partials at doc_id + 2e6 for every doc with
+      >= 40 tokens: the prefix is a shared run of 40 >= 8 tokens, so
+      the winnowing theorem GUARANTEES at least one shared selected
+      hash — recovering all of them exercises the actual guarantee,
+      not just hash determinism.
+
+    Both planted counts are recomputed by the oracle from the token
+    lengths alone (two different algorithms agree); the hash side is
+    not ANSI-SQL, so the entry returns the property summary (the
+    ANN-recall pattern)."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = text.tokens(F.lower(F.col("text")))
+    exact = docs.select((F.col("doc_id") + _TWIN_OFFSET).alias("doc_id"), "text")
+    partial = (
+        docs.filter(F.size(toks) >= 40)
+        .select(
+            (F.col("doc_id") + 2 * _TWIN_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 40)).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(exact).unionByName(partial)
+    # checkpoint: the fingerprint subtree feeds both self-join sides
+    fps = dedup.winnow_fingerprints(corpus, k=4, w=5).localCheckpoint(
+        eager=True
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact_pair = (F.col("id_b") == F.col("id_a") + _TWIN_OFFSET) & (
+        F.col("id_a") < _TWIN_OFFSET
+    )
+    partial_pair = (F.col("id_b") == F.col("id_a") + 2 * _TWIN_OFFSET) & (
+        F.col("id_a") < _TWIN_OFFSET
+    )
+    props = pairs.agg(
+        F.sum(exact_pair.cast("long")).alias("n_exact_found"),
+        F.sum(partial_pair.cast("long")).alias("n_partial_found"),
+        (F.min(F.col("id_b") - F.col("id_a")) > 0).alias("ordering_ok"),
+    )
+    planted = docs.agg(
+        F.sum((F.size(toks) >= 4).cast("long")).alias("n_exact_planted"),
+        F.sum((F.size(toks) >= 40).cast("long")).alias("n_partial_planted"),
+    )
+    return planted.crossJoin(props).select(
+        "n_exact_planted",
+        "n_exact_found",
+        "n_partial_planted",
+        "n_partial_found",
+        "ordering_ok",
+    )
+
+
 _SPAN_K = 4  # span length in tokens for duplicated-span coverage
 
 

@@ -534,3 +534,36 @@ def test_url_canonicalize_plan_is_row_local(spark):
     df = QUERIES["t_url_canonicalize"](spark, "/root/testdata/sf0.001")
     assert plans.exchange_count(df) == 0
     assert plans.python_eval_nodes(df) == 0
+
+
+def test_winnow_fingerprints_guarantee_and_locality(spark):
+    """The winnowing theorem, hand-checked: docs sharing a run of
+    >= w+k-1 tokens must share a fingerprint; docs with < k tokens
+    produce none; identical docs produce identical sets."""
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "a b c d e f g h i j k l"),              # exact twin of 1
+        (3, "x y z a b c d e f g h p q"),            # shares 8-token run with 1
+        (4, "totally different words entirely here now"),
+        (5, "a b c"),                                # < k tokens: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, k=4, w=5)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    assert by_doc[1] == by_doc[2]                    # identical text
+    assert by_doc[1] & by_doc[3]                     # >= w+k-1 shared run
+    assert not (by_doc[1] & by_doc[4])
+    assert 5 not in by_doc                           # no k-gram, no fp
+    # density: selected set is a strict subset of the gram count
+    assert 0 < len(by_doc[1]) <= 12 - 4 + 1
+
+
+def test_winnow_fingerprints_plan_row_local(spark):
+    from datafusion_randgen_spark import plans
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    out = dedup.winnow_fingerprints(df)
+    assert plans.exchange_count(out) == 0            # selection never shuffles
+    assert plans.python_eval_nodes(out) == 0
