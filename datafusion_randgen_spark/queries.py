@@ -2402,6 +2402,92 @@ def t_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p_stratified_hash_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT source,
+             doc_id,
+             substr(md5(concat(CAST(doc_id AS VARCHAR), ':', source)), 1, 2)
+               AS hh
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN hh < '40' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(sum(CASE WHEN hh < '40' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS sampled_frac,
+           min(CASE WHEN hh < '40' THEN doc_id END) AS min_kept,
+           max(CASE WHEN hh < '40' THEN doc_id END) AS max_kept
+    FROM keyed GROUP BY source
+    """,
+)
+def p_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible subsampling
+    every training-data pipeline needs (Bernoulli ``sample()`` is
+    seed-and-partitioning dependent, useless as a contract): keep a
+    document iff the first byte of ``md5(doc_id ':' source)`` falls
+    under a cutoff (0x40/0x100 = exactly 25% of hash space), evaluated
+    per source stratum.  md5 hex is byte-identical across engines, and
+    the lexicographic compare on lowercase hex needs no hex→int cast.
+
+    Scale design: the keep decision is a row-local hash + string
+    compare (prunable, re-runnable, joinable — the same row keeps
+    forever on any cluster size); the only shuffle is the per-source
+    stats aggregate, map-side combinable.  sampled_frac is an
+    unrounded int/int division (IEEE-identical both engines)."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hh = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("source")
+            ).cast("binary")
+        ),
+        1,
+        2,
+    )
+    keyed = docs.withColumn("__kept", hh < "40")
+    return keyed.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("__kept").cast("long")).alias("n_sampled"),
+        (
+            F.sum(F.col("__kept").cast("long")).cast("double") / F.count("*")
+        ).alias("sampled_frac"),
+        F.min(F.when(F.col("__kept"), F.col("doc_id"))).alias("min_kept"),
+        F.max(F.when(F.col("__kept"), F.col("doc_id"))).alias("max_kept"),
+    )
+
+
+@query(
+    "p_per_host_cap",
+    oracle="""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 10
+    """,
+)
+def p_per_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap — the CCNet/C4 anti-domination rule (no
+    host may contribute more than N documents): keep the first 10 docs
+    per source in deterministic doc_id order.
+
+    Scale design: ONE window partitioned by host — frames are per-host
+    (bounded by the cap's purpose: hosts with millions of docs are
+    exactly what the cap trims), no unpartitioned ordering anywhere;
+    at extreme single-host skew the same rule runs as a TopK-per-key
+    (rank-filter pushes into a per-partition heap under AQE)."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@query(
     "d_connected_components",
     oracle="""
     WITH m AS (
@@ -2758,6 +2844,70 @@ def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.floor(F.col("q") * 10).cast("long").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "d_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes(0.8)},
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS node, least(src, min(dst)) AS comp
+             FROM reach GROUP BY src),
+    {_duckdb_quality_cte()},
+    ranked AS (
+      SELECT c.comp, c.node, q.score,
+             row_number() OVER (PARTITION BY c.comp
+                                ORDER BY q.score DESC, c.node) AS rk,
+             count(*) OVER (PARTITION BY c.comp) AS cluster_size
+      FROM comp c JOIN q ON q.doc_id = c.node)
+    SELECT comp AS cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           node AS keeper_doc,
+           score AS keeper_q
+    FROM ranked WHERE rk = 1
+    """,
+)
+def d_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup removal — the decision rule real
+    pipelines use instead of keep-min-id: within each near-dup cluster
+    (MinHash-LSH pairs → connected components, as d_dedup_clusters),
+    KEEP the document with the highest composite quality score
+    (``functions/text.quality_score``), ties broken by lower doc_id.
+
+    The Spark side picks the keeper with one ``max_by`` over a
+    (score, -doc_id) struct — a map-side-combinable aggregate, no
+    per-cluster sort; the oracle independently rebuilds the clusters
+    with a recursive CTE and ranks with a window, so two different
+    algorithms must produce the identical keeper set.
+
+    Scale design: clusters come from the O(log d) pointer-jumping
+    components; quality scores are row-local; the keeper argmax is one
+    hash aggregate keyed on cluster id.  Nothing here adds a shuffle
+    beyond what the components already paid."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.8)
+    cc = dedup.connected_components(pairs)
+    q = docs.select("doc_id", text.quality_score(F.col("text")).alias("q"))
+    scored = cc.join(q, cc["node"] == q["doc_id"]).select("comp", "node", "q")
+    return scored.groupBy("comp").agg(
+        F.count("*").alias("cluster_size"),
+        F.max_by(
+            F.col("node"), F.struct(F.col("q"), (-F.col("node")).alias("nn"))
+        ).alias("keeper_doc"),
+        F.max("q").alias("keeper_q"),
+    ).select(
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+        "keeper_doc",
+        "keeper_q",
     )
 
 
