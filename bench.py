@@ -119,6 +119,10 @@ def main() -> None:
         "q_median_impute": cat.QUERIES["q_median_impute"],
         "d_simhash_r6": cat.QUERIES["d_simhash_r6"],
         "t_dup_span_coverage": cat.QUERIES["t_dup_span_coverage"],
+        # r5: probes for the new scale primitives (range-bucketed
+        # two-phase ntile in RFM) and the winnowing fingerprint family
+        "q_rfm_segmentation": cat.QUERIES["q_rfm_segmentation"],
+        "d_winnowing_fingerprints": cat.QUERIES["d_winnowing_fingerprints"],
     }
 
     # Warmup: JIT/codegen compilation, Arrow runtime init, parquet
