@@ -83,11 +83,17 @@ def synthetic_embeddings(
     df = df.select(F.col("id").alias("vec_id"), cluster.alias("cluster")).withColumn(
         "raw", raw
     )
-    nrm = F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0), lambda acc, x: acc + x * x))
+    # the norm must be a PROJECTED column: embedded inside the divide
+    # transform it would re-run the O(dim) aggregate per element
+    # (Catalyst does no CSE across a lambda boundary — O(dim²)/row)
+    df = df.withColumn(
+        "__nrm",
+        F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
     return df.select(
         "vec_id",
         "cluster",
-        F.transform(F.col("raw"), lambda x: x / nrm).alias("embedding"),
+        F.transform(F.col("raw"), lambda x: x / F.col("__nrm")).alias("embedding"),
     )
 
 
