@@ -237,9 +237,9 @@ def canonicalize_url(url: Column) -> Column:
     rest = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^#]*)", 1)
     # utm params: non-leading ones drop with their '&'; a leading one
     # either hands '?' to the next param or drops the whole query
-    s = F.regexp_replace(rest, r"&utm_[a-z]+=[^&]*", "")
-    s = F.regexp_replace(s, r"\?utm_[a-z]+=[^&]*&", "?")
-    s = F.regexp_replace(s, r"\?utm_[a-z]+=[^&]*$", "")
+    s = F.regexp_replace(rest, r"&utm_[A-Za-z0-9_]+=[^&]*", "")
+    s = F.regexp_replace(s, r"\?utm_[A-Za-z0-9_]+=[^&]*&", "?")
+    s = F.regexp_replace(s, r"\?utm_[A-Za-z0-9_]+=[^&]*$", "")
     path = F.regexp_extract(s, r"^([^?]*)", 1)
     query = F.regexp_extract(s, r"(\?.*)$", 1)
     path = F.regexp_replace(path, r"/+$", "")
@@ -257,9 +257,9 @@ CANONICALIZE_URL_SQL = """
              regexp_extract(
                regexp_replace(regexp_replace(regexp_replace(
                  regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
-                 '&utm_[a-z]+=[^&]*', '', 'g'),
-                 '\\?utm_[a-z]+=[^&]*&', '?'),
-                 '\\?utm_[a-z]+=[^&]*$', ''),
+                 '&utm_[A-Za-z0-9_]+=[^&]*', '', 'g'),
+                 '\\?utm_[A-Za-z0-9_]+=[^&]*&', '?'),
+                 '\\?utm_[A-Za-z0-9_]+=[^&]*$', ''),
                '^([^?]*)', 1),
              '/+$', '') = ''
            THEN '/'
@@ -267,17 +267,17 @@ CANONICALIZE_URL_SQL = """
              regexp_extract(
                regexp_replace(regexp_replace(regexp_replace(
                  regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
-                 '&utm_[a-z]+=[^&]*', '', 'g'),
-                 '\\?utm_[a-z]+=[^&]*&', '?'),
-                 '\\?utm_[a-z]+=[^&]*$', ''),
+                 '&utm_[A-Za-z0-9_]+=[^&]*', '', 'g'),
+                 '\\?utm_[A-Za-z0-9_]+=[^&]*&', '?'),
+                 '\\?utm_[A-Za-z0-9_]+=[^&]*$', ''),
                '^([^?]*)', 1),
              '/+$', '') END,
       regexp_extract(
         regexp_replace(regexp_replace(regexp_replace(
           regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
-          '&utm_[a-z]+=[^&]*', '', 'g'),
-          '\\?utm_[a-z]+=[^&]*&', '?'),
-          '\\?utm_[a-z]+=[^&]*$', ''),
+          '&utm_[A-Za-z0-9_]+=[^&]*', '', 'g'),
+          '\\?utm_[A-Za-z0-9_]+=[^&]*&', '?'),
+          '\\?utm_[A-Za-z0-9_]+=[^&]*$', ''),
         '(\\?.*)$', 1)
     )
 """  # DuckDB mirror of canonicalize_url ({u} = the url expression);

@@ -34,6 +34,7 @@ __all__ = [
     "global_cumsum",
     "global_running_max",
     "global_ntile",
+    "global_row_number",
     "exact_percentiles",
 ]
 
@@ -211,15 +212,67 @@ def global_ntile(
     )
     i = F.col("__rn") - 1 + F.col("__off")  # exact global 0-based position
     k = F.lit(int(n_tiles))
-    q = (F.col("__n") / k).cast("long")  # floor: __n, k positive
+    # IntegralDivide (`div`), not `/`: Spark's `/` on longs is IEEE
+    # double division, which truncates past 2^53 and could mis-assign a
+    # tile boundary at extreme cardinality (r5 advice) — `div` keeps the
+    # closed form exact at any row count
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    q = idiv(F.col("__n"), k)
     r = F.col("__n") % k
     tile = F.when(
-        i < r * (q + 1), (i / (q + 1)).cast("long") + 1
-    ).otherwise(r + ((i - r * (q + 1)) / q).cast("long") + 1)
+        i < r * (q + 1), idiv(i, q + 1) + 1
+    ).otherwise(r + idiv(i - r * (q + 1), q) + 1)
     return (
         local.join(F.broadcast(offsets), "__bucket")
         .withColumn(out_col, tile.cast("long"))
         .drop("__bucket", "__rn", "__off", "__n")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    sort_col: str,
+    tiebreak_col: str,
+    out_col: str = "rn",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """EXACT ``row_number() OVER (ORDER BY sort_col, tiebreak_col)``
+    without the Exchange SinglePartition the unpartitioned window plans
+    — the r5-verdict fix for vocabulary-rank frames, where the "small"
+    side is Heaps-law sublinear but still 10⁸–10⁹ rows at web scale.
+
+    Same two-phase shape as :func:`global_ntile`'s position step:
+    range-bucket on ``sort_col`` (ties never split across buckets —
+    assignment is a pure function of the value; ``tiebreak_col`` only
+    orders within a bucket), bucket-local ``row_number`` in parallel,
+    then prefix row-count offsets over the bucket-count-sized totals
+    frame, broadcast back.  The only SinglePartition exchange touches
+    ``num_buckets`` rows.
+
+    Preconditions: ``sort_col`` numeric non-NULL (range-bucket
+    requirement); (sort_col, tiebreak_col) unique for a well-defined
+    rank — the same determinism the single-window form needs.  For
+    DESC order pass a negated sort key.  ``out_col`` is LONG (the
+    window form emits INT; cast downstream if the schema contract
+    needs it)."""
+    bucketed = _range_bucket(df, sort_col, num_buckets)
+    local_w = Window.partitionBy("__bucket").orderBy(sort_col, tiebreak_col)
+    local = bucketed.withColumn(
+        "__rn", F.row_number().over(local_w).cast("long")
+    )
+    # bucket row-count derived from the window output (max __rn), so
+    # Aggregate(Window(Exchange)) reuses the identical __bucket hash
+    # exchange — one scan + one shuffle (the global_cumsum trick)
+    totals = local.groupBy("__bucket").agg(F.max("__rn").alias("__cnt"))
+    off_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.col("__rn") + F.col("__off"))
+        .drop("__bucket", "__rn", "__off")
     )
 
 

