@@ -683,6 +683,75 @@ def dup_span_coverage(
     )
 
 
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style cross-document substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    for every document, the MAXIMAL token spans of length >= min_len
+    whose exact text occurs more than once in the corpus (across docs
+    or repeated within one) — the spans a C4/Pile-class pipeline would
+    cut out before training.  Returns one row per maximal span:
+    ``(id_col, span_start long, span_len long)``, 0-based token offset.
+
+    The suffix-array formulation the paper uses is replaced by an
+    anchor identity that shuffles O(corpus tokens) fixed-width rows:
+    a duplicated span of length m >= L contains exactly m - L + 1
+    duplicated L-grams at CONSECUTIVE positions, and conversely every
+    maximal consecutive run of c duplicated L-gram anchors is a
+    maximal duplicated span of length c + L - 1.  So:
+
+    1. row-local: hash every L-token gram (xxhash64 digest — the span
+       text itself never leaves the row, unlike the k=4 coverage op);
+    2. ONE shuffle clusters anchors by digest; a count-over-digest
+       window marks anchors occurring >= 2 times corpus-wide;
+    3. duplicated anchors (a small fraction of the corpus) shuffle by
+       doc; the classic gaps-and-islands key ``pos - row_number()``
+       groups consecutive positions, and min/max per island yield the
+       maximal spans.
+
+    No pair expansion, no token-array re-access after step 1, no
+    Python.  The 64-bit digest admits a ~n²/2⁶⁵ false-duplicate
+    probability (a hash collision marks one spurious anchor) — the
+    standard digest trade every production ExactSubstr variant makes;
+    use a 128-bit digest column pair for adversarial corpora."""
+    L = int(min_len)
+    staged = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    ).select(id_col, "__t", F.size("__t").alias("__n"))
+    # gram digests staged as a projected column (the winnowing lesson:
+    # inlining the transform under posexplode re-evaluates per ref)
+    anchors = staged.filter(F.col("__n") >= L).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - L),
+                lambda s: F.xxhash64(F.concat_ws(" ", F.slice("__t", s + 1, L))),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        anchors.withColumn("__c", F.count("*").over(WindowSpec.partitionBy("h")))
+        .filter(F.col("__c") >= 2)
+        .select(id_col, "pos")
+    )
+    island = F.col("pos") - F.row_number().over(
+        WindowSpec.partitionBy(id_col).orderBy("pos")
+    )
+    return (
+        dup.withColumn("__grp", island)
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + L).cast("long").alias("span_len"),
+        )
+        .drop("__grp")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -228,6 +228,51 @@ def test_dup_span_coverage_overlapping_intervals(spark):
     assert out[1] == 6  # union of [0,4) and [2,6), not 8
 
 
+def test_exact_substring_spans_hand_computed(spark):
+    """L=3 over hand-built docs: cross-doc shared runs become maximal
+    spans (start/len exact), within-doc repeats count as duplicates,
+    one doc can carry several islands, and unique text emits nothing."""
+    rows = [
+        (1, "a b c d e x1"),   # shares "a b c d e" with 2 and 7
+        (2, "z a b c d e"),    # same run, offset 1
+        (3, "m m m m"),        # self-repeat: both "m m m" anchors dup
+        (4, "unique tokens only here"),
+        (5, "p q r"),          # exact 3-token twin of 6 (and in 7)
+        (6, "p q r"),
+        (7, "a b c d e Q p q r"),  # two separate islands (Q lowercased)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dedup.exact_substring_spans(df, min_len=3).collect()
+    )
+    assert out == [
+        (1, 0, 5),
+        (2, 1, 5),
+        (3, 0, 4),
+        (5, 0, 3),
+        (6, 0, 3),
+        (7, 0, 5),
+        (7, 6, 3),
+    ]
+
+
+def test_exact_substring_spans_plan_no_pairs_no_python(spark):
+    """The plan must be the anchor-index shape: no pair self-join, no
+    cartesian, no Python nodes — and the only exchanges key on the
+    gram digest and the doc id (never SinglePartition)."""
+    rows = [(i, f"t{i} u{i} v{i} w{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from datafusion_randgen_spark import plans
+
+    out = dedup.exact_substring_spans(df, min_len=3)
+    plan = plans.physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "SinglePartition" not in plan
+    assert plans.python_eval_nodes(out) == 0
+
+
 @pytest.fixture()
 def vecs(spark):
     rows = [
