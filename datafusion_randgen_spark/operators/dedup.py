@@ -752,6 +752,102 @@ def exact_substring_spans(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    k: int = 10,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    within each cluster any vector whose cosine similarity to a
+    LOWER-id vector of the same cluster reaches ``threshold`` — the
+    deterministic exemplar rule (the paper keeps one arbitrary member
+    per semantic-duplicate group; lowest id is the reproducible
+    choice).  Returns ``(id_col, cluster int, keep boolean)`` for every
+    input vector.
+
+    Composition of two existing primitives (r5-verdict gap 2):
+    ``clustering.kmeans`` supplies the centroids (combiner-pattern
+    Lloyd's — raw vectors never shuffle during training), then ONE
+    map-only Arrow pass re-assigns each vector carrying it into a
+    ``(id, cluster, vec)`` frame, and the candidate join is a
+    cluster-local hash equi-join of that frame with itself — pair cost
+    is Σ|cluster|², the quadratic the ALGORITHM prescribes (SemDeDup's
+    contract is that k grows ∝ corpus so clusters stay bounded; the
+    paper runs 50k clusters on LAION).  Exact cosine scoring rides the
+    batched-matmul pandas UDF; no all-pairs join, no SinglePartition.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_randgen_spark.operators import clustering
+    from datafusion_randgen_spark.operators.similarity import _cosine_batch
+
+    spark = embeddings.sparkSession
+    centroids, _, _ = clustering.kmeans(
+        embeddings, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    bc = spark.sparkContext.broadcast(centroids)
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
+
+    def assign_with_vec(batches):
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (M * M).sum(axis=1)[:, None]
+                - 2.0 * (M @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": d2.argmin(axis=1).astype("int32"),
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    # eager checkpoint: the tagged frame feeds BOTH candidate-join sides
+    # and the final keep-flag join — without it the Arrow assignment
+    # pass (and the upstream scan) would run three times
+    tagged = (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(
+            assign_with_vec,
+            schema=f"{id_col} long, cluster int, {vec_col} {vec_type}",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = tagged.select(
+        F.col(id_col).alias("__xid"), "cluster", F.col(vec_col).alias("__xv")
+    )
+    b = tagged.select(
+        F.col(id_col).alias("__yid"), "cluster", F.col(vec_col).alias("__yv")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__xid") > F.col("__yid"))
+        .withColumn("__sim", F.round(_cosine_batch(F.col("__xv"), F.col("__yv")), 6))
+        .filter(F.col("__sim") >= threshold)
+        .select(F.col("__xid").alias(id_col))
+        .distinct()
+    )
+    return (
+        tagged.select(id_col, "cluster")
+        .join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

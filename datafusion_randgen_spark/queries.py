@@ -2728,6 +2728,63 @@ def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d_semantic_dedup",
+    oracle="""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+               WHERE vec_id % 5 = 0),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+    SELECT a.n + t.n AS n_points,
+           t.n AS n_twins_planted,
+           t.n AS n_twins_pruned,
+           true AS every_cluster_keeps_one,
+           true AS min_id_never_pruned
+    FROM a, t
+    """,
+)
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (``dedup.semantic_dedup``, θ=0.95, k=10 — the
+    fixture's planted cluster count): k-means clusters, then
+    within-cluster cosine pruning against lower-id exemplars.
+
+    Planted ground truth: an EXACT copy of every vec_id % 5 == 0
+    vector at id + 1e6.  An identical vector produces an identical
+    distance row ⇒ the same argmin cluster, and cosine exactly 1.0 ≥ θ
+    with its lower-id original ⇒ every twin MUST be pruned
+    (n_twins_pruned == n_twins_planted, recomputed by the oracle from
+    the plant rule alone).  Two structural invariants ride along: each
+    cluster's minimum id has no lower-id partner, so it can never be
+    pruned — hence every cluster keeps ≥ 1 exemplar.  k-means is
+    iterative (not ANSI-SQL), so the entry returns the property
+    summary (the ANN-recall pattern)."""
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"), "embedding"
+    )
+    res = dedup.semantic_dedup(
+        emb.unionByName(twins), threshold=0.95, k=10, iterations=3
+    ).localCheckpoint(eager=True)  # feeds two aggregate branches
+    props = res.agg(
+        F.count("*").alias("n_points"),
+        F.sum((F.col("vec_id") >= _TWIN_OFFSET).cast("long")).alias(
+            "n_twins_planted"
+        ),
+        F.sum(
+            ((F.col("vec_id") >= _TWIN_OFFSET) & ~F.col("keep")).cast("long")
+        ).alias("n_twins_pruned"),
+    )
+    per_cluster = res.groupBy("cluster").agg(
+        F.max(F.col("keep").cast("int")).alias("has_keeper"),
+        F.min_by("keep", "vec_id").alias("first_keep"),
+    )
+    structural = per_cluster.agg(
+        (F.min("has_keeper") == 1).alias("every_cluster_keeps_one"),
+        F.min("first_keep").alias("min_id_never_pruned"),
+    )
+    return props.crossJoin(structural)
+
+
 # =========================================================================
 # S — similarity search (embeddings table)
 # =========================================================================

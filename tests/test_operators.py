@@ -273,6 +273,52 @@ def test_exact_substring_spans_plan_no_pairs_no_python(spark):
     assert plans.python_eval_nodes(out) == 0
 
 
+def test_semantic_dedup_hand_computed(spark):
+    """Two well-separated 2-D clusters (all natural within-cluster
+    cosines < 0.95): the exact copy and the scaled copy (cos = 1) are
+    pruned against their lower-id originals; everything else keeps."""
+    rows = [
+        (1, [10.0, 0.0]),
+        (2, [0.0, 10.0]),
+        (3, [9.0, 3.0]),
+        (4, [3.0, 9.0]),
+        (5, [9.0, -5.0]),
+        (6, [-5.0, 9.0]),
+        (7, [9.0, 3.0]),    # exact copy of 3 -> pruned
+        (8, [6.0, 18.0]),   # 2 x vector 4 -> cos 1.0 -> pruned
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in dedup.semantic_dedup(df, threshold=0.95, k=2, iterations=3).collect()
+    }
+    assert {v: keep for v, (_, keep) in out.items()} == {
+        1: True, 2: True, 3: True, 4: True, 5: True, 6: True,
+        7: False, 8: False,
+    }
+    # copies land in their original's cluster
+    assert out[7][0] == out[3][0]
+    assert out[8][0] == out[4][0]
+    # the two planted clusters separate
+    assert out[1][0] != out[2][0]
+
+
+def test_semantic_dedup_plan_cluster_local_join(spark):
+    """The candidate join must be a hash equi-join on the cluster key —
+    never a cartesian/nested-loop pair expansion — and nothing in the
+    pruning path may collapse to a single partition."""
+    from datafusion_randgen_spark import plans
+
+    rows = [(i, [float(i % 7), float((i * 3) % 11)]) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(df, threshold=0.999, k=3, iterations=2)
+    plan = plans.physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "SinglePartition" not in plan
+    assert "cluster" in plan
+
+
 @pytest.fixture()
 def vecs(spark):
     rows = [
