@@ -1916,6 +1916,55 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d_snapshot_dedup",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    prior AS (SELECT DISTINCT nt FROM norm WHERE doc_id % 3 != 0),
+    incoming AS (
+      SELECT doc_id, nt FROM norm WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, nt FROM norm WHERE doc_id % 3 = 1),
+    surv AS (SELECT nt, min(doc_id) AS doc_id FROM incoming GROUP BY nt)
+    SELECT doc_id FROM surv
+    WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.nt = surv.nt)
+    """,
+)
+def d_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (``dedup.snapshot_dedup``):
+    the fingerprint store of a PRIOR crawl snapshot (docs with
+    doc_id % 3 != 0) is persisted to parquet — the state a production
+    pipeline carries between runs — then the next snapshot (docs with
+    doc_id % 3 == 0, plus PLANTED re-crawls: byte-identical copies of
+    every % 3 == 1 doc at id + 1e6) is deduplicated against it with a
+    digest-only anti-join.  Every planted re-crawl must drop (its
+    normalized text is in the store by construction); incoming docs
+    that naturally duplicate prior-snapshot or same-batch content drop
+    too, keep-first.  Spark carries 8-byte xxhash64 digests where the
+    oracle compares the normalized text itself — two representations
+    of the same keyspace, value-checked row-by-row."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    digests = docs.select(
+        "doc_id", F.xxhash64(dedup.normalize_text(F.col("text"))).alias("fp")
+    )
+    prior = digests.filter(F.col("doc_id") % 3 != 0).select("fp").distinct()
+    path = _scratch_dir("snapshot_fp_state")
+    prior.write.mode("overwrite").parquet(path)  # the carried store
+    state = spark.read.parquet(path)
+    incoming = digests.filter(F.col("doc_id") % 3 == 0).unionByName(
+        digests.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + _TWIN_OFFSET).alias("doc_id"), "fp"
+        )
+    )
+    kept, _ = dedup.snapshot_dedup(incoming, state)
+    return kept.select("doc_id")
+
+
+@query(
     "d_ngram_jaccard_pairs",
     oracle="""
     WITH toks AS (

@@ -273,6 +273,38 @@ def test_exact_substring_spans_plan_no_pairs_no_python(spark):
     assert plans.python_eval_nodes(out) == 0
 
 
+def test_snapshot_dedup_composition_independence(spark):
+    """Processing an id-ordered batch in one run must equal processing
+    its two halves sequentially with the state threaded through — the
+    same check the foreachBatch upsert uses.  Fingerprints repeat
+    within a half, across halves, and against the prior store."""
+    state0 = spark.createDataFrame([(100,), (101,)], "fp long")
+    rows = [
+        (1, 100),   # in prior store -> dropped
+        (2, 200),   # new -> kept
+        (3, 200),   # same-batch dup of 2 -> dropped (keep-first)
+        (4, 300),   # new -> kept (first half)
+        (5, 300),   # second-half dup of 4 -> dropped
+        (6, 101),   # in prior store -> dropped
+        (7, 400),   # new -> kept
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, fp long")
+    one_shot, final_state = dedup.snapshot_dedup(batch, state0)
+    kept_once = sorted(r.doc_id for r in one_shot.collect())
+    assert kept_once == [2, 4, 7]
+
+    half1 = batch.filter(F.col("doc_id") <= 4)
+    half2 = batch.filter(F.col("doc_id") > 4)
+    k1, state1 = dedup.snapshot_dedup(half1, state0)
+    state1 = state1.localCheckpoint(eager=True)  # persist-between-runs stand-in
+    k2, state2 = dedup.snapshot_dedup(half2, state1)
+    kept_seq = sorted(r.doc_id for r in k1.unionByName(k2).collect())
+    assert kept_seq == kept_once
+    assert sorted(r.fp for r in final_state.collect()) == sorted(
+        r.fp for r in state2.collect()
+    )
+
+
 def test_semantic_dedup_hand_computed(spark):
     """Two well-separated 2-D clusters (all natural within-cluster
     cosines < 0.95): the exact copy and the scaled copy (cos = 1) are
