@@ -97,6 +97,40 @@ def synthetic_embeddings(
     )
 
 
+def quantize_int8(df, vec_col: str = "embedding", codes_col: str = "codes", scale_col: str = "sc"):
+    """Symmetric per-vector int8 quantization — the storage-side op a
+    100 TB embedding pipeline runs before writing vectors: per-vector
+    ``scale = max|v| / 127``, ``code_i = floor(v_i/scale + 0.5)``,
+    always in [-127, 127] (|v_i/scale| <= 127 and floor(±127 + 0.5)
+    stays inside).  Appends ``scale_col`` (double) and ``codes_col``
+    (array<long>, int8-ranged) to ``df``; reconstruction
+    ``code_i·scale`` is within scale/2 per element by construction.
+
+    Row-local Catalyst array ops — no shuffle, no Python.  The rounding
+    is ``floor(x + 0.5)``, NOT ``round(x)``: Spark's HALF_UP and
+    DuckDB's double rounding can break .5 ties differently, while
+    x + 0.5 then floor is the identical IEEE op sequence in both
+    engines, so quantized codes are BIT-EXACT cross-engine.  An
+    all-zero vector (scale 0) quantizes to all-zero codes."""
+    staged = df.withColumn(
+        "__e", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).withColumn(
+        scale_col, F.array_max(F.transform("__e", F.abs)) / F.lit(127.0)
+    )
+    zero = F.transform("__e", lambda x: F.lit(0).cast("long"))
+    q = F.transform(
+        "__e", lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast("long")
+    )
+    return staged.withColumn(
+        codes_col, F.when(F.col(scale_col) == 0, zero).otherwise(q)
+    ).drop("__e")
+
+
+def dequantize_int8(codes: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: ``code_i · scale`` per element."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
 def normalize_embeddings_arrow(df, col: str = "embedding"):
     """L2-normalize an ``array<float>`` column via **mapInArrow** — the
     zero-copy path: each Arrow batch's list column is one flat values

@@ -3472,6 +3472,71 @@ def t_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @query(
+    "m_embedding_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+          FROM v),
+    c AS (SELECT vec_id, e, sc,
+                 CASE WHEN sc = 0
+                      THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(e, x -> CAST(floor(x / sc + 0.5) AS BIGINT))
+                 END AS codes
+          FROM s)
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(codes, (x, i) -> x * i)) AS BIGINT)
+             AS code_checksum,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CASE WHEN sc = 0 THEN true
+                ELSE list_max(list_transform(e, (x, i) -> abs(x - codes[i] * sc)))
+                     <= sc * 0.5 * (1 + 1e-9)
+           END AS err_ok
+    FROM c
+    """,
+)
+def m_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization
+    (``functions.vectors.quantize_int8``) — the storage-side op every
+    100 TB embedding pipeline runs before writing vectors — verified
+    BIT-EXACTLY cross-engine: the floor(x/scale + 0.5) code rule is
+    the identical IEEE op sequence in Spark and DuckDB (round() would
+    diverge on .5 ties), so the per-vector code sum, the
+    position-weighted checksum, the code range, and the scale/2
+    reconstruction-error bound all hash-match.  Row-local Catalyst
+    array ops: no shuffle, no Python, int8-ranged codes that cut
+    vector storage 4x (fp32) with error <= scale/2 per element."""
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = vectors.quantize_int8(emb)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    recon_err = F.array_max(
+        F.transform(
+            e,
+            lambda x, i: F.abs(x - F.element_at("codes", i + 1) * F.col("sc")),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.aggregate(
+            F.transform("codes", lambda x, i: x * (i + 1).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("code_checksum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.when(F.col("sc") == 0, F.lit(True))
+        .otherwise(recon_err <= F.col("sc") * 0.5 * (1 + 1e-9))
+        .alias("err_ok"),
+    )
+
+
+@query(
     "m_media_features",
     oracle="""
     WITH m AS (

@@ -273,6 +273,36 @@ def test_exact_substring_spans_plan_no_pairs_no_python(spark):
     assert plans.python_eval_nodes(out) == 0
 
 
+def test_quantize_int8_roundtrip_bounds_and_zero_vector(spark):
+    """Codes stay in [-127, 127] with the max-|v| element hitting ±127
+    exactly, reconstruction error is within scale/2 per element, and
+    the all-zero vector quantizes to zero codes with scale 0."""
+    from datafusion_randgen_spark.functions import vectors as V
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 2.0]),     # scale = 2/127
+        (2, [-3.0, 0.0, 1.5, 0.75]),    # scale = 3/127, min element -127
+        (3, [0.0, 0.0, 0.0, 0.0]),      # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in V.quantize_int8(df).collect()}
+    assert out[1].codes[3] == 127 and out[1].codes[1] == -127
+    assert out[2].codes[0] == -127
+    assert out[3].codes == [0, 0, 0, 0] and out[3].sc == 0.0
+    for vid, emb in ((1, rows[0][1]), (2, rows[1][1])):
+        sc, codes = out[vid].sc, out[vid].codes
+        assert all(-127 <= c <= 127 for c in codes)
+        assert all(
+            abs(v - c * sc) <= sc / 2 + 1e-12 for v, c in zip(emb, codes)
+        )
+    # dequantize round-trips through the same column expression
+    deq = V.quantize_int8(df).select(
+        "vec_id", V.dequantize_int8(F.col("codes"), F.col("sc")).alias("r")
+    )
+    r1 = {r.vec_id: r.r for r in deq.collect()}
+    assert all(abs(a - b) <= out[1].sc / 2 + 1e-12 for a, b in zip(r1[1], rows[0][1]))
+
+
 def test_snapshot_dedup_composition_independence(spark):
     """Processing an id-ordered batch in one run must equal processing
     its two halves sequentially with the state threaded through — the
