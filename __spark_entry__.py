@@ -81,6 +81,19 @@ _NAMED_WEIGHT = {
     "q_unpivot_measures": 60,
 }
 
+# Entries whose IMPLEMENTATION changed this round (r6: two-phase
+# vocabulary rank; exact-integer global_ntile; broadened utm stripping):
+# green last round, but the new plan must re-earn its row ahead of
+# unchanged greens.
+_REVERIFY = {
+    "t_zipf_token_slope",
+    "t_tfidf_top_terms",
+    "q_rfm_segmentation",
+    "t_url_canonicalize",
+    "t_url_host_dedup",
+    "q_skyline_pareto",
+}
+
 
 def _past_results() -> tuple[set[str], set[str]]:
     """(verified, attempted) catalog names across past driver rounds.
@@ -125,7 +138,9 @@ def _driver_order(names: list[str]) -> list[str]:
         if n in attempted and n not in verified:
             rank = -1  # red last round: retry at the front
         elif n in verified:
-            rank = 100  # already has a green driver row: back of the line
+            # green row already earned: back of the line, except entries
+            # whose implementation changed this round (re-verify first)
+            rank = 99 if n in _REVERIFY else 100
         else:
             rank = _NAMED_WEIGHT.get(
                 n,

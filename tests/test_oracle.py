@@ -194,3 +194,20 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"n", "sum_qty", "min_w", "max_w"} <= set(df.columns)
+
+
+def test_readme_catalog_count_matches_registry():
+    """README's advertised entry count drifted twice (r3, r4) and again
+    in r5 — enforce it: every 'NNN entries' claim in README.md must
+    equal len(queries()).  Bump the README when adding entries."""
+    import re
+    from pathlib import Path
+
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    claims = [int(m) for m in re.findall(r"\*?\*?(\d+) entries", readme)]
+    assert claims, "README no longer states the catalog entry count"
+    n = len(QUERIES)
+    assert all(c == n for c in claims), (
+        f"README claims {claims} entries but the catalog registers {n} — "
+        f"update README.md's counts"
+    )
