@@ -123,6 +123,13 @@ def main() -> None:
         # two-phase ntile in RFM) and the winnowing fingerprint family
         "q_rfm_segmentation": cat.QUERIES["q_rfm_segmentation"],
         "d_winnowing_fingerprints": cat.QUERIES["d_winnowing_fingerprints"],
+        # r6: the three new dedup families — ExactSubstr anchor-island
+        # spans (digest shuffle + two windows), SemDeDup (kmeans + rw
+        # cluster-local cosine prune), snapshot anti-join dedup — so
+        # regressions in any of them move BENCH
+        "d_exact_substring_spans": cat.QUERIES["d_exact_substring_spans"],
+        "d_semantic_dedup": cat.QUERIES["d_semantic_dedup"],
+        "d_snapshot_dedup": cat.QUERIES["d_snapshot_dedup"],
     }
 
     # Warmup: JIT/codegen compilation, Arrow runtime init, parquet
@@ -148,6 +155,7 @@ def main() -> None:
         "q_bfs_shortest_path": max(reps, 5),
         "q_pagerank_transitions": max(reps, 5),
         "s_kmeans_embeddings": max(reps, 5),
+        "d_semantic_dedup": max(reps, 5),  # kmeans driver loop inside
     }
 
     # Environment calibration: one fixed shuffle-heavy probe, identical
