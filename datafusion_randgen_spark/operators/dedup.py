@@ -752,6 +752,54 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_removal(
+    docs: DataFrame,
+    min_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply ExactSubstr: rebuild every document with its duplicated
+    spans (>= min_len tokens, from :func:`exact_substring_spans`) cut
+    out — the C4/RefinedWeb cleaning pass itself.  Conservative
+    all-occurrences semantics: a span whose text appears twice anywhere
+    is removed from EVERY document carrying it (document-level dedup
+    upstream keeps a canonical copy of whole-document twins).  Returns
+    ``(id_col, n_tokens_before long, n_tokens_after long,
+    clean_text string)``; documents with no duplicated span pass
+    through verbatim (token-normalized).
+
+    Scale shape: detection is the anchor-index pipeline (one digest
+    shuffle); the spans relation — a small fraction of the corpus —
+    aggregates to one interval array per affected doc and joins back
+    on the doc id; the cut itself is a row-local indexed array filter
+    (O(tokens × spans-in-doc) per row, no shuffle, no Python)."""
+    L = int(min_len)
+    spans = exact_substring_spans(docs, L, text_col, id_col)
+    ivs = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("__ivs")
+    )
+    toks_df = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    j = toks_df.join(ivs, id_col, "left")
+    empty = F.array().cast("array<struct<span_start:bigint,span_len:bigint>>")
+    iv = F.coalesce(F.col("__ivs"), empty)
+    kept = F.filter(
+        F.col("__t"),
+        lambda t, i: ~F.exists(
+            iv,
+            lambda s: (i.cast("long") >= s["span_start"])
+            & (i.cast("long") < s["span_start"] + s["span_len"]),
+        ),
+    )
+    return j.select(
+        id_col,
+        F.size("__t").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def snapshot_dedup(
     incoming: DataFrame,
     state: DataFrame,

@@ -2312,11 +2312,11 @@ _XS_L = 30  # ExactSubstr minimum duplicated-span length, in tokens
 # exactly ON the L threshold (one-anchor run), 50/80 exercise merging
 _XS_PLANT = {m: " ".join(f"sub{m}w{j}" for j in range(m)) for m in (30, 50, 80)}
 
-
-@query(
-    "d_exact_substring_spans",
-    oracle=f"""
-    WITH aug AS (
+# Shared detection CTE chain: the spans and removal oracles MUST run the
+# identical detection, so it is one string (keys on gram TEXT — exact,
+# no digest: two independent algorithms must agree on every span).
+_XS_DETECT_CTES = f"""
+    aug AS (
       SELECT doc_id,
              lower(text) || CASE WHEN doc_id % 10 = 3 THEN ' {_XS_PLANT[30]}'
                                  WHEN doc_id % 10 = 4 THEN ' {_XS_PLANT[50]}'
@@ -2329,8 +2329,6 @@ _XS_PLANT = {m: " ".join(f"sub{m}w{j}" for j in range(m)) for m in (30, 50, 80)}
                          x -> x != '') AS tk
       FROM aug),
     anch AS (
-      -- the oracle keys on the gram TEXT itself (exact, no digest):
-      -- two independent algorithms must agree on every span
       SELECT doc_id, u.i - 1 AS pos,
              array_to_string(tk[u.i : u.i + {_XS_L - 1}], ' ') AS g
       FROM toks, unnest(generate_series(1, len(tk) - {_XS_L} + 1)) AS u(i)
@@ -2342,10 +2340,36 @@ _XS_PLANT = {m: " ".join(f"sub{m}w{j}" for j in range(m)) for m in (30, 50, 80)}
     runs AS (
       SELECT doc_id, pos,
              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-      FROM dup)
-    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) - min(pos) + {_XS_L} AS BIGINT) AS span_len
-    FROM runs GROUP BY doc_id, grp
+      FROM dup),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) - min(pos) + {_XS_L} AS span_len
+      FROM runs GROUP BY doc_id, grp)"""
+
+
+def _xs_augment(docs: DataFrame) -> DataFrame:
+    """Spark mirror of the oracle's ``aug`` CTE: append the planted
+    shared runs to ~10% of docs each (mod-10 rule)."""
+    mod = F.col("doc_id") % 10
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(mod == 3, F.lit(" " + _XS_PLANT[30]))
+            .when(mod == 4, F.lit(" " + _XS_PLANT[50]))
+            .when(mod == 5, F.lit(" " + _XS_PLANT[80]))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "d_exact_substring_spans",
+    oracle=f"""
+    WITH {_XS_DETECT_CTES}
+    SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_len AS BIGINT) AS span_len
+    FROM spans
     """,
 )
 def d_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2365,18 +2389,56 @@ def d_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified value-by-value against the exact algorithm."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    mod = F.col("doc_id") % 10
-    aug = docs.select(
+    return dedup.exact_substring_spans(_xs_augment(docs), min_len=_XS_L)
+
+
+@query(
+    "p_exact_substring_removal",
+    oracle=f"""
+    WITH {_XS_DETECT_CTES},
+    toks2 AS (
+      SELECT doc_id, u.i - 1 AS pos, tk[u.i] AS tok
+      FROM toks, unnest(generate_series(1, len(tk))) AS u(i)),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM toks2 t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id
+          AND t.pos >= s.span_start AND t.pos < s.span_start + s.span_len)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_after,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS m
+      FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id, len(tk) AS n_before FROM toks)
+    SELECT b.doc_id,
+           CAST(b.n_before AS BIGINT) AS n_tokens_before,
+           CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_tokens_after,
+           coalesce(a.m, md5('')) AS clean_md5
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def p_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr APPLIED (``dedup.exact_substring_removal``): cut
+    every duplicated span >= 30 tokens out of every document — the
+    actual C4/RefinedWeb cleaning pass, where `d_exact_substring_spans`
+    only reports the spans.  The conservative all-occurrences variant:
+    content appearing twice is removed everywhere (document-level
+    dedup upstream retains a canonical copy of whole-doc twins).
+
+    Same planted 30/50/80-token runs as the detection entry (the two
+    oracles share one detection CTE string, so they can never drift);
+    the cleaned text round-trips as an md5 — Spark rebuilds each doc
+    from its surviving tokens row-locally and both engines must agree
+    on every byte."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.exact_substring_removal(_xs_augment(docs), min_len=_XS_L)
+    return out.select(
         "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(mod == 3, F.lit(" " + _XS_PLANT[30]))
-            .when(mod == 4, F.lit(" " + _XS_PLANT[50]))
-            .when(mod == 5, F.lit(" " + _XS_PLANT[80]))
-            .otherwise(F.lit("")),
-        ).alias("text"),
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5("clean_text").alias("clean_md5"),
     )
-    return dedup.exact_substring_spans(aug, min_len=_XS_L)
 
 
 _SPAN_K = 4  # span length in tokens for duplicated-span coverage

@@ -257,6 +257,31 @@ def test_exact_substring_spans_hand_computed(spark):
     ]
 
 
+def test_exact_substring_removal_hand_computed(spark):
+    """The cut applied to the spans fixture: duplicated runs vanish
+    from every carrier (all-occurrences semantics), unique text passes
+    through verbatim, fully-duplicated docs empty out."""
+    rows = [
+        (1, "a b c d e x1"),
+        (2, "z a b c d e"),
+        (3, "m m m m"),
+        (4, "unique tokens only here"),
+        (5, "p q r"),
+        (6, "p q r"),
+        (7, "a b c d e Q p q r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.exact_substring_removal(df, min_len=3).collect()}
+    assert (out[1].n_tokens_before, out[1].n_tokens_after, out[1].clean_text) == (
+        6, 1, "x1",
+    )
+    assert out[2].clean_text == "z"
+    assert out[3].clean_text == "" and out[3].n_tokens_after == 0
+    assert out[4].clean_text == "unique tokens only here"
+    assert out[5].clean_text == "" and out[6].clean_text == ""
+    assert out[7].clean_text == "q"  # between the two islands
+
+
 def test_exact_substring_spans_plan_no_pairs_no_python(spark):
     """The plan must be the anchor-index shape: no pair self-join, no
     cartesian, no Python nodes — and the only exchanges key on the
