@@ -3029,15 +3029,22 @@ def _duckdb_lang_score(lang: str) -> str:
     return " + ".join(_duckdb_marker_hits(w) for w in text.LANG_MARKERS[lang])
 
 
-def _langid_oracle() -> str:
+def _duckdb_pred_lang() -> tuple[str, str]:
+    """(score_cols, pred_expr): the DuckDB mirror of
+    functions.text.predict_lang — per-language marker scores plus the
+    same argmax with insertion-order tie-break."""
     langs = list(text.LANG_MARKERS)
     score_cols = ",\n".join(f"{_duckdb_lang_score(lg)} AS s_{lg}" for lg in langs)
-    # same argmax + insertion-order tie-break as functions.text.predict_lang
     pred = f"'{langs[0]}'"
     best = f"s_{langs[0]}"
     for lg in langs[1:]:
         pred = f"CASE WHEN s_{lg} > {best} THEN '{lg}' ELSE {pred} END"
         best = f"CASE WHEN s_{lg} > {best} THEN s_{lg} ELSE {best} END"
+    return score_cols, pred
+
+
+def _langid_oracle() -> str:
+    score_cols, pred = _duckdb_pred_lang()
     return f"""
     WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents),
     pred AS (SELECT doc_id, lang, {pred} AS predicted FROM scored)
@@ -3105,6 +3112,93 @@ def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.floor(F.col("q") * 10).cast("long").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def _filter_chain_oracle() -> str:
+    score_cols, pred = _duckdb_pred_lang()
+    return f"""
+    WITH {_duckdb_quality_cte()},
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x != '')) AS tok
+      FROM documents),
+    pc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    rep AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nt,
+                   CAST(max(c) AS BIGINT) AS top_c,
+                   CAST(count(*) AS BIGINT) AS nd
+            FROM pc GROUP BY 1),
+    scored AS (SELECT doc_id, {score_cols} FROM documents),
+    pred AS (SELECT doc_id, {pred} AS pred FROM scored),
+    flags AS (
+      SELECT q.doc_id,
+             q.n_tokens >= 20 AS b1,
+             p.pred = q.lang AS b2,
+             q.score >= 0.5 AS b3,
+             coalesce(r.top_c * 1.0 / r.nt <= 0.15
+                      AND r.nd * 1.0 / r.nt >= 0.2, false) AS b4
+      FROM q JOIN pred p USING (doc_id) LEFT JOIN rep r USING (doc_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(NOT b1) AS BIGINT) AS n_fail_len,
+           CAST(count_if(b1 AND NOT b2) AS BIGINT) AS n_fail_lang,
+           CAST(count_if(b1 AND b2 AND NOT b3) AS BIGINT) AS n_fail_quality,
+           CAST(count_if(b1 AND b2 AND b3 AND NOT b4) AS BIGINT)
+             AS n_fail_repetition,
+           CAST(count_if(b1 AND b2 AND b3 AND b4) AS BIGINT) AS n_survivors
+    FROM flags
+    """
+
+
+@query("p_quality_filter_chain", oracle=_filter_chain_oracle())
+def p_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/C4-style sequential quality filter chain with per-stage
+    removal accounting — the corpus-curation report every pipeline
+    publishes: length (>= 20 tokens) → language agreement (marker
+    argmax == labeled lang) → composite quality (>= 0.5) → Gopher
+    repetition (top-token <= 0.15, distinct >= 0.2).  Each stage's
+    count is docs failing THERE having passed every earlier stage, so
+    the six outputs partition the corpus (n_docs = Σ fails +
+    survivors).
+
+    Scale shape: the length/lang/quality signals are one row-local
+    projection over the scan; only the repetition signal shuffles
+    (per-doc term counts, map-side combined — the t_repetition_filter
+    plan) and joins back on the doc id; the final report is a single
+    partial-aggregated row.  Every stage boolean is exact
+    (integer-ratio doubles, round-6 score), so the chain is
+    bit-identical cross-engine."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    pc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    rep = pc.groupBy("doc_id").agg(
+        F.sum("c").alias("nt"),
+        F.max("c").alias("top_c"),
+        F.count("*").alias("nd"),
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.predict_lang(F.col("text")).alias("pred"),
+        text.quality_score(F.col("text")).alias("score"),
+    )
+    j = base.join(rep, "doc_id", "left")
+    b1 = F.col("n_tokens") >= 20
+    b2 = F.col("pred") == F.col("lang")
+    b3 = F.col("score") >= 0.5
+    b4 = F.coalesce(
+        (F.col("top_c") * F.lit(1.0) / F.col("nt") <= 0.15)
+        & (F.col("nd") * F.lit(1.0) / F.col("nt") >= 0.2),
+        F.lit(False),
+    )
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((~b1).cast("long")).alias("n_fail_len"),
+        F.sum((b1 & ~b2).cast("long")).alias("n_fail_lang"),
+        F.sum((b1 & b2 & ~b3).cast("long")).alias("n_fail_quality"),
+        F.sum((b1 & b2 & b3 & ~b4).cast("long")).alias("n_fail_repetition"),
+        F.sum((b1 & b2 & b3 & b4).cast("long")).alias("n_survivors"),
     )
 
 
@@ -6660,6 +6754,86 @@ def st_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
         F.round(F.round("total_value", 6), 4).alias("total_value"),
+    )
+
+
+@query(
+    "st_incremental_dedup",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    prior AS (SELECT DISTINCT nt FROM norm WHERE doc_id % 3 != 0),
+    incoming AS (
+      SELECT doc_id, nt FROM norm WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, nt FROM norm WHERE doc_id % 3 = 1),
+    kept AS (
+      SELECT DISTINCT nt FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.nt = i.nt))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+           (SELECT CAST(count(*) AS BIGINT) FROM incoming)
+             - (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_dropped,
+           (SELECT CAST(count(DISTINCT nt) AS BIGINT)
+            FROM (SELECT nt FROM prior UNION ALL SELECT nt FROM incoming))
+             AS n_state_final
+    """,
+)
+def st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cross-snapshot dedup: the same fingerprint-store
+    semantics as ``d_snapshot_dedup``, but the incoming snapshot
+    arrives as micro-batches — each batch runs
+    ``dedup.snapshot_dedup`` against the current store parquet inside
+    ``foreachBatch``, appends its survivors, and replaces the store
+    with the returned new state (versioned dirs, same recovery caveats
+    as st_foreachbatch_upsert).
+
+    The micro-batch file splits are NOT id-ordered, so the entry
+    reports the ORDER-INDEPENDENT invariants: total kept = distinct
+    incoming fingerprints not in the prior store (each new fingerprint
+    is kept exactly once, in whichever batch sees it first — the store
+    absorbs it before the next batch), total dropped = the complement,
+    and the final store size = |prior ∪ incoming| fingerprints.  The
+    batch oracle recomputes all three from the normalized text."""
+    import tempfile
+
+    from datafusion_randgen_spark import streaming as st
+
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    digests = docs.select(
+        "doc_id", F.xxhash64(dedup.normalize_text(F.col("text"))).alias("fp")
+    )
+    prior = digests.filter(F.col("doc_id") % 3 != 0).select("fp").distinct()
+    base = tempfile.mkdtemp(prefix="randgen_stincr_")
+    prior.write.mode("overwrite").parquet(f"{base}/state_v0")
+    incoming = digests.filter(F.col("doc_id") % 3 == 0).unionByName(
+        digests.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + _TWIN_OFFSET).alias("doc_id"), "fp"
+        )
+    )
+    stream = st.file_stream_from(incoming, f"{base}/src")
+    holder = {"state": f"{base}/state_v0", "kept": 0, "dropped": 0}
+
+    def dedup_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        state = sp.read.parquet(holder["state"])
+        kept, new_state = dedup.snapshot_dedup(batch_df, state)
+        n_in = batch_df.count()
+        n_kept = kept.count()
+        out = f"{base}/state_v{batch_id + 1}"
+        new_state.write.mode("overwrite").parquet(out)
+        holder["state"] = out
+        holder["kept"] += n_kept
+        holder["dropped"] += n_in - n_kept
+
+    st.run_stream_foreachbatch(stream, dedup_batch, f"{base}/ckpt")
+    n_state = spark.read.parquet(holder["state"]).count()
+    return spark.createDataFrame(
+        [(holder["kept"], holder["dropped"], n_state)],
+        "n_kept long, n_dropped long, n_state_final long",
     )
 
 
