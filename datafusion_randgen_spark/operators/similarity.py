@@ -302,6 +302,141 @@ def ivf_ann_topk(
     )
 
 
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product quantization (Jégou/Douze/Schmid, TPAMI 2011) — the
+    compression behind every billion-vector ANN index: split each
+    vector into ``m`` sub-vectors, learn an independent k-means
+    codebook per subspace, and encode each vector as ``m`` sub-centroid
+    ids (``m·log2(k)`` bits — here 4×4 = 2 bytes per 64-dim vector vs
+    256 for fp32).
+
+    Returns ``(codebooks, inertia_per_iteration, assignments)``:
+    codebooks is an (m, k, dim/m) ndarray, assignments a lazy
+    ``(id, codes array<int>, recon_se double)`` frame against the
+    final codebooks (recon_se = squared reconstruction error).
+
+    Scale design — the combiner pattern of ``clustering.kmeans``
+    VECTORIZED ACROSS SUBSPACES: all m codebooks train in the SAME
+    map-only Arrow pass per iteration (one corpus scan trains
+    everything), emitting O(partitions × m × k) partial rows; raw
+    vectors never shuffle; driver state is the m×k×(dim/m) tensor.
+    Deterministic: codebooks init from the k lowest-id vectors'
+    sub-vectors, fixed iteration count, argmin ties break low
+    (identical vectors ⇒ identical codes).  Empty clusters keep their
+    centroid (the standard fix)."""
+    spark = embeddings.sparkSession
+    dim_row = embeddings.select(F.size(vec_col)).first()
+    if dim_row is None:
+        raise ValueError("pq_train: input DataFrame is empty")
+    dim = dim_row[0]
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sd = dim // m
+    init = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(init) < k:
+        raise ValueError(f"pq_train: k={k} exceeds the {len(init)} vectors")
+    V0 = np.array([r[0] for r in init], dtype=np.float64)  # (k, dim)
+    C = np.stack([V0[:, j * sd : (j + 1) * sd] for j in range(m)])  # (m,k,sd)
+
+    vecs = embeddings.select(id_col, vec_col)
+    inertias: list[float] = []
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(C)
+
+        def stats(batches):
+            CC = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                rows = []
+                for j in range(CC.shape[0]):
+                    S = M[:, j * sd : (j + 1) * sd]
+                    Cj = CC[j]
+                    d2 = (
+                        (S * S).sum(axis=1)[:, None]
+                        - 2.0 * (S @ Cj.T)
+                        + (Cj * Cj).sum(axis=1)[None, :]
+                    )
+                    a = d2.argmin(axis=1)
+                    best = d2[np.arange(len(a)), a]
+                    for c in np.unique(a):
+                        mask = a == c
+                        rows.append(
+                            {
+                                "sub": int(j),
+                                "cluster": int(c),
+                                "cnt": int(mask.sum()),
+                                "inertia": float(np.maximum(best[mask], 0.0).sum()),
+                                "sums": S[mask].sum(axis=0).tolist(),
+                            }
+                        )
+                yield pd.DataFrame(rows)
+
+        st = vecs.mapInPandas(
+            stats,
+            schema="sub int, cluster int, cnt long, inertia double, sums array<double>",
+        ).localCheckpoint(eager=True)  # partial frame feeds two reduces
+        meta = st.groupBy("sub", "cluster").agg(
+            F.sum("cnt").alias("cnt"), F.sum("inertia").alias("i")
+        ).collect()
+        sums = (
+            st.select("sub", "cluster", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        acc = np.zeros_like(C)
+        for r in sums:
+            acc[r["sub"], r["cluster"], r["pos"]] = r["s"]
+        new_c = C.copy()
+        total = 0.0
+        for r in meta:
+            total += r["i"]
+            if r["cnt"] > 0:
+                new_c[r["sub"], r["cluster"]] = acc[r["sub"], r["cluster"]] / r["cnt"]
+        inertias.append(total)
+        C = new_c
+        bc.destroy()
+
+    fbc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        CC = fbc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.zeros((len(M), CC.shape[0]), dtype=np.int32)
+            err = np.zeros(len(M))
+            for j in range(CC.shape[0]):
+                S = M[:, j * sd : (j + 1) * sd]
+                Cj = CC[j]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ Cj.T)
+                    + (Cj * Cj).sum(axis=1)[None, :]
+                )
+                a = d2.argmin(axis=1)
+                codes[:, j] = a
+                err += np.maximum(d2[np.arange(len(a)), a], 0.0)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": codes.tolist(), "recon_se": err}
+            )
+
+    assignments = vecs.mapInPandas(
+        assign, schema=f"{id_col} long, codes array<int>, recon_se double"
+    )
+    return C, inertias, assignments
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -2896,6 +2896,79 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return props.crossJoin(structural)
 
 
+@query(
+    "s_pq_codebooks",
+    oracle="""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+               WHERE vec_id % 7 = 0),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+    SELECT a.n + t.n AS n_points,
+           t.n AS n_twins,
+           true AS twins_same_codes,
+           true AS codes_in_range,
+           true AS m_codes_ok,
+           true AS inertia_monotone
+    FROM a, t
+    """,
+)
+def s_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (``similarity.pq_train``, m=4 subspaces ×
+    k=16 centroids over the 64-dim embeddings — 2-byte codes vs 256
+    bytes fp32): all four codebooks train in ONE map-only Arrow pass
+    per iteration, vectors never shuffle.
+
+    PQ training is iterative (not ANSI-SQL), so the ANN-recall
+    property pattern: exact twin vectors planted at every 7th id MUST
+    encode to identical codes (identical rows ⇒ identical argmin —
+    determinism of the whole train+assign path); codes stay in
+    [0, k); every vector gets exactly m codes; and per-subspace
+    Lloyd's inertia is non-increasing (1e-9 relative tolerance for
+    partition-order FP jitter), summed over subspaces."""
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    _, inertias, asg = similarity.pq_train(corpus, m=4, k=16, iterations=3)
+    asg = asg.localCheckpoint(eager=True)  # feeds two aggregate branches
+    monotone = all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
+    a1 = asg.agg(
+        F.count("*").alias("n_points"),
+        (
+            (F.min(F.array_min("codes")) >= 0)
+            & (F.max(F.array_max("codes")) <= 15)
+        ).alias("in_range"),
+        (
+            (F.min(F.size("codes")) == 4) & (F.max(F.size("codes")) == 4)
+        ).alias("m_ok"),
+    ).first()
+    orig = asg.filter(F.col("vec_id") < _TWIN_OFFSET).select("vec_id", "codes")
+    twin = asg.filter(F.col("vec_id") >= _TWIN_OFFSET).select(
+        (F.col("vec_id") - _TWIN_OFFSET).alias("vec_id"),
+        F.col("codes").alias("codes_b"),
+    )
+    tw = orig.join(twin, "vec_id").agg(
+        F.count("*").alias("n_twins"),
+        F.min((F.col("codes") == F.col("codes_b")).cast("int")).alias("same"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                a1["n_points"],
+                tw["n_twins"],
+                tw["same"] == 1,
+                bool(a1["in_range"]),
+                bool(a1["m_ok"]),
+                monotone,
+            )
+        ],
+        "n_points long, n_twins long, twins_same_codes boolean,"
+        " codes_in_range boolean, m_codes_ok boolean,"
+        " inertia_monotone boolean",
+    )
+
+
 # =========================================================================
 # S — similarity search (embeddings table)
 # =========================================================================

@@ -65,3 +65,32 @@ def test_exact_baseline_is_the_cartesian(spark):
     exact = similarity.embedding_near_dup_pairs_exact(emb, threshold=0.4)
     plan = exact._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
+def test_pq_train_hand_computed(spark):
+    """m=2 subspaces over 4-dim vectors with two obvious clusters per
+    subspace: codes are the expected centroids, exact twins encode
+    identically, vectors sitting ON a converged centroid have ~zero
+    reconstruction error, and inertia is non-increasing."""
+    rows = [
+        (1, [0.0, 0.0, 10.0, 10.0]),
+        (2, [10.0, 10.0, 0.0, 0.0]),
+        (3, [0.1, 0.0, 10.0, 10.1]),
+        (4, [10.1, 10.0, 0.0, 0.1]),
+        (5, [0.0, 0.1, 9.9, 10.0]),
+        (6, [10.0, 10.1, 0.1, 0.0]),
+        (7, [0.0, 0.0, 10.0, 10.0]),   # exact twin of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C, inertias, asg = similarity.pq_train(df, m=2, k=2, iterations=4)
+    assert C.shape == (2, 2, 2)
+    out = {r.vec_id: r for r in asg.collect()}
+    assert out[7].codes == out[1].codes          # exact twin
+    assert out[1].codes != out[2].codes          # opposite clusters
+    assert all(len(r.codes) == 2 for r in out.values())
+    assert all(0 <= c <= 1 for r in out.values() for c in r.codes)
+    assert all(r.recon_se >= 0 for r in out.values())
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
+    # converged centroids sit at the cluster means, so the recon error
+    # of any vector is bounded by the cluster spread (~0.1 per dim)
+    assert max(r.recon_se for r in out.values()) < 0.1
