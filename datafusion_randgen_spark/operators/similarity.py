@@ -437,6 +437,44 @@ def pq_train(
     return C, inertias, assignments
 
 
+def pq_adc_scores(
+    codes_df: DataFrame,
+    luts_df: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) over PQ codes: for each
+    (query, corpus vector) pair, ``adc_d2 = Σ_j lut[j][code_j]`` where
+    ``lut[j][c] = ||q_j - C[j,c]||²`` is the query's per-subspace
+    distance table.  Input: ``codes_df`` = (id, codes array<int>) from
+    :func:`pq_train`'s assignments; ``luts_df`` = (query_id,
+    lut array<array<double>>), one tiny row per query.
+
+    THE 100 TB search shape: the corpus side is 2-byte codes (never
+    vectors), the query side is a broadcast m×k table, and the scoring
+    expression is a pure-Catalyst indexed-array fold — no Python, no
+    shuffle until the top-k aggregation a caller adds.  Returns
+    ``(query_id, neighbor_id, adc_d2)``."""
+    score = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, j: F.element_at(
+                F.element_at(F.col("lut"), (j + F.lit(1)).cast("int")),
+                (c + F.lit(1)).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.crossJoin(F.broadcast(luts_df))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            score.alias("adc_d2"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

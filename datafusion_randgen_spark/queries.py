@@ -2969,6 +2969,64 @@ def s_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s_pq_adc_search",
+    oracle="SELECT 10 AS n_queries, 10 AS n_hit_min, true AS all_hit",
+)
+def s_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (``similarity.pq_adc_scores``): 10
+    query vectors score the whole corpus through their per-subspace
+    lookup tables — the corpus side is 2-byte codes, the scoring
+    expression a pure-Catalyst indexed-array fold (no Python, no
+    vector shuffle).
+
+    Verified invariant: each query IS a corpus vector, and ADC's
+    minimum over any corpus is ``Σ_j min_c lut[j][c]`` — achieved
+    exactly by the query's own code assignment.  So the query's own
+    row must sit at the corpus-wide minimum ADC distance (1e-9
+    absolute tolerance: the driver-side LUT uses the direct
+    ``(v-c)²`` form while assignment used the expansion trick —
+    identical reals, last-bit FP difference)."""
+    import numpy as np
+
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C, _, asg = similarity.pq_train(emb, m=4, k=16, iterations=3)
+    asg = asg.select("vec_id", "codes").localCheckpoint(eager=True)
+    sd = C.shape[2]
+    qs = emb.filter(F.col("vec_id") % 7 == 0).orderBy("vec_id").limit(10).collect()
+    luts = []
+    for r in qs:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        lut = [
+            [
+                float(((v[j * sd : (j + 1) * sd] - C[j, c]) ** 2).sum())
+                for c in range(C.shape[1])
+            ]
+            for j in range(C.shape[0])
+        ]
+        luts.append((r["vec_id"], lut))
+    luts_df = spark.createDataFrame(
+        luts, "query_id long, lut array<array<double>>"
+    )
+    scores = similarity.pq_adc_scores(asg, luts_df)
+    per_q = scores.groupBy("query_id").agg(F.min("adc_d2").alias("min_d2"))
+    own = scores.filter(F.col("neighbor_id") == F.col("query_id")).select(
+        "query_id", F.col("adc_d2").alias("own_d2")
+    )
+    chk = per_q.join(own, "query_id").agg(
+        F.count("*").alias("n_queries"),
+        F.sum(
+            (F.col("own_d2") <= F.col("min_d2") + F.lit(1e-9)).cast("long")
+        ).alias("n_hit_min"),
+    )
+    return chk.select(
+        "n_queries",
+        "n_hit_min",
+        (F.col("n_queries") == F.col("n_hit_min")).alias("all_hit"),
+    )
+
+
 # =========================================================================
 # S — similarity search (embeddings table)
 # =========================================================================

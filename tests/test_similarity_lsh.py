@@ -94,3 +94,34 @@ def test_pq_train_hand_computed(spark):
     # converged centroids sit at the cluster means, so the recon error
     # of any vector is bounded by the cluster spread (~0.1 per dim)
     assert max(r.recon_se for r in out.values()) < 0.1
+
+
+def test_pq_adc_scoring_stays_jvm_and_finds_own_vector(spark):
+    """The ADC fold is a pure-Catalyst indexed-array expression — no
+    Python eval nodes, no shuffle before the caller's aggregation —
+    and a query identical to a corpus vector scores its own row at
+    the corpus-wide minimum distance."""
+    from datafusion_randgen_spark import plans
+
+    rows = [
+        (1, [0.0, 0.0, 10.0, 10.0]),
+        (2, [10.0, 10.0, 0.0, 0.0]),
+        (3, [0.1, 0.0, 10.0, 10.1]),
+        (4, [10.1, 10.0, 0.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C, _, asg = similarity.pq_train(df, m=2, k=2, iterations=3)
+    codes = asg.select("vec_id", "codes").localCheckpoint(eager=True)
+    import numpy as np
+
+    v = np.array(rows[1][1], dtype=np.float64)
+    sd = C.shape[2]
+    lut = [
+        [float(((v[j * sd : (j + 1) * sd] - C[j, c]) ** 2).sum()) for c in range(2)]
+        for j in range(2)
+    ]
+    luts = spark.createDataFrame([(2, lut)], "query_id long, lut array<array<double>>")
+    scores = similarity.pq_adc_scores(codes, luts)
+    assert plans.python_eval_nodes(scores) == 0
+    got = {r.neighbor_id: r.adc_d2 for r in scores.collect()}
+    assert got[2] <= min(got.values()) + 1e-9
