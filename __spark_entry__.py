@@ -95,19 +95,24 @@ _REVERIFY = {
 }
 
 
-def _past_results() -> tuple[set[str], set[str]]:
-    """(verified, attempted) catalog names across past driver rounds.
+def _past_results() -> tuple[set[str], set[str], dict[str, int]]:
+    """(verified, attempted, last_green_round) across past driver rounds.
 
     The driver verifies only the first N (=50 in r1) entries of
     ``queries()`` per round, so ordering decides which operators earn a
     CORRECTNESS row.  We read the CORRECTNESS_r*.json files it leaves in
     the repo root and rotate: green entries move to the back, red ones
     to the very front (retry), never-attempted ones fill the window.
-    """
+    ``last_green_round`` lets the back of the line refresh its STALEST
+    greens first instead of re-verifying the same catalog prefix every
+    round."""
     verified: set[str] = set()
     attempted: set[str] = set()
+    last_green: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))), start=1
+    ):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -127,11 +132,12 @@ def _past_results() -> tuple[set[str], set[str]]:
             )
             if green:
                 verified.add(name)
-    return verified, attempted
+                last_green[name] = rnd
+    return verified, attempted, last_green
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    verified, attempted = _past_results()
+    verified, attempted, last_green = _past_results()
     catalog_pos = {n: i for i, n in enumerate(names)}
 
     def key(n: str):
@@ -139,7 +145,10 @@ def _driver_order(names: list[str]) -> list[str]:
             rank = -1  # red last round: retry at the front
         elif n in verified:
             # green row already earned: back of the line, except entries
-            # whose implementation changed this round (re-verify first)
+            # whose implementation changed this round (re-verify first).
+            # Greens refresh STALEST-first (earliest last-green round),
+            # so driver re-verification cycles through the catalog
+            # instead of re-running the same prefix every round.
             rank = 99 if n in _REVERIFY else 100
         else:
             rank = _NAMED_WEIGHT.get(
@@ -149,7 +158,7 @@ def _driver_order(names: list[str]) -> list[str]:
                     50,
                 ),
             )
-        return (rank, catalog_pos[n])
+        return (rank, last_green.get(n, 0), catalog_pos[n])
 
     return sorted(names, key=key)
 

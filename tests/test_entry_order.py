@@ -22,7 +22,7 @@ def test_order_is_permutation_of_catalog():
 
 
 def test_red_rows_retry_first_and_greens_rotate_back():
-    verified, attempted = entry_mod._past_results()
+    verified, attempted, _ = entry_mod._past_results()
     if not attempted:  # fresh checkout without CORRECTNESS files
         return
     ordered = list(entry_mod.queries())
@@ -37,7 +37,7 @@ def test_red_rows_retry_first_and_greens_rotate_back():
 
 
 def test_pipeline_families_reach_window_before_generic_sql():
-    verified, attempted = entry_mod._past_results()
+    verified, attempted, _ = entry_mod._past_results()
     ordered = list(entry_mod.queries())
     fam = [
         n
