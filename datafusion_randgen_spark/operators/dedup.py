@@ -706,12 +706,18 @@ def exact_substring_spans(
 
     1. row-local: hash every L-token gram (xxhash64 digest — the span
        text itself never leaves the row, unlike the k=4 coverage op);
-    2. ONE shuffle clusters anchors by digest; a count-over-digest
-       window marks anchors occurring >= 2 times corpus-wide;
-    3. duplicated anchors (a small fraction of the corpus) shuffle by
-       doc; the classic gaps-and-islands key ``pos - row_number()``
-       groups consecutive positions, and min/max per island yield the
-       maximal spans.
+    2. the duplicated-digest set comes from a map-side-combinable
+       ``groupBy(digest).count`` — NOT a count-over-digest window: the
+       combined partial counts are what shuffles (tiny), and a
+       boilerplate gram repeated 10⁹ times corpus-wide combines to one
+       row per map task instead of funneling every copy through one
+       window task (the skew that kills web-scale runs).  Anchors then
+       semi-join the duplicated set (AQE broadcasts it when small — in
+       real corpora duplicated anchors are a small fraction, so the
+       full anchor stream often never shuffles at all);
+    3. duplicated anchors shuffle by doc; the classic gaps-and-islands
+       key ``pos - row_number()`` groups consecutive positions, and
+       min/max per island yield the maximal spans.
 
     No pair expansion, no token-array re-access after step 1, no
     Python.  The 64-bit digest admits a ~n²/2⁶⁵ false-duplicate
@@ -733,11 +739,22 @@ def exact_substring_spans(
             )
         ).alias("pos", "h"),
     )
-    dup = (
-        anchors.withColumn("__c", F.count("*").over(WindowSpec.partitionBy("h")))
+    # persist: the anchor frame feeds the count AND the semi-join — the
+    # O(tokens × L) gram hashing must not run twice.  The duplicated
+    # subset (small) is then eagerly checkpointed so the corpus-sized
+    # cache releases immediately (the embedding_near_dup pattern).
+    anchors = anchors.persist()
+    dup_digests = (
+        anchors.groupBy("h").agg(F.count("*").alias("__c"))
         .filter(F.col("__c") >= 2)
-        .select(id_col, "pos")
+        .select("h")
     )
+    dup = (
+        anchors.join(dup_digests, "h", "left_semi")
+        .select(id_col, "pos")
+        .localCheckpoint(eager=True)
+    )
+    anchors.unpersist()
     island = F.col("pos") - F.row_number().over(
         WindowSpec.partitionBy(id_col).orderBy("pos")
     )
