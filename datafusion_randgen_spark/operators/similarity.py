@@ -437,6 +437,103 @@ def pq_train(
     return C, inertias, assignments
 
 
+def ivfpq_train(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-PQ — the composition behind FAISS's billion-vector indexes:
+    a coarse k-means quantizer partitions the space into ``n_cells``
+    inverted lists, and PQ codebooks are trained on the RESIDUALS
+    ``v - c_cell(v)`` (residuals concentrate near 0, so the same k
+    centroids per subspace quantize them far more accurately than raw
+    vectors).  Search probes a few cells and ADC-scores only their
+    code lists — cell-local, never the whole corpus.
+
+    Returns ``(coarse_centroids (n_cells, dim), pq_codebooks
+    (m, k, dim/m), pq_inertias, assignments)`` where assignments is
+    ``(id, cell int, codes array<int>, recon_se double)``.
+
+    Scale shape: coarse training is the combiner-pattern Lloyd's
+    (vectors never shuffle); the residual pass is ONE map-only Arrow
+    projection (checkpointed — it feeds PQ training's iterations and
+    the final join); PQ training is :func:`pq_train`'s single-pass-
+    per-iteration form.  Driver state: (n_cells + m·k)·dim floats."""
+    from datafusion_randgen_spark.operators import clustering
+
+    spark = embeddings.sparkSession
+    coarse, _, _ = clustering.kmeans(
+        embeddings, k=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    bc = spark.sparkContext.broadcast(coarse)
+
+    def resid(batches):
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (M * M).sum(axis=1)[:, None]
+                - 2.0 * (M @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            R = M - C[a]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": a.astype("int32"),
+                    vec_col: R.tolist(),
+                }
+            )
+
+    res_df = (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(
+            resid, schema=f"{id_col} long, cell int, {vec_col} array<double>"
+        )
+        .localCheckpoint(eager=True)
+    )
+    pq_c, inertias, asg = pq_train(
+        res_df, m=m, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    assignments = res_df.select(id_col, "cell").join(asg, id_col)
+    return coarse, pq_c, inertias, assignments
+
+
+def ivfpq_adc_scores(
+    codes_df: DataFrame,
+    luts_df: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cell-probed ADC: ``luts_df`` holds one (query_id, cell, lut) row
+    per PROBED cell — the lut is built from the query's residual
+    against that cell's coarse centroid — and scoring is an equi-join
+    on the cell id, so only the probed inverted lists are read (the
+    IVF point: cost ∝ probed cells, not corpus).  The scoring fold is
+    the same pure-Catalyst indexed-array expression as
+    :func:`pq_adc_scores`."""
+    score = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, j: F.element_at(
+                F.element_at(F.col("lut"), (j + F.lit(1)).cast("int")),
+                (c + F.lit(1)).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return codes_df.join(F.broadcast(luts_df), "cell").select(
+        "query_id", F.col(id_col).alias("neighbor_id"), score.alias("adc_d2")
+    )
+
+
 def pq_adc_scores(
     codes_df: DataFrame,
     luts_df: DataFrame,

@@ -3027,6 +3027,87 @@ def s_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s_ivfpq_search",
+    oracle="SELECT 10 AS n_queries, 10 AS n_hit_min, true AS all_hit",
+)
+def s_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (``similarity.ivfpq_train`` +
+    ``ivfpq_adc_scores``): coarse cells + PQ codebooks on residuals —
+    the FAISS index shape — with cell-probed ADC scoring (equi-join on
+    the probed cell ids, cost ∝ probed lists, never the corpus).
+
+    Verified invariant, per query (each query IS a corpus vector): the
+    query's nearest coarse cell is probed, the query's residual there
+    equals the residual its own row was encoded from, and ADC's
+    minimum over any code list is ``Σ_j min_c lut[j][c]`` — achieved
+    by the query's own code assignment.  So within the query's own
+    cell, its own row must sit at the minimum ADC distance (1e-9
+    tolerance for the direct-form vs expansion-trick FP difference)."""
+    import numpy as np
+
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse, pq_c, _, asg = similarity.ivfpq_train(
+        emb, n_cells=8, m=4, k=16, iterations=3
+    )
+    asg = asg.select("vec_id", "cell", "codes").localCheckpoint(eager=True)
+    sd = pq_c.shape[2]
+    qs = emb.filter(F.col("vec_id") % 7 == 0).orderBy("vec_id").limit(10).collect()
+    luts = []
+    own_cell = {}
+    for r in qs:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        d2 = ((v[None, :] - coarse) ** 2).sum(axis=1)
+        cell = int(d2.argmin())
+        own_cell[r["vec_id"]] = cell
+        # probe the 2 nearest cells (own cell guaranteed among them)
+        for c_id in np.argsort(d2)[:2]:
+            rq = v - coarse[int(c_id)]
+            lut = [
+                [
+                    float(((rq[j * sd : (j + 1) * sd] - pq_c[j, c]) ** 2).sum())
+                    for c in range(pq_c.shape[1])
+                ]
+                for j in range(pq_c.shape[0])
+            ]
+            luts.append((r["vec_id"], int(c_id), lut))
+    luts_df = spark.createDataFrame(
+        luts, "query_id long, cell int, lut array<array<double>>"
+    )
+    scores = similarity.ivfpq_adc_scores(asg, luts_df)
+    cells_df = spark.createDataFrame(
+        list(own_cell.items()), "query_id long, own_cell int"
+    )
+    # restrict the invariant to the query's own cell (cross-cell ADC
+    # uses a different residual basis, so no cross-cell ordering claim)
+    own_cell_scores = (
+        scores.join(F.broadcast(cells_df), "query_id")
+        .join(
+            asg.select(F.col("vec_id").alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
+        .filter(F.col("cell") == F.col("own_cell"))
+    )
+    per_q = own_cell_scores.groupBy("query_id").agg(
+        F.min("adc_d2").alias("min_d2")
+    )
+    own = own_cell_scores.filter(
+        F.col("neighbor_id") == F.col("query_id")
+    ).select("query_id", F.col("adc_d2").alias("own_d2"))
+    chk = per_q.join(own, "query_id").agg(
+        F.count("*").alias("n_queries"),
+        F.sum(
+            (F.col("own_d2") <= F.col("min_d2") + F.lit(1e-9)).cast("long")
+        ).alias("n_hit_min"),
+    )
+    return chk.select(
+        "n_queries",
+        "n_hit_min",
+        (F.col("n_queries") == F.col("n_hit_min")).alias("all_hit"),
+    )
+
+
 # =========================================================================
 # S — similarity search (embeddings table)
 # =========================================================================

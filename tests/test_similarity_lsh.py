@@ -125,3 +125,52 @@ def test_pq_adc_scoring_stays_jvm_and_finds_own_vector(spark):
     assert plans.python_eval_nodes(scores) == 0
     got = {r.neighbor_id: r.adc_d2 for r in scores.collect()}
     assert got[2] <= min(got.values()) + 1e-9
+
+
+def test_ivfpq_residual_encoding_and_cell_probe(spark):
+    """Two well-separated cells: the coarse quantizer recovers them,
+    residual-PQ codes of an exact twin match its original, and
+    cell-probed ADC scores a query's own row at the within-cell
+    minimum.  The probe join must stay an equi-join on the cell id."""
+    import numpy as np
+
+    from datafusion_randgen_spark import plans
+
+    rows = [
+        (1, [0.0, 0.0, 10.0, 10.0]),
+        (2, [10.0, 10.0, 0.0, 0.0]),
+        (3, [0.2, 0.0, 10.0, 10.2]),
+        (4, [10.2, 10.0, 0.0, 0.2]),
+        (5, [0.0, 0.2, 9.8, 10.0]),
+        (6, [10.0, 10.2, 0.2, 0.0]),
+        (7, [0.0, 0.0, 10.0, 10.0]),   # exact twin of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse, pq_c, inertias, asg = similarity.ivfpq_train(
+        df, n_cells=2, m=2, k=2, iterations=3
+    )
+    out = {r.vec_id: r for r in asg.collect()}
+    assert out[7].cell == out[1].cell and out[7].codes == out[1].codes
+    assert out[1].cell != out[2].cell
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
+    # cell-probed ADC: query = vector 2, probe only its own cell
+    v = np.array(rows[1][1], dtype=np.float64)
+    cell = int(((v[None, :] - coarse) ** 2).sum(axis=1).argmin())
+    rq = v - coarse[cell]
+    sd = pq_c.shape[2]
+    lut = [
+        [float(((rq[j * sd : (j + 1) * sd] - pq_c[j, c]) ** 2).sum()) for c in range(2)]
+        for j in range(2)
+    ]
+    luts = spark.createDataFrame(
+        [(2, cell, lut)], "query_id long, cell int, lut array<array<double>>"
+    )
+    codes = asg.select("vec_id", "cell", "codes").localCheckpoint(eager=True)
+    scores = similarity.ivfpq_adc_scores(codes, luts)
+    assert plans.python_eval_nodes(scores) == 0
+    plan = plans.physical_plan(scores)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    got = {r.neighbor_id: r.adc_d2 for r in scores.collect()}
+    # only the probed cell's members are scored, and the query wins
+    assert set(got) == {i for i in out if out[i].cell == cell}
+    assert got[2] <= min(got.values()) + 1e-9
