@@ -3327,6 +3327,46 @@ def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p_curriculum_order",
+    oracle=f"""
+    WITH {_duckdb_quality_cte()},
+    sm AS (SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_micro
+           FROM q)
+    SELECT doc_id, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                AS BIGINT) AS curriculum_rank
+    FROM sm
+    """,
+)
+def p_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: a GLOBAL easy-to-hard rank of the corpus by
+    quality score (micro-units for an exact integer sort key) — the
+    ordering pass a curriculum-learning data loader consumes.
+
+    The rank runs through ``scale.global_row_number`` (range-bucketed
+    two-phase), NOT an unpartitioned window: unlike the vocabulary
+    ranks, this frame is CORPUS-sized, so a single-task sort would be
+    the worst plan in the catalog at 100 TB.  The oracle recomputes
+    the identical rank with a plain window — same values, different
+    plan class."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sm = docs.select(
+        "doc_id",
+        F.round(text.quality_score(F.col("text")) * 1e6)
+        .cast("long")
+        .alias("score_micro"),
+    )
+    ranked = scale.global_row_number(
+        sm.withColumn("__neg", -F.col("score_micro")),
+        "__neg",
+        "doc_id",
+        out_col="curriculum_rank",
+    )
+    return ranked.select("doc_id", "score_micro", "curriculum_rank")
+
+
 def _filter_chain_oracle() -> str:
     score_cols, pred = _duckdb_pred_lang()
     return f"""

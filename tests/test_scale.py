@@ -278,3 +278,52 @@ def test_global_ntile_plan_no_data_single_partition(spark):
     assert plan.count("SinglePartition") <= 1
     counts = {r.t: r.n for r in out.groupBy("t").agg(F.count("*").alias("n")).collect()}
     assert counts == {1: 25_000, 2: 25_000, 3: 25_000, 4: 25_000}
+
+
+@pytest.mark.parametrize("num_buckets", [1, 4, 9])
+def test_global_row_number_matches_window(spark, num_buckets):
+    """Duplicate sort keys + tiebreak: identical assignment to the
+    unpartitioned row_number window, for any bucket count."""
+    df = spark.range(0, 997, 1, 5).select(
+        ((F.col("id") * 131) % 89).alias("s"),  # heavy duplicate keys
+        F.col("id").alias("u"),
+    )
+    w = Window.orderBy("s", "u")
+    want = {(r.s, r.u): r.rn
+            for r in df.select("s", "u", F.row_number().over(w).alias("rn")).collect()}
+    got = {(r.s, r.u): r.rn
+           for r in scale.global_row_number(
+               df, "s", "u", out_col="rn", num_buckets=num_buckets
+           ).collect()}
+    assert got == want
+
+
+def test_global_row_number_desc_and_skewed_keys(spark):
+    """DESC via negated key over quadratic-gap (skewed) sort values —
+    boundary skew affects balance only, never assignment."""
+    rows = [Row(f=i * i, u=i) for i in range(300)]
+    df = spark.createDataFrame(rows).repartition(7)
+    w = Window.orderBy(F.col("f").desc(), "u")
+    want = {r.u: r.rn
+            for r in df.select("u", F.row_number().over(w).alias("rn")).collect()}
+    got = {r.u: r.rn
+           for r in scale.global_row_number(
+               df.withColumn("nf", -F.col("f")), "nf", "u", out_col="rn"
+           ).collect()}
+    assert got == want
+
+
+def test_global_row_number_plan_no_data_single_partition(spark):
+    df = spark.range(0, 100_000, 1, 16).select(
+        F.col("id").alias("s"), F.col("id").alias("u")
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = scale.global_row_number(df, "s", "u", out_col="rn", num_buckets=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("SinglePartition") <= 1  # offsets frame only
+    agg = out.agg(F.min("rn").alias("lo"), F.max("rn").alias("hi"),
+                  F.countDistinct("rn").alias("nd")).first()
+    assert (agg.lo, agg.hi, agg.nd) == (1, 100_000, 100_000)
