@@ -3804,6 +3804,57 @@ def t_zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_vocab_coverage",
+    oracle=f"""
+    WITH {_DUCK_TOKS_CTE},
+    freq AS (SELECT term, count(*) AS f FROM toks GROUP BY term),
+    ranked AS (SELECT term, f,
+                      row_number() OVER (ORDER BY f DESC, term) AS r
+               FROM freq),
+    cum AS (SELECT r, sum(f) OVER (ORDER BY r) AS cum_f FROM ranked),
+    tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq)
+    SELECT r AS vocab_size, CAST(cum_f AS BIGINT) AS covered_tokens, total,
+           CAST(cum_f AS BIGINT) * 1.0 / total AS coverage
+    FROM cum, tot WHERE r IN (100, 1000, 10000)
+    """,
+)
+def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design statistic:
+    what fraction of all corpus token OCCURRENCES is covered by the
+    top-N most frequent terms (N = 100 / 1000 / 10000)?
+
+    A composition of BOTH two-phase scale primitives over the
+    rank–frequency table: ``scale.global_row_number`` ranks terms by
+    frequency and ``scale.global_cumsum`` accumulates the covered
+    counts in rank order — no SinglePartition exchange ever touches
+    the vocabulary frame (10⁸–10⁹ rows at web scale), while the
+    oracle computes the identical numbers with plain windows.
+    Coverage is an exact BIGINT/BIGINT double, bit-identical across
+    engines."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("f"))
+    ranked = scale.global_row_number(
+        freq.withColumn("__negf", -F.col("f")), "__negf", "term", out_col="r"
+    )
+    cum = scale.global_cumsum(ranked, "r", "f", out_col="cum_f")
+    tot = freq.agg(F.sum("f").alias("total"))
+    return (
+        cum.filter(F.col("r").isin(100, 1000, 10000))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").alias("vocab_size"),
+            F.col("cum_f").cast("long").alias("covered_tokens"),
+            "total",
+            (F.col("cum_f").cast("long") * F.lit(1.0) / F.col("total")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 # explicit non-whitespace class, NOT \S: Java's \S excludes \x0B while
 # RE2's includes it — same cross-engine drift class as the tokens() fix
