@@ -3401,6 +3401,85 @@ def _filter_chain_oracle() -> str:
     """
 
 
+@query(
+    "p_negative_sampling",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    anchors AS (SELECT doc_id AS anchor_id, nt AS ant FROM norm
+                WHERE doc_id < 10),
+    pairs AS (
+      SELECT a.anchor_id, n.doc_id AS neg_id,
+             ((a.anchor_id * 131071 + n.doc_id) % 1000000007)
+               * 48271 % 1000000007 AS prio
+      FROM anchors a JOIN norm n
+        ON n.doc_id != a.anchor_id AND n.nt != a.ant),
+    ranked AS (SELECT anchor_id, neg_id,
+                      row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY prio, neg_id) AS rnk
+               FROM pairs)
+    SELECT anchor_id, neg_id, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def p_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document draws 5 pseudo-random negatives from the corpus,
+    EXCLUDING its own exact-dedup group (a near-duplicate is a false
+    negative that poisons the contrastive loss).  The draw is a
+    multiplicative-hash priority on (anchor, candidate) — exact
+    integer arithmetic, never overflowing int64 under ANSI, so the
+    sample SET hash-matches cross-engine (the p_weighted_sample
+    rationale).
+
+    Scale shape: anchors broadcast (a tiny set) over one corpus map
+    pass; the per-anchor top-5 is TWO-STAGE (the t_tfidf pattern) —
+    stage 1 ranks within (anchor, 32-way candidate-salt shard) so no
+    task ever sees more than corpus/32 rows, stage 2 re-ranks the
+    ≤160 survivors per anchor."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = docs.select(
+        "doc_id", F.xxhash64(dedup.normalize_text(F.col("text"))).alias("fp")
+    )
+    anchors = norm.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("anchor_id"), F.col("fp").alias("afp")
+    )
+    pairs = (
+        norm.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("doc_id") != F.col("anchor_id"))
+            & (F.col("fp") != F.col("afp"))
+        )
+        .select(
+            "anchor_id",
+            F.col("doc_id").alias("neg_id"),
+            (
+                ((F.col("anchor_id") * 131071 + F.col("doc_id")) % 1000000007)
+                * 48271
+                % 1000000007
+            ).alias("prio"),
+        )
+    )
+    shard_w = Window.partitionBy(
+        "anchor_id", F.pmod(F.xxhash64("neg_id"), F.lit(32))
+    ).orderBy("prio", "neg_id")
+    cand = (
+        pairs.withColumn("__srn", F.row_number().over(shard_w))
+        .filter(F.col("__srn") <= 5)
+        .drop("__srn")
+    )
+    w = Window.partitionBy("anchor_id").orderBy("prio", "neg_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("anchor_id", "neg_id", "rnk")
+    )
+
+
 @query("p_quality_filter_chain", oracle=_filter_chain_oracle())
 def p_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FineWeb/C4-style sequential quality filter chain with per-stage
