@@ -266,6 +266,28 @@ def _float64_beta_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.where(mask, np.nan, out))
 
 
+def _float64_laplace_kernel(loc: pd.Series, scale: pd.Series) -> pd.Series:
+    """Laplace(loc mu, scale b): mean mu, var 2*b^2 — the additive-noise
+    distribution of differential privacy."""
+    l_v, l_m = _float64_parts(loc)
+    s_v, s_m = _float64_parts(scale)
+    mask = l_m | s_m
+    if np.any(~mask & (s_v <= 0)):
+        raise ValueError("randgen_float64_laplace: scale must be > 0")
+    out = _rng().laplace(np.where(mask, 0.0, l_v), np.where(mask, 1.0, s_v))
+    return pd.Series(np.where(mask, np.nan, out))
+
+
+def _int64_geometric_kernel(p: pd.Series) -> pd.Series:
+    """Geometric(p), support {1, 2, ...}: trials to first success, mean
+    1/p — the retry/hop-count generator."""
+    p_v, p_m = _float64_parts(p)
+    if np.any(~p_m & ((p_v <= 0) | (p_v > 1))):
+        raise ValueError("randgen_int64_geometric: p must be in (0, 1]")
+    out = _rng().geometric(np.where(p_m, 0.5, p_v)).astype(np.int64)
+    return _masked_int_result(out, p_m)
+
+
 randgen_float64_uniform = F.pandas_udf(_float64_uniform_kernel, T.DoubleType()).asNondeterministic()
 randgen_float64_normal = F.pandas_udf(_float64_normal_kernel, T.DoubleType()).asNondeterministic()
 randgen_int64_normal = F.pandas_udf(_int64_normal_kernel, T.LongType()).asNondeterministic()
@@ -279,6 +301,8 @@ randgen_int64_poisson = F.pandas_udf(_int64_poisson_kernel, T.LongType()).asNond
 randgen_float64_exponential = F.pandas_udf(_float64_exponential_kernel, T.DoubleType()).asNondeterministic()
 randgen_float64_gamma = F.pandas_udf(_float64_gamma_kernel, T.DoubleType()).asNondeterministic()
 randgen_float64_beta = F.pandas_udf(_float64_beta_kernel, T.DoubleType()).asNondeterministic()
+randgen_float64_laplace = F.pandas_udf(_float64_laplace_kernel, T.DoubleType()).asNondeterministic()
+randgen_int64_geometric = F.pandas_udf(_int64_geometric_kernel, T.LongType()).asNondeterministic()
 
 
 _PARITY_UDFS = {
@@ -296,6 +320,8 @@ _PARITY_UDFS = {
     "randgen_float64_exponential": randgen_float64_exponential,
     "randgen_float64_gamma": randgen_float64_gamma,
     "randgen_float64_beta": randgen_float64_beta,
+    "randgen_float64_laplace": randgen_float64_laplace,
+    "randgen_int64_geometric": randgen_int64_geometric,
 }
 
 

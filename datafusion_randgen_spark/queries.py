@@ -461,6 +461,62 @@ def r_float64_beta_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "r_float64_laplace_props",
+    oracle="""
+    SELECT 50000 AS n_rows, 3 AS n_null, true AS mean_ok, true AS var_ok
+    """,
+)
+def r_float64_laplace_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace(μ=5, b=2) parity UDF — the additive-noise distribution
+    of differential privacy: mean μ = 5, var 2b² = 8; SQL-standard
+    null propagation (3 null-arg rows).  Thresholds sit ≈ 6-8σ from
+    the estimator sds (se(mean) ≈ 0.013, sd(s²) ≈ 0.08 at n=50k)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH d AS (SELECT randgen_float64_laplace(5.0, 2.0) AS x
+                   FROM range(0, 50000)),
+             n AS (SELECT randgen_float64_laplace(CAST(NULL AS DOUBLE), 2.0) AS x
+                   UNION ALL
+                   SELECT randgen_float64_laplace(5.0, CAST(NULL AS DOUBLE))
+                   UNION ALL
+                   SELECT randgen_float64_laplace(CAST(NULL AS DOUBLE),
+                                                  CAST(NULL AS DOUBLE)))
+        SELECT (SELECT count(*) FROM d) AS n_rows,
+               (SELECT count_if(x IS NULL) FROM n) AS n_null,
+               (SELECT abs(avg(x) - 5.0) < 0.1 FROM d) AS mean_ok,
+               (SELECT abs(var_samp(x) - 8.0) < 0.8 FROM d) AS var_ok
+        """
+    )
+
+
+@query(
+    "r_int64_geometric_props",
+    oracle="""
+    SELECT 50000 AS n_rows, 0 AS n_below_support, 1 AS n_null,
+           true AS mean_ok, true AS var_ok
+    """,
+)
+def r_int64_geometric_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric(p=0.25) parity UDF — trials to first success, the
+    retry/hop-count generator: support {1, 2, ...}, mean 1/p = 4,
+    var (1−p)/p² = 12; NULL p propagates."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH d AS (SELECT randgen_int64_geometric(0.25) AS x
+                   FROM range(0, 50000)),
+             n AS (SELECT randgen_int64_geometric(CAST(NULL AS DOUBLE)) AS x)
+        SELECT (SELECT count(*) FROM d) AS n_rows,
+               (SELECT count_if(x < 1) FROM d) AS n_below_support,
+               (SELECT count_if(x IS NULL) FROM n) AS n_null,
+               (SELECT abs(avg(x) - 4.0) < 0.12 FROM d) AS mean_ok,
+               (SELECT abs(var_samp(x) - 12.0) < 1.5 FROM d) AS var_ok
+        """
+    )
+
+
+@query(
     "r_correlated_normals_props",
     oracle="""
     SELECT 200000 AS n_rows, true AS corr_ok, true AS mean1_ok,

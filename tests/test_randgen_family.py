@@ -191,3 +191,36 @@ def test_gamma_beta_invalid_params_raise(spark):
     ):
         with _pytest.raises(Exception, match="must be > 0"):
             spark.sql(sql).collect()
+
+
+def test_laplace_geometric_support_and_nulls(spark):
+    from datafusion_randgen_spark import add_udfs
+
+    add_udfs(spark)
+    row = spark.sql(
+        """
+        WITH l AS (SELECT randgen_float64_laplace(0.0, 1.0) AS x
+                   FROM range(0, 5000)),
+             g AS (SELECT randgen_int64_geometric(0.5) AS x
+                   FROM range(0, 5000))
+        SELECT (SELECT count_if(x IS NULL) FROM l) AS l_null,
+               (SELECT count(DISTINCT x) > 4900 FROM l) AS l_distinct,
+               (SELECT min(x) >= 1 FROM g) AS g_support,
+               (SELECT avg(x) BETWEEN 1.8 AND 2.2 FROM g) AS g_mean,
+               (SELECT randgen_int64_geometric(CAST(NULL AS DOUBLE))) AS g_null
+        """
+    ).first()
+    assert row.l_null == 0 and row.l_distinct
+    assert row.g_support and row.g_mean and row.g_null is None
+
+
+def test_laplace_geometric_invalid_params_raise(spark):
+    import pytest as _pytest
+
+    from datafusion_randgen_spark import add_udfs
+
+    add_udfs(spark)
+    with _pytest.raises(Exception, match="scale must be > 0"):
+        spark.sql("SELECT randgen_float64_laplace(0.0, -1.0) FROM range(5)").collect()
+    with _pytest.raises(Exception, match="p must be in"):
+        spark.sql("SELECT randgen_int64_geometric(1.5) FROM range(5)").collect()
