@@ -3971,9 +3971,12 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("term"))
     freq = toks.groupBy("term").agg(F.count("*").alias("f"))
+    # checkpoint between the primitives: global_cumsum's range-bucket
+    # stats pass would otherwise re-execute the whole rank subtree
+    # (explode + groupBy + rank) a second time
     ranked = scale.global_row_number(
         freq.withColumn("__negf", -F.col("f")), "__negf", "term", out_col="r"
-    )
+    ).localCheckpoint(eager=True)
     cum = scale.global_cumsum(ranked, "r", "f", out_col="cum_f")
     tot = freq.agg(F.sum("f").alias("total"))
     return (
