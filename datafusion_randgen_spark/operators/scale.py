@@ -98,7 +98,18 @@ def global_cumsum(
 def _range_bucket(df: DataFrame, order_col: str, num_buckets: int | None):
     """Assign each row a range bucket on ``order_col`` (approxQuantile
     boundaries; ties never split across buckets because assignment is a
-    pure function of the value).  Shared by the global_* primitives."""
+    pure function of the value).  Shared by the global_* primitives.
+
+    CALLER CONTRACT: ``order_col`` should be a cheap (scan or
+    aggregate-output) column.  The bucket expression compares it once
+    per boundary (~num_buckets times per row) and Catalyst has no CSE
+    across those comparisons — a computed column built from an
+    expensive expression gets duplicated into every comparison
+    (measured 13s → 2.7s on p_curriculum_order by checkpointing the
+    scored frame first).  Also note approxQuantile is an EAGER stats
+    pass: it executes the input subtree once before the main plan —
+    ``localCheckpoint(eager=True)`` the input when it is itself an
+    expensive pipeline."""
     spark = df.sparkSession
     n = num_buckets or spark.sparkContext.defaultParallelism
     n = max(1, n)

@@ -3408,12 +3408,16 @@ def p_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan class."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
+    # checkpoint the scored frame: the composite quality expression
+    # (dozens of padded-LIKE marker counts per row) would otherwise
+    # re-execute in the rank's range-bucket stats pass AND both plan
+    # branches — measured 13s -> ~2s at sf0.1
     sm = docs.select(
         "doc_id",
         F.round(text.quality_score(F.col("text")) * 1e6)
         .cast("long")
         .alias("score_micro"),
-    )
+    ).localCheckpoint(eager=True)
     ranked = scale.global_row_number(
         sm.withColumn("__neg", -F.col("score_micro")),
         "__neg",
@@ -7502,18 +7506,24 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
+    # checkpoints between the chained ntiles: each global_ntile runs a
+    # range-bucket stats pass (approxQuantile) over its input, which
+    # would otherwise re-execute everything upstream — the purchase
+    # scan + aggregate would run ~6x across the three scores
     rfm = ev.groupBy("user_id").agg(
         F.datediff(
             F.lit("2024-03-01").cast("date"), F.max("ts").cast("date")
         ).cast("long").alias("recency_days"),
         F.count("*").alias("frequency"),
         F.round(F.sum("value"), 2).alias("monetary"),
-    )
-    scored = scale.global_ntile(rfm, "recency_days", "user_id", 4, "r_score")
+    ).localCheckpoint(eager=True)
+    scored = scale.global_ntile(
+        rfm, "recency_days", "user_id", 4, "r_score"
+    ).localCheckpoint(eager=True)
     scored = scale.global_ntile(
         scored.withColumn("__negf", -F.col("frequency")),
         "__negf", "user_id", 4, "f_score",
-    ).drop("__negf")
+    ).drop("__negf").localCheckpoint(eager=True)
     scored = scale.global_ntile(
         scored.withColumn("__negm", -F.col("monetary")),
         "__negm", "user_id", 4, "m_score",
