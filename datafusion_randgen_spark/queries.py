@@ -84,12 +84,15 @@ def _scratch_dir(name: str) -> str:
     if _SCRATCH_ROOT is None:
         # stale sweep: any sibling root untouched for >6h predates this
         # round's runs (a LIVE run refreshes its root's mtime whenever
-        # it makes a new entry dir, and no single run lasts hours)
+        # it makes a new entry dir, and no single run lasts hours).
+        # Covers every mkdtemp prefix the catalog creates — the
+        # foreachBatch entries (randgen_fb_, randgen_stincr_) leak
+        # their roots on SIGKILL exactly like the scratch root does.
         tmp = tempfile.gettempdir()
         cutoff = time.time() - 6 * 3600
         try:
             for d in os.listdir(tmp):
-                if d.startswith("randgen_scratch_"):
+                if d.startswith(("randgen_scratch_", "randgen_fb_", "randgen_stincr_")):
                     full = os.path.join(tmp, d)
                     try:
                         if os.path.getmtime(full) < cutoff:
@@ -103,6 +106,17 @@ def _scratch_dir(name: str) -> str:
     path = os.path.join(_SCRATCH_ROOT, name)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def _scratch_unique(name: str) -> str:
+    """Fresh per-call dir under the session scratch root — for entries
+    whose streaming CHECKPOINT must not be reused across calls (a
+    reused checkpoint remembers processed source files and silently
+    skips every batch on the second call).  Cleaned with the root at
+    interpreter exit; leaked roots are reclaimed by the stale sweep."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="call_", dir=_scratch_dir(name))
 
 
 def _drop_managed_table(spark: SparkSession, name: str) -> None:
@@ -7162,13 +7176,11 @@ def st_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge join); the snapshot join shuffles on the key and AQE
     broadcasts the delta when small; versioned dirs avoid
     read-while-overwrite on the snapshot being replaced."""
-    import tempfile
-
     from datafusion_randgen_spark import streaming as st
 
     _prep(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    base = tempfile.mkdtemp(prefix="randgen_fb_")
+    base = _scratch_unique("fb_upsert")
     stream = st.file_stream_from(ev, base + "/src")
     state = {"cur": None}
 
@@ -7242,8 +7254,6 @@ def st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs it before the next batch), total dropped = the complement,
     and the final store size = |prior ∪ incoming| fingerprints.  The
     batch oracle recomputes all three from the normalized text."""
-    import tempfile
-
     from datafusion_randgen_spark import streaming as st
 
     _prep(spark, sf_dir)
@@ -7252,7 +7262,7 @@ def st_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.xxhash64(dedup.normalize_text(F.col("text"))).alias("fp")
     )
     prior = digests.filter(F.col("doc_id") % 3 != 0).select("fp").distinct()
-    base = tempfile.mkdtemp(prefix="randgen_stincr_")
+    base = _scratch_unique("st_incr_dedup")
     prior.write.mode("overwrite").parquet(f"{base}/state_v0")
     incoming = digests.filter(F.col("doc_id") % 3 == 0).unionByName(
         digests.filter(F.col("doc_id") % 3 == 1).select(
