@@ -2513,11 +2513,14 @@ def p_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 4  # span length in tokens for duplicated-span coverage
 
-
-@query(
-    "t_dup_span_coverage",
-    oracle=f"""
-    WITH b AS (
+# Shared CTE chain ending in `covrep` = (doc_id, n_tokens,
+# n_dup_tokens, dup_frac) — used by t_dup_span_coverage AND the
+# composite dedup-impact report so the two can never drift.  The
+# unrounded int/int division is IEEE-bit-identical in both engines;
+# round(,4) would reintroduce the decimal-half tie class whenever
+# covered/n reduces to odd/32.
+_DUCK_COV_CTES = f"""
+    b AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                          x -> x != '') AS ts
@@ -2538,17 +2541,22 @@ _SPAN_K = 4  # span length in tokens for duplicated-span coverage
       FROM d WHERE cnt > 1),
     cov AS (
       SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS covered
-      FROM iv GROUP BY doc_id)
-    SELECT bb.doc_id,
-           CAST(bb.n AS BIGINT) AS n_tokens,
-           CAST(coalesce(cov.covered, 0) AS BIGINT) AS n_dup_tokens,
-           -- unrounded int/int division: IEEE-bit-identical in both
-           -- engines; round(,4) would reintroduce the decimal-half
-           -- tie class whenever covered/n reduces to odd/32
-           CASE WHEN bb.n > 0
-                THEN CAST(coalesce(cov.covered, 0) AS DOUBLE) / bb.n
-                ELSE CAST(0 AS DOUBLE) END AS dup_frac
-    FROM bb LEFT JOIN cov USING (doc_id)
+      FROM iv GROUP BY doc_id),
+    covrep AS (
+      SELECT bb.doc_id,
+             CAST(bb.n AS BIGINT) AS n_tokens,
+             CAST(coalesce(cov.covered, 0) AS BIGINT) AS n_dup_tokens,
+             CASE WHEN bb.n > 0
+                  THEN CAST(coalesce(cov.covered, 0) AS DOUBLE) / bb.n
+                  ELSE CAST(0 AS DOUBLE) END AS dup_frac
+      FROM bb LEFT JOIN cov USING (doc_id))"""
+
+
+@query(
+    "t_dup_span_coverage",
+    oracle=f"""
+    WITH {_DUCK_COV_CTES}
+    SELECT doc_id, n_tokens, n_dup_tokens, dup_frac FROM covrep
     """,
 )
 def t_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2573,6 +2581,58 @@ def t_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.dup_span_coverage(docs, k=_SPAN_K)
+
+
+@query(
+    "t_dedup_impact_report",
+    oracle=f"""
+    WITH {_DUCK_COV_CTES},
+    norm2 AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    gs AS (SELECT nt, CAST(count(*) AS BIGINT) AS group_size,
+                  min(doc_id) AS canonical
+           FROM norm2 GROUP BY nt)
+    SELECT n.doc_id, s.group_size,
+           n.doc_id = s.canonical AS is_canonical,
+           c.n_tokens, c.n_dup_tokens, c.dup_frac
+    FROM norm2 n JOIN gs s USING (nt) JOIN covrep c ON c.doc_id = n.doc_id
+    """,
+)
+def t_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup impact report — the curation summary a
+    pipeline exports before deciding trim/drop/keep: the doc's
+    exact-dedup group size, whether it is the canonical (min-id) copy,
+    and its duplicated-span token coverage — two independent dedup
+    signals joined into one row per document.
+
+    Composition of two existing operators (exact_dedup's digest
+    grouping + dup_span_coverage); the oracle reuses the SAME coverage
+    CTE string as t_dup_span_coverage (no drift possible) and
+    recomputes the groups from normalized text where Spark carries
+    xxhash64 digests.  Scale shape: one digest aggregate + the
+    coverage op's single span shuffle; the final joins key on the doc
+    id."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    digests = docs.select(
+        "doc_id", F.xxhash64(dedup.normalize_text(F.col("text"))).alias("fp")
+    )
+    gs = digests.groupBy("fp").agg(
+        F.count("*").alias("group_size"), F.min("doc_id").alias("canonical")
+    )
+    groups = digests.join(gs, "fp").select(
+        "doc_id",
+        "group_size",
+        (F.col("doc_id") == F.col("canonical")).alias("is_canonical"),
+    )
+    cov = dedup.dup_span_coverage(docs, k=_SPAN_K)
+    return groups.join(cov, "doc_id").select(
+        "doc_id", "group_size", "is_canonical",
+        "n_tokens", "n_dup_tokens", "dup_frac",
+    )
 
 
 @query(
