@@ -4463,6 +4463,114 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zvalue_oracle() -> str:
+    from datafusion_randgen_spark.operators import layout
+
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey, o_orderkey % 65536 AS xa, o_custkey % 65536 AS xb
+      FROM orders WHERE o_orderkey < 4000)
+    SELECT o_orderkey,
+           CAST({layout.ZVALUE16_SQL('xa', 'xb')} AS BIGINT) AS z
+    FROM src
+    """
+
+
+@query("q_zvalue_interleave", oracle=_zvalue_oracle())
+def q_zvalue_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value computation (``operators/layout.zvalue16``):
+    32-bit interleave of two 16-bit dimensions, pure Catalyst bit
+    arithmetic — the clustering key behind Z-order data layout
+    (Delta/Iceberg OPTIMIZE ZORDER).  The identical magic-mask spread
+    runs in DuckDB, so every z-value is bit-equal cross-engine."""
+    from datafusion_randgen_spark.operators import layout
+
+    _prep(spark, sf_dir)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select("o_orderkey", "o_custkey")
+    )
+    z = layout.zvalue16(F.col("o_orderkey") % 65536, F.col("o_custkey") % 65536)
+    return o.select("o_orderkey", z.cast("long").alias("z"))
+
+
+@query(
+    "p_zorder_layout",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS multi_file,
+           true AS files_disjoint, true AS lossless
+    FROM orders
+    """,
+)
+def p_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data layout: range-partition + within-partition sort on
+    the Morton z-value of (custkey, orderkey buckets), then write
+    parquet — after which BOTH dimensions' min/max footer stats are
+    selective, so a filter on either column prunes files (single-key
+    sort helps only its own column).  The mechanism Delta/Iceberg ship
+    as OPTIMIZE ZORDER, built from stock Spark primitives.
+
+    Verified structural properties (the ANN-recall pattern — file
+    layout is not ANSI-SQL): the write produces multiple files whose
+    z-ranges are pairwise DISJOINT (range partitioning assigns each
+    z-value to exactly one range; sortWithinPartitions orders inside),
+    and the round-trip is lossless (row count + key checksum)."""
+    from datafusion_randgen_spark.operators import layout
+
+    _prep(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    z = layout.zvalue16(F.col("o_orderkey") % 65536, F.col("o_custkey") % 65536)
+    src = o.withColumn("z", z.cast("long"))
+    path = _scratch_dir("zorder_layout")
+    (
+        src.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    per_file = back.groupBy("f").agg(
+        F.min("z").alias("min_z"), F.max("z").alias("max_z")
+    )
+    # tiny frame: one row per output file (~8)
+    nxt = F.lead("min_z").over(Window.orderBy("min_z", "f"))
+    disjoint = per_file.withColumn("next_min", nxt).agg(
+        (
+            F.min(
+                F.when(
+                    F.col("next_min").isNull()
+                    | (F.col("max_z") <= F.col("next_min")),
+                    1,
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("files_disjoint"),
+        (F.count("*") >= 2).alias("multi_file"),
+    )
+    lossless = (
+        back.agg(
+            F.count("*").alias("n_rows"), F.sum("o_orderkey").alias("chk")
+        )
+        .crossJoin(
+            F.broadcast(
+                src.agg(
+                    F.count("*").alias("n0"), F.sum("o_orderkey").alias("chk0")
+                )
+            )
+        )
+        .select(
+            "n_rows",
+            ((F.col("n_rows") == F.col("n0")) & (F.col("chk") == F.col("chk0"))).alias(
+                "lossless"
+            ),
+        )
+    )
+    return lossless.crossJoin(F.broadcast(disjoint)).select(
+        "n_rows", "multi_file", "files_disjoint", "lossless"
+    )
+
+
 @query(
     "q_datetime_functions_sampler",
     oracle="""

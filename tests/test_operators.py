@@ -745,3 +745,30 @@ def test_winnow_fingerprints_plan_row_local(spark):
     out = dedup.winnow_fingerprints(df)
     assert plans.exchange_count(out) == 0            # selection never shuffles
     assert plans.python_eval_nodes(out) == 0
+
+
+def test_zvalue16_hand_computed_and_sql_mirror(spark):
+    """Morton interleave against hand-computed values, and the DuckDB
+    SQL mirror must be bit-equal on the full 16-bit corners."""
+    import duckdb
+
+    from datafusion_randgen_spark.operators import layout
+
+    rows = [(3, 1), (65535, 0), (0, 65535), (65535, 65535), (0, 0), (1, 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = [
+        r.z
+        for r in df.select(
+            layout.zvalue16(F.col("a"), F.col("b")).cast("long").alias("z")
+        ).collect()
+    ]
+    assert got == [7, 1431655765, 2863311530, 4294967295, 0, 3]
+    duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT " + layout.ZVALUE16_SQL("a", "b") + " FROM "
+            "(VALUES (3, 1), (65535, 0), (0, 65535), (65535, 65535), "
+            "(0, 0), (1, 1)) AS t(a, b)"
+        ).fetchall()
+    ]
+    assert duck == got
