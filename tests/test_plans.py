@@ -541,3 +541,28 @@ def test_simhash_pairs_blocked_128bit_is_hash_equi_join(spark):
     assert "NestedLoop" not in plan
     assert "tbl" in plan and "val" in plan
     assert plans.python_eval_nodes(df) == 0
+
+
+def test_r6_pipeline_entries_no_corpus_single_partition(spark):
+    """The r6 pipeline entries built on the two-phase primitives and
+    the salted top-k pattern must keep SinglePartition exchanges off
+    corpus-derived frames: curriculum allows only the bucket-offsets
+    window; negative sampling allows none (sharded rank + broadcast
+    anchors); vocab coverage allows the two offsets windows + the
+    1-row total agg.  Static planning so the exchanges are visible."""
+    from datafusion_randgen_spark import queries as cat
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cur = plans.physical_plan(cat.QUERIES["p_curriculum_order"](spark, SF))
+        neg = plans.physical_plan(cat.QUERIES["p_negative_sampling"](spark, SF))
+        cov = plans.physical_plan(cat.QUERIES["t_vocab_coverage"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert cur.count("Exchange SinglePartition") <= 1
+    assert "hashpartitioning(__bucket" in cur
+    assert neg.count("Exchange SinglePartition") == 0
+    assert "__srn" not in neg or "SinglePartition" not in neg
+    assert cov.count("Exchange SinglePartition") <= 3
+    for name, plan in (("cur", cur), ("neg", neg), ("cov", cov)):
+        assert "CartesianProduct" not in plan or name == "neg", name
