@@ -4239,6 +4239,42 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m_payload_dedup",
+    oracle="""
+    -- sha256 over VARCHAR hashes its utf8 bytes, which IS the payload
+    -- (this DuckDB build has no BLOB overload)
+    WITH m AS (SELECT doc_id, sha256(text) AS digest FROM documents)
+    SELECT digest, min(doc_id) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM m GROUP BY digest
+    """,
+)
+def m_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed binary-payload dedup — the image/audio dedup
+    pass of a multimodal pipeline: identical media BYTES collapse to
+    one canonical row regardless of metadata, keyed by sha256 of the
+    payload (the content-addressing digest object stores use, so the
+    same key doubles as the storage address).
+
+    Scale shape: the digest computes row-local over the binary column;
+    ONE map-side-combinable shuffle carries (32-byte digest, id) —
+    never payload bytes.  Spark's sha2 and DuckDB's sha256 emit the
+    identical lowercase hex, so the full digest → (canonical, size)
+    mapping hash-matches cross-engine."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs)
+    return (
+        media.select("doc_id", F.sha2(F.col("media"), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
 # =========================================================================
 # Q2 — wider SQL surface: grouping sets, percentiles/sketches, range
 # frames, array functions, more connectors, physical-layout operators
