@@ -85,14 +85,15 @@ def _scratch_dir(name: str) -> str:
         # stale sweep: any sibling root untouched for >6h predates this
         # round's runs (a LIVE run refreshes its root's mtime whenever
         # it makes a new entry dir, and no single run lasts hours).
-        # Covers every mkdtemp prefix the catalog creates — the
-        # foreachBatch entries (randgen_fb_, randgen_stincr_) leak
-        # their roots on SIGKILL exactly like the scratch root does.
+        # Covers EVERY randgen_* prefix this module has ever created
+        # (scratch roots, legacy fb/stincr/binfile/pyds_sink dirs, and
+        # the evolve/compact dirs a SIGKILL mid-entry leaves behind) —
+        # the 6h mtime guard protects any live root.
         tmp = tempfile.gettempdir()
         cutoff = time.time() - 6 * 3600
         try:
             for d in os.listdir(tmp):
-                if d.startswith(("randgen_scratch_", "randgen_fb_", "randgen_stincr_")):
+                if d.startswith("randgen_"):
                     full = os.path.join(tmp, d)
                     try:
                         if os.path.getmtime(full) < cutoff:
@@ -5912,11 +5913,10 @@ def r_pyparquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with Spark's native reader — contents must be bit-identical and
     the commit protocol must have promoted every task file (_SUCCESS
     present, no _temporary remnants)."""
-    import os
-    import tempfile
-
     _prep(spark, sf_dir)
-    out = os.path.join(tempfile.mkdtemp(prefix="randgen_pyds_sink_"), "t")
+    # unique per call: the returned DF lazily reads the sink output, so
+    # the dir can't be removed here — the managed root cleans it at exit
+    out = os.path.join(_scratch_unique("pyds_sink"), "t")
     src = (
         spark.read.format("randgen")
         .option("rows", 12_000)
