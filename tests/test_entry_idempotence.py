@@ -22,6 +22,7 @@ STATEFUL = [
     "q_bucketed_colocated_join",
     "q_schema_evolution_merge",
     "d_snapshot_dedup",
+    "r_pyparquet_sink_roundtrip",
 ]
 
 
