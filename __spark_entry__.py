@@ -81,17 +81,14 @@ _NAMED_WEIGHT = {
     "q_unpivot_measures": 60,
 }
 
-# Entries whose IMPLEMENTATION changed this round (r6: two-phase
-# vocabulary rank; exact-integer global_ntile; broadened utm stripping):
-# green last round, but the new plan must re-earn its row ahead of
+# Entries whose IMPLEMENTATION changed this round (r7: vectorized
+# _element_from_kernel; n_probes-parameterized IVF-PQ probing):
+# green last round, but the new code must re-earn its row ahead of
 # unchanged greens.
 _REVERIFY = {
-    "t_zipf_token_slope",
-    "t_tfidf_top_terms",
-    "q_rfm_segmentation",
-    "t_url_canonicalize",
-    "t_url_host_dedup",
-    "q_skyline_pareto",
+    "r_element_from_props",
+    "r_element_from_array_column",
+    "s_ivfpq_search",
 }
 
 

@@ -235,12 +235,34 @@ def _element_from_kernel(arr: pd.Series) -> pd.Series:
     # volatile Catalyst fast path (exprs.element_from_expr) is generic
     # over ANY element type and is the preferred form.
     # arr: Series of lists / ndarrays; NULL array or empty array -> NULL.
-    rng = _rng()
-    out = np.empty(len(arr), dtype=object)
-    lens = np.array([0 if a is None or (isinstance(a, float)) else len(a) for a in arr], dtype=np.int64)
-    picks = rng.integers(0, np.maximum(lens, 1))
-    for i, (a, k, n) in enumerate(zip(arr, picks, lens)):
-        out[i] = a[int(k)] if n > 0 else None
+    # Ragged fancy-indexing (the _string_alpha_kernel shape): the only
+    # per-row Python work is computing split points; the draws and the
+    # element gather are single vectorized ops over a concatenated
+    # values array.  A NULL array slot arrives as None or a float NaN
+    # (explicit ``a != a`` — a real float-typed ARRAY cell is a
+    # list/ndarray, never a bare float, and NaN *elements* inside an
+    # array are legitimate sample values).
+    vals = arr.to_numpy(dtype=object, copy=False)
+    n = len(vals)
+    null = np.fromiter(
+        (a is None or (isinstance(a, float) and a != a) for a in vals),
+        dtype=bool,
+        count=n,
+    )
+    lens = np.fromiter(
+        (0 if null[i] else len(vals[i]) for i in range(n)),
+        dtype=np.int64,
+        count=n,
+    )
+    picks = _rng().integers(0, np.maximum(lens, 1))
+    out = np.full(n, None, dtype=object)
+    nonempty = lens > 0
+    if nonempty.any():
+        flat = np.concatenate(
+            [np.asarray(v, dtype=object) for v, ne in zip(vals, nonempty) if ne]
+        )
+        starts = np.cumsum(lens[nonempty]) - lens[nonempty]
+        out[nonempty] = flat[starts + picks[nonempty]]
     return pd.Series(out)
 
 
