@@ -130,6 +130,51 @@ def main() -> None:
         "d_exact_substring_spans": cat.QUERIES["d_exact_substring_spans"],
         "d_semantic_dedup": cat.QUERIES["d_semantic_dedup"],
         "d_snapshot_dedup": cat.QUERIES["d_snapshot_dedup"],
+        # r7: the iterative BPE merge loop (20 driver-iterated rounds
+        # over the vocab-sized word table) — new family probe
+        "t_bpe_merge_vocab": cat.QUERIES["t_bpe_merge_vocab"],
+    }
+
+    # Family assignment for per-family calibration (VERDICT r6 task 3:
+    # a single global probe couldn't localize the r6 TPC-H drift).
+    # The probe runs BETWEEN families; each family normalizes against
+    # the mean of its two bracketing probes.
+    _FAM = {
+        "flagship_randgen_graft": "gen",
+        "gen_expr_5m_rows": "gen",
+        "gen_pandas_udf_1m_rows": "gen",
+        "q1_pricing_summary": "tpch",
+        "q3_topk_revenue": "tpch",
+        "q5_regional_revenue": "tpch",
+        "q_window_topk_per_group": "tpch",
+        "q8_market_share": "tpch",
+        "q_sessionization": "events",
+        "q_asof_join": "events",
+        "q_ewma_smoothing": "events",
+        "q_forward_fill_locf": "events",
+        "q_median_impute": "events",
+        "q_rfm_segmentation": "events",
+        "q_exact_pctl_histogram": "events",
+        "q_sparse_matmul": "events",
+        "d_exact_dedup": "dedup",
+        "d_minhash_lsh_pairs": "dedup",
+        "d_embedding_near_dup": "dedup",
+        "d_contamination_check": "dedup",
+        "d_simhash_r6": "dedup",
+        "t_dup_span_coverage": "dedup",
+        "d_winnowing_fingerprints": "dedup",
+        "d_exact_substring_spans": "dedup",
+        "d_snapshot_dedup": "dedup",
+        "d_connected_components": "iterative",
+        "q_pagerank_transitions": "iterative",
+        "s_kmeans_embeddings": "iterative",
+        "q_bfs_shortest_path": "iterative",
+        "d_semantic_dedup": "iterative",
+        "t_bpe_merge_vocab": "iterative",
+        "s_ann_bruteforce_topk": "similarity",
+        "s_ann_ivf_recall": "similarity",
+        "t_token_stats": "text",
+        "p_training_data_prep": "text",
     }
 
     # Warmup: JIT/codegen compilation, Arrow runtime init, parquet
@@ -175,29 +220,55 @@ def main() -> None:
         )
         return time.perf_counter() - t0
 
-    calib = round(statistics.median(calib_probe() for _ in range(reps)), 3)
+    # family order = first appearance in the (ordered) query dict
+    fam_groups: dict[str, list[str]] = {}
+    for name in bench_queries:
+        fam_groups.setdefault(_FAM[name], []).append(name)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name, fn in bench_queries.items():
-        runs: list[float] = []
-        for _ in range(extra_reps.get(name, reps)):
-            # per-query isolation: operators that persist() intermediates
-            # (minhash shingles, LSH codes) must not ride caches left by
-            # an earlier query or rep, nor leak theirs into the next
-            # measurement
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()  # materialize fully
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
-        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
-        print(
-            f"# {name}: median {timings[name]}s of {extra_reps.get(name, reps)} "
-            f"(spread {spread[name][0]}-{spread[name][1]}s, {n} rows)",
-            file=sys.stderr,
-        )
+    probes: list[float] = []
+    fam_probe_idx: dict[str, int] = {}
+    for fam, names in fam_groups.items():
+        fam_probe_idx[fam] = len(probes)
+        probes.append(round(calib_probe(), 3))
+        for name in names:
+            fn = bench_queries[name]
+            runs: list[float] = []
+            for _ in range(extra_reps.get(name, reps)):
+                # per-query isolation: operators that persist()
+                # intermediates (minhash shingles, LSH codes) must not
+                # ride caches left by an earlier query or rep, nor leak
+                # theirs into the next measurement
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()  # materialize fully
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 3)
+            spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+            print(
+                f"# {name}: median {timings[name]}s of "
+                f"{extra_reps.get(name, reps)} "
+                f"(spread {spread[name][0]}-{spread[name][1]}s, {n} rows)",
+                file=sys.stderr,
+            )
+    probes.append(round(calib_probe(), 3))
+
+    # Per-family calibration: each family normalizes against the MEAN
+    # of its two bracketing probes, so a mid-run host slowdown (the r6
+    # TPC-H 1.3-1.45x mystery) shows up in that family's own probe
+    # instead of being smeared across the global scalar.
+    def fam_calib(fam: str) -> float:
+        i = fam_probe_idx[fam]
+        return (probes[i] + probes[i + 1]) / 2.0
+
+    families_normalized = {
+        fam: round(sum(timings[n] for n in names) / fam_calib(fam), 3)
+        for fam, names in fam_groups.items()
+        if fam_calib(fam) > 0
+    }
+    calib = round(statistics.median(probes), 3)
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the LAST ~2000 chars of stdout, so the
@@ -206,21 +277,35 @@ def main() -> None:
     # and a side file; the stdout line carries medians only and is
     # progressively trimmed if the catalog ever grows it past ~1.4 KB.
     print(f"# queries_spread: {json.dumps(spread)}", file=sys.stderr)
+    detail = {
+        "queries_spread": spread,
+        "reps": reps,
+        "extra_reps": extra_reps,
+        "calib_probes_sec": probes,
+        "family_calib_sec": {f: round(fam_calib(f), 3) for f in fam_groups},
+        "families": {f: list(ns) for f, ns in fam_groups.items()},
+        "families_normalized": families_normalized,
+        # per-query time ÷ the query's own family probe (VERDICT r6
+        # task 3) — cross-round drift localizes to a family
+        "queries_normalized": {
+            n: round(t / fam_calib(_FAM[n]), 3)
+            for n, t in timings.items()
+            if fam_calib(_FAM[n]) > 0
+        },
+    }
+    # opt-in scale-smoke trend line (VERDICT r6 task 6): a side script
+    # (scripts/record_scale_smoke.py) runs tests/test_scale_smoke.py
+    # once per round and leaves SCALE_SMOKE.json; embed it so the
+    # driver's own bench run carries the supra-sf0.1 dedup timing
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALE_SMOKE.json")) as fh:
+            detail["scale_smoke"] = json.load(fh)
+    except (OSError, ValueError):
+        pass
     try:
         with open("bench_detail.json", "w") as fh:
-            json.dump(
-                {
-                    "queries_spread": spread,
-                    "reps": reps,
-                    "extra_reps": extra_reps,
-                    "queries_normalized": {
-                        n: round(t / calib, 3) for n, t in timings.items()
-                    }
-                    if calib
-                    else {},
-                },
-                fh,
-            )
+            json.dump(detail, fh)
     except OSError:
         pass
     payload = {
@@ -228,19 +313,18 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_reps": {n: r for n, r in extra_reps.items() if r != reps},
         "reps": reps,
         "calib_shuffle_probe_sec": calib,
         # machine-speed-normalized headline: cross-round comparisons
         # should read THIS (total ÷ the fixed calibration probe) — VM
         # boots differ ~1.7×, and r5 was judged on a 1.56×-slower host
         "value_per_calib": round(total / calib, 3) if calib else None,
+        # per-family normalized totals (family time ÷ that family's
+        # bracketing probes) — localizes cross-round drift
+        "families_normalized": families_normalized,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(payload)
-    if len(line) > 1400:
-        payload.pop("queries_reps", None)
-        line = json.dumps(payload)
     if len(line) > 1400:
         # keep the slowest queries only; full map already on stderr
         print(f"# queries_full: {json.dumps(timings)}", file=sys.stderr)

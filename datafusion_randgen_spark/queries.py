@@ -7358,6 +7358,126 @@ def t_char_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_N_MERGES = 20
+
+
+def _bpe_replay_ctes(n: int = _BPE_N_MERGES) -> str:
+    """The BPE merge-replay CTE chain, shared by both BPE oracles (the
+    ExactSubstr shared-CTE discipline — the two entries cannot drift).
+
+    Exact integer pair counts + (left, right) byte-order tie-break
+    make the merge sequence deterministic, so the oracle REPLAYS the
+    identical ``n`` steps: per step, the weighted pair-count argmax
+    (``best{i}``) and the greedy left-to-right merge application
+    (``w{i}``) as a ``list_reduce`` whose accumulator is the
+    chr(31)-joined merged-symbol list (symbols are [a-z0-9]+ after
+    normalization, so the separator can't collide).  ``MATERIALIZED``
+    is load-bearing: each ``w{i}`` is referenced twice (pair counts +
+    next fold), and inlining would expand the chain 2^n times."""
+    sl = "string_split(acc, chr(31))"
+    parts = [
+        """toks AS (
+      SELECT unnest(list_filter(string_split(
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g')), ' '), x -> x != '')) AS w
+      FROM documents),
+    w0 AS MATERIALIZED (
+      SELECT w, count(*) AS cnt, string_split(w, '') AS syms
+      FROM toks GROUP BY w)"""
+    ]
+    for i in range(1, n + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+      SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+        SELECT cnt, unnest([{{'a': syms[j], 'b': syms[j+1]}}
+                            for j in range(1, len(syms))]) AS p
+        FROM {prev} WHERE len(syms) >= 2)
+      GROUP BY 1, 2),
+    best{i} AS MATERIALIZED (
+      SELECT {i} AS rnk, a, b, a || b AS m, pc
+      FROM p{i} ORDER BY pc DESC, a, b LIMIT 1),
+    w{i} AS MATERIALIZED (
+      SELECT w, cnt, string_split(list_reduce(syms, (acc, x) -> CASE
+          WHEN {sl}[-1] = best{i}.a AND x = best{i}.b
+          THEN array_to_string(list_append({sl}[1:len({sl})-1], best{i}.m), chr(31))
+          ELSE acc || chr(31) || x END), chr(31)) AS syms
+      FROM {prev} CROSS JOIN best{i})"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_merge_oracle(n: int = _BPE_N_MERGES) -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM best{i}" for i in range(1, n + 1))
+    return f"""
+    WITH {_bpe_replay_ctes(n)}
+    SELECT CAST(rnk AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym,
+           m AS merged, pc AS pair_count
+    FROM ({union})
+    """
+
+
+@query("t_bpe_merge_vocab", oracle=_bpe_merge_oracle())
+def t_bpe_merge_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE vocabulary induction (``operators/bpe.py``):
+    the actual merge LOOP — 20 successive (pair-count argmax → greedy
+    merge application) rounds over the word-frequency table — where
+    ``t_char_bigram_vocab`` only computed a single round's counts.
+    Output is the trained merge table a tokenizer consumes.
+
+    Scale design: the corpus is touched ONCE (normalize + token
+    explode into a map-side-combined word-type count); all 20
+    iterations run on the vocabulary-sized symbolized word table —
+    per iteration one combinable pair-count aggregate, a 1-row argmax
+    collect (driver state = the merge table itself), and a row-local
+    Catalyst array fold, ``localCheckpoint``ed so plans don't nest.
+
+    The oracle replays the identical 20 steps (exact integer counts +
+    byte-order tie-break ⇒ the sequence is a theorem, full-value
+    hash-matched)."""
+    from datafusion_randgen_spark.operators import bpe
+
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return merges
+
+
+@query(
+    "t_bpe_vocab_stats",
+    oracle=f"""
+    WITH {_bpe_replay_ctes()},
+    flat AS (SELECT unnest(syms) AS s FROM w{_BPE_N_MERGES})
+    SELECT CAST(sum(cnt * len(syms)) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS n_word_types,
+           (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM flat) AS n_symbols
+    FROM w{_BPE_N_MERGES}
+    """,
+)
+def t_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-state check of the BPE loop: corpus tokenization statistics
+    AFTER all 20 merges (occurrence-weighted token count, surviving
+    word types, distinct symbol inventory).  Where t_bpe_merge_vocab
+    verifies the merge SEQUENCE, this verifies every applied fold's
+    cumulative effect on the whole table — a wrong greedy application
+    that happened to preserve argmax order would still fail here.
+
+    Same plan shape as training (the stats ride the final vocab-sized
+    frame); the 1-row crossJoin is the documented scalar attach."""
+    from datafusion_randgen_spark.operators import bpe
+
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    _, words = bpe.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    sym = words.select(F.explode("syms").alias("s")).agg(
+        F.count_distinct("s").alias("n_symbols")
+    )
+    return words.agg(
+        F.sum(F.col("cnt") * F.size("syms")).alias("total_tokens"),
+        F.count("*").alias("n_word_types"),
+    ).crossJoin(sym)
+
+
 @query(
     "st_foreachbatch_upsert",
     oracle="""

@@ -772,3 +772,95 @@ def test_zvalue16_hand_computed_and_sql_mirror(spark):
         ).fetchall()
     ]
     assert duck == got
+
+
+# --- BPE vocabulary induction (operators/bpe.py) -------------------------
+
+def test_bpe_merge_tie_breaks_on_byte_order(spark):
+    """Equal pair counts must pick the (left, right)-smallest pair —
+    the tie rule both engines replay (VERDICT r6 task 1)."""
+    from datafusion_randgen_spark.operators import bpe
+
+    # 'zq' and 'ab' each appear exactly twice; tie -> ('a','b') first
+    docs = spark.createDataFrame(
+        [(1, "zq ab"), (2, "zq ab")], "doc_id long, text string"
+    )
+    merges, _ = bpe.bpe_train(docs, n_merges=2)
+    got = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+           for r in merges.orderBy("merge_rank").collect()]
+    assert got == [(1, "a", "b", 2), (2, "q", "z", 2)] or got[0] == (1, "a", "b", 2)
+    assert got[0] == (1, "a", "b", 2)
+
+
+def test_bpe_greedy_left_to_right_application(spark):
+    """'aaaa' under merge (a, a) -> [aa, aa]: the new symbol is not
+    re-consumed as a RIGHT within the same pass."""
+    from datafusion_randgen_spark.operators import bpe
+
+    words = spark.createDataFrame(
+        [("aaaa", 1)], "w string, cnt long"
+    ).withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+    )
+    out = bpe.apply_merge(words, "a", "a").collect()[0]
+    assert list(out.syms) == ["aa", "aa"]
+    # odd length: trailing singleton survives
+    words3 = spark.createDataFrame(
+        [("aaa", 1)], "w string, cnt long"
+    ).withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+    )
+    out3 = bpe.apply_merge(words3, "a", "a").collect()[0]
+    assert list(out3.syms) == ["aa", "a"]
+
+
+def test_bpe_train_matches_reference_simulation(spark):
+    """Full loop vs an independent in-Python BPE trainer on a small
+    corpus: identical merge sequence and counts."""
+    import collections
+    import re
+
+    from datafusion_randgen_spark.operators import bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "that hat on the cat is flat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, words = bpe.bpe_train(docs, n_merges=8)
+    got = [(r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+           for r in merges.orderBy("merge_rank").collect()]
+
+    wc = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"[^a-z0-9\s]", "", t.lower()).split():
+            wc[w] += 1
+    table = {w: list(w) for w in wc}
+    exp = []
+    for rank in range(1, 9):
+        pc = collections.Counter()
+        for w, syms in table.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += wc[w]
+        if not pc:
+            break
+        mx = max(pc.values())
+        a, b = sorted(k for k, v in pc.items() if v == mx)[0]
+        exp.append((rank, a, b, a + b, mx))
+        for w, syms in table.items():
+            acc = []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(s)
+            table[w] = acc
+    assert got == exp
+    # end-state table agrees too
+    got_words = {r.w: list(r.syms) for r in words.collect()}
+    assert got_words == table

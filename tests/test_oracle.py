@@ -211,3 +211,19 @@ def test_readme_catalog_count_matches_registry():
         f"README claims {claims} entries but the catalog registers {n} — "
         f"update README.md's counts"
     )
+
+
+def test_readme_catalog_block_is_generated_and_current():
+    """The per-entry catalog inventory in README is GENERATED from the
+    @query registry (r7: count drift became impossible rather than
+    merely tested) — the checked-in block must equal a fresh render."""
+    from pathlib import Path
+
+    from datafusion_randgen_spark.catalog_doc import replace_block
+
+    path = Path(__file__).resolve().parent.parent / "README.md"
+    cur = path.read_text()
+    assert replace_block(cur) == cur, (
+        "README catalog block is stale — run "
+        "python scripts/gen_readme_catalog.py"
+    )
