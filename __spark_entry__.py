@@ -81,14 +81,15 @@ _NAMED_WEIGHT = {
     "q_unpivot_measures": 60,
 }
 
-# Entries whose IMPLEMENTATION changed this round (r7: vectorized
-# _element_from_kernel; n_probes-parameterized IVF-PQ probing):
-# green last round, but the new code must re-earn its row ahead of
-# unchanged greens.
+# Entries whose implementation or oracle changed THIS round (kept in
+# sync with the round's actual diff — see git log): green last round,
+# but the changed code must re-earn its row ahead of unchanged greens.
+# r8: the BPE replay oracle gained the vocabulary-exhaustion LEFT-JOIN
+# fallback (ADVICE r7) and apply_merge gained symbol validation — both
+# BPE oracle-backed entries re-verify.
 _REVERIFY = {
-    "r_element_from_props",
-    "r_element_from_array_column",
-    "s_ivfpq_search",
+    "t_bpe_merge_vocab",
+    "t_bpe_vocab_stats",
 }
 
 

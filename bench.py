@@ -228,10 +228,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     probes: list[float] = []
+    probe_samples: list[list[float]] = []
+
+    def boundary_probe() -> None:
+        # median of 3 at each family boundary: a single probe sample
+        # makes families_normalized swing on one noisy run (ADVICE r7);
+        # the raw samples stay in bench_detail so a noisy bracket is
+        # visible when reading family drift
+        samples = [round(calib_probe(), 3) for _ in range(3)]
+        probe_samples.append(samples)
+        probes.append(round(statistics.median(samples), 3))
+
     fam_probe_idx: dict[str, int] = {}
     for fam, names in fam_groups.items():
         fam_probe_idx[fam] = len(probes)
-        probes.append(round(calib_probe(), 3))
+        boundary_probe()
         for name in names:
             fn = bench_queries[name]
             runs: list[float] = []
@@ -253,7 +264,7 @@ def main() -> None:
                 f"(spread {spread[name][0]}-{spread[name][1]}s, {n} rows)",
                 file=sys.stderr,
             )
-    probes.append(round(calib_probe(), 3))
+    boundary_probe()
 
     # Per-family calibration: each family normalizes against the MEAN
     # of its two bracketing probes, so a mid-run host slowdown (the r6
@@ -282,6 +293,7 @@ def main() -> None:
         "reps": reps,
         "extra_reps": extra_reps,
         "calib_probes_sec": probes,
+        "calib_probe_samples_sec": probe_samples,
         "family_calib_sec": {f: round(fam_calib(f), 3) for f in fam_groups},
         "families": {f: list(ns) for f, ns in fam_groups.items()},
         "families_normalized": families_normalized,
@@ -293,6 +305,29 @@ def main() -> None:
             if fam_calib(_FAM[n]) > 0
         },
     }
+    # round-over-round family drift (VERDICT r7 task 6): ratio of this
+    # run's normalized family totals to the latest recorded driver
+    # bench — the comparison the r6 TPC-H mystery needed.  >1 means
+    # that family got slower per unit of machine speed.
+    try:
+        import glob
+
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        benches = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+        if benches:
+            with open(benches[-1]) as fh:
+                prev = json.load(fh)
+            pf = (prev.get("parsed") or {}).get("families_normalized") or {}
+            detail["families_vs_prev"] = {
+                "prev_file": os.path.basename(benches[-1]),
+                "ratios": {
+                    f: round(v / pf[f], 3)
+                    for f, v in families_normalized.items()
+                    if pf.get(f)
+                },
+            }
+    except (OSError, ValueError, ZeroDivisionError):
+        pass
     # opt-in scale-smoke trend line (VERDICT r6 task 6): a side script
     # (scripts/record_scale_smoke.py) runs tests/test_scale_smoke.py
     # once per round and leaves SCALE_SMOKE.json; embed it so the

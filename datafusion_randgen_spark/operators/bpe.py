@@ -10,7 +10,16 @@ surface; this module is SURVEY §2.D training-data-prep depth
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
+
+#: Symbols a trainer can ever produce: words are ``[a-z0-9]+`` after
+#: :func:`dedup.normalize_text`, and merges only concatenate, so every
+#: symbol stays in this alphabet.  :func:`apply_merge` interpolates
+#: symbols into a SQL lambda, so it ENFORCES the precondition rather
+#: than trusting callers of the public :func:`bpe_encode` entry point.
+_SYMBOL_RE = re.compile(r"^[a-z0-9]+$")
 
 from datafusion_randgen_spark.operators import dedup
 
@@ -52,7 +61,18 @@ def apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     the merged symbol, so ``aaaa`` under merge (a, a) becomes
     ``[aa, aa]`` (the newly formed symbol is eligible as the LEFT of
     the next comparison but never re-consumed as a RIGHT — standard
-    greedy BPE application)."""
+    greedy BPE application).
+
+    Raises ``ValueError`` unless both symbols match ``[a-z0-9]+``
+    (the only alphabet a trainer over normalized text can produce) —
+    symbols are interpolated into the fold expression, so arbitrary
+    strings are rejected rather than escaped."""
+    for sym in (left, right):
+        if not _SYMBOL_RE.fullmatch(sym):
+            raise ValueError(
+                f"BPE symbol {sym!r} outside the [a-z0-9]+ trainer "
+                "alphabet; refusing to interpolate it into SQL"
+            )
     lit = lambda s: s.replace("'", "''")  # noqa: E731
     merged = left + right
     return words.withColumn(
@@ -128,7 +148,11 @@ def bpe_encode(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Tokenize a symbolized word table with an already-learned merge
     list, applying the merges IN ORDER (how a trained BPE tokenizer
     encodes new text).  Row-local folds only — at scale this is a
-    pure map stage over the corpus."""
+    pure map stage over the corpus.
+
+    Every merge symbol must match ``[a-z0-9]+`` (what
+    :func:`bpe_train` over normalized text produces);
+    :func:`apply_merge` raises ``ValueError`` otherwise."""
     for left, right in merges:
         words = apply_merge(words, left, right)
     return words

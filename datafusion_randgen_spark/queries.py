@@ -7371,7 +7371,12 @@ def _bpe_replay_ctes(n: int = _BPE_N_MERGES) -> str:
     (``best{i}``) and the greedy left-to-right merge application
     (``w{i}``) as a ``list_reduce`` whose accumulator is the
     chr(31)-joined merged-symbol list (symbols are [a-z0-9]+ after
-    normalization, so the separator can't collide).  ``MATERIALIZED``
+    normalization, so the separator can't collide).  ``best{i}`` is
+    attached with a LEFT JOIN so a vocabulary-exhausted step (empty
+    argmax — every word a single symbol) leaves ``w{i}`` at the
+    ``w{i-1}`` fixed point, mirroring ``bpe_train``'s early
+    ``break`` instead of collapsing the chain to empty.
+    ``MATERIALIZED``
     is load-bearing: each ``w{i}`` is referenced twice (pair counts +
     next fold), and inlining would expand the chain 2^n times."""
     sl = "string_split(acc, chr(31))"
@@ -7398,11 +7403,12 @@ def _bpe_replay_ctes(n: int = _BPE_N_MERGES) -> str:
       SELECT {i} AS rnk, a, b, a || b AS m, pc
       FROM p{i} ORDER BY pc DESC, a, b LIMIT 1),
     w{i} AS MATERIALIZED (
-      SELECT w, cnt, string_split(list_reduce(syms, (acc, x) -> CASE
+      SELECT w, cnt, CASE WHEN best{i}.rnk IS NULL THEN syms
+        ELSE string_split(list_reduce(syms, (acc, x) -> CASE
           WHEN {sl}[-1] = best{i}.a AND x = best{i}.b
           THEN array_to_string(list_append({sl}[1:len({sl})-1], best{i}.m), chr(31))
-          ELSE acc || chr(31) || x END), chr(31)) AS syms
-      FROM {prev} CROSS JOIN best{i})"""
+          ELSE acc || chr(31) || x END), chr(31)) END AS syms
+      FROM {prev} LEFT JOIN best{i} ON TRUE)"""
         )
     return ",\n    ".join(parts)
 

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Run the opt-in scale smoke suite (tests/test_scale_smoke.py, ~40×
+the sf0.1 fixture) once and record SCALE_SMOKE.json at the repo root —
+bench.py embeds that file into bench_detail.json so every driver bench
+run carries the supra-sf0.1 trend line (VERDICT r6 task 6 / r7 task 4).
+
+Run once per round, with no other Spark JVM live:
+
+    python scripts/record_scale_smoke.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    env = dict(os.environ, SPARK_GRAFT_SCALE_TESTS="1")
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_scale_smoke.py",
+         "-q", "--durations=0", "--durations-min=0.01"],
+        cwd=REPO, env=env, capture_output=True, text=True,
+    )
+    wall = round(time.time() - t0, 1)
+    # per-test call durations from pytest's --durations report
+    durations = {
+        m.group(2): float(m.group(1))
+        for m in re.finditer(
+            r"^([0-9.]+)s call\s+\S+::(\w+)", proc.stdout, re.M
+        )
+    }
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    record = {
+        "rc": proc.returncode,
+        "wall_sec": wall,
+        "summary": lines[-1] if lines else "",
+        "durations_sec": durations,
+        "recorded_unix": int(t0),
+    }
+    with open(os.path.join(REPO, "SCALE_SMOKE.json"), "w") as fh:
+        json.dump(record, fh, indent=1)
+    print(json.dumps(record))
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-2000:])
+    return proc.returncode
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -788,8 +788,7 @@ def test_bpe_merge_tie_breaks_on_byte_order(spark):
     merges, _ = bpe.bpe_train(docs, n_merges=2)
     got = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
            for r in merges.orderBy("merge_rank").collect()]
-    assert got == [(1, "a", "b", 2), (2, "q", "z", 2)] or got[0] == (1, "a", "b", 2)
-    assert got[0] == (1, "a", "b", 2)
+    assert got == [(1, "a", "b", 2), (2, "z", "q", 2)]
 
 
 def test_bpe_greedy_left_to_right_application(spark):
@@ -864,3 +863,59 @@ def test_bpe_train_matches_reference_simulation(spark):
     # end-state table agrees too
     got_words = {r.w: list(r.syms) for r in words.collect()}
     assert got_words == table
+
+
+def test_bpe_apply_merge_rejects_non_alphabet_symbols(spark):
+    """apply_merge interpolates symbols into SQL, so it must refuse
+    anything outside the [a-z0-9]+ trainer alphabet (ADVICE r7)."""
+    from datafusion_randgen_spark.operators import bpe
+
+    words = spark.createDataFrame([("ab", 1)], "w string, cnt long")
+    words = words.withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+    )
+    for bad in ("a'b", "a\\", "A", "a b", ""):
+        with pytest.raises(ValueError):
+            bpe.apply_merge(words, bad, "a")
+        with pytest.raises(ValueError):
+            bpe.apply_merge(words, "a", bad)
+
+
+def test_bpe_oracle_survives_vocabulary_exhaustion(spark):
+    """Corpus exhausts after 1 merge but the oracle replays 5 steps:
+    the LEFT-JOIN fallback must hold w{i} at the fixed point instead of
+    collapsing the chain to empty (ADVICE r7), matching bpe_train's
+    early break on both the merge table and the end-state stats."""
+    import duckdb
+    import pandas as pd
+
+    from datafusion_randgen_spark.operators import bpe
+    from datafusion_randgen_spark.queries import _bpe_merge_oracle, _bpe_replay_ctes
+
+    texts = ["ab ab", "ab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, words = bpe.bpe_train(docs, n_merges=5)
+    got = [(r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+           for r in merges.orderBy("merge_rank").collect()]
+    assert got == [(1, "a", "b", "ab", 3)]  # then every word is 1 symbol
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    oracle = [tuple(r) for r in con.sql(_bpe_merge_oracle(5)).fetchall()]
+    assert oracle == got
+    stats = con.sql(
+        f"""WITH {_bpe_replay_ctes(5)},
+        flat AS (SELECT unnest(syms) AS s FROM w5)
+        SELECT CAST(sum(cnt * len(syms)) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_word_types,
+               (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM flat) AS n_symbols
+        FROM w5"""
+    ).fetchone()
+    assert stats == (3, 1, 1)
+    spark_total = words.agg(
+        F.sum(F.col("cnt") * F.size("syms"))
+    ).collect()[0][0]
+    assert spark_total == 3
