@@ -90,6 +90,8 @@ _NAMED_WEIGHT = {
 _REVERIFY = {
     "t_bpe_merge_vocab",
     "t_bpe_vocab_stats",
+    # r8: gained the model-scored LR stage (new schema + oracle)
+    "p_quality_filter_chain",
 }
 
 

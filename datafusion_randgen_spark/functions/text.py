@@ -113,14 +113,23 @@ def mean_token_len(text: Column) -> Column:
     ) / F.greatest(F.size(t).cast("double"), F.lit(1.0))
 
 
-def quality_score(text: Column) -> Column:
-    """Composite [0,1] quality heuristic: long enough, low punctuation
-    noise, healthy stopword ratio, sane mean token length."""
+def quality_parts(text: Column) -> tuple[Column, Column, Column, Column]:
+    """The four ``quality_score`` components ``(len_ok, punct_ok,
+    stop_ok, tok_ok)``, exposed so pipelines can reuse them — e.g. as
+    the feature vector of a model-scored filter stage — without
+    recomputing the composite from scratch."""
     len_ok = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(10.0), F.lit(1.0))
     stop_ok = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
     tok = mean_token_len(text)
     tok_ok = F.when((tok >= 3.0) & (tok <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return len_ok, punct_ok, stop_ok, tok_ok
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation
+    noise, healthy stopword ratio, sane mean token length."""
+    len_ok, punct_ok, stop_ok, tok_ok = quality_parts(text)
     return F.round((len_ok + punct_ok + stop_ok + tok_ok) / F.lit(4.0), 6)
 
 

@@ -3239,6 +3239,116 @@ def s_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s_ivfpq_recall_curve",
+    oracle="SELECT 10 AS n_queries, 3 AS n_levels,"
+    " true AS monotone_ok, true AS twin_ok",
+)
+def s_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ multiprobe recall curve (VERDICT r7 task 2): recall@5 of
+    cell-probed ADC search against exact L2 top-5, at n_probes ∈
+    {1, 2, 4} over ONE trained index.  Property oracle: (a) recall is
+    monotone in n_probes — probing more cells only grows the candidate
+    set, and on the seeded fixtures the top-5 never loses an exact
+    neighbor to an ADC impostor; (b) planted-twin recall is 1.0 at
+    n_probe=1 — each query IS a corpus vector, its nearest cell is its
+    own assignment cell, and within that cell its own row attains the
+    minimum ADC distance (the s_ivfpq_search invariant).
+
+    Scale shape: the index is trained once; each probe level is one
+    broadcast equi-join of the tiny LUT set onto the code lists
+    (scored rows ∝ probed inverted lists, never the corpus) + a
+    per-query top-5 window over ≤ probed-list rows.  The exact
+    baseline is the documented broadcast-queries map pass (10 query
+    vectors against the corpus scan — the brute-force contract)."""
+    import numpy as np
+
+    _prep(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse, pq_c, _, asg = similarity.ivfpq_train(
+        emb, n_cells=8, m=4, k=16, iterations=3
+    )
+    asg = asg.select("vec_id", "cell", "codes").localCheckpoint(eager=True)
+    sd = pq_c.shape[2]
+    qs = emb.filter(F.col("vec_id") % 7 == 0).orderBy("vec_id").limit(10).collect()
+
+    # exact L2 top-5 per query: broadcast the 10 query vectors over one
+    # corpus map pass (pure-Catalyst squared distance), window top-5
+    qdf = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qs],
+        "query_id long, qvec array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("qvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ew = Window.partitionBy("query_id").orderBy("ed2", "neighbor_id")
+    exact = (
+        emb.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("ed2"))
+        .withColumn("rk", F.row_number().over(ew))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+
+    # per-query LUTs for the 4 nearest cells, tagged with probe rank
+    luts = []
+    for r in qs:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        cd2 = ((v[None, :] - coarse) ** 2).sum(axis=1)
+        for pr, c_id in enumerate(np.argsort(cd2)[:4], start=1):
+            rq = v - coarse[int(c_id)]
+            lut = [
+                [
+                    float(((rq[j * sd : (j + 1) * sd] - pq_c[j, c]) ** 2).sum())
+                    for c in range(pq_c.shape[1])
+                ]
+                for j in range(pq_c.shape[0])
+            ]
+            luts.append((r["vec_id"], int(c_id), pr, lut))
+
+    aw = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    hits, twin_ok = [], None
+    for n_probe in (1, 2, 4):
+        luts_df = spark.createDataFrame(
+            [(q, c, l) for q, c, pr, l in luts if pr <= n_probe],
+            "query_id long, cell int, lut array<array<double>>",
+        )
+        scores = similarity.ivfpq_adc_scores(asg, luts_df)
+        if n_probe == 1:
+            # planted twin: the query's own row attains the minimum ADC
+            # distance over everything its own cell scores
+            per_q = scores.groupBy("query_id").agg(F.min("adc_d2").alias("mn"))
+            own = scores.filter(F.col("neighbor_id") == F.col("query_id")).select(
+                "query_id", F.col("adc_d2").alias("own_d2")
+            )
+            t = per_q.join(own, "query_id").agg(
+                F.count("*").alias("nq"),
+                F.sum(
+                    (F.col("own_d2") <= F.col("mn") + F.lit(1e-9)).cast("long")
+                ).alias("nh"),
+            ).collect()[0]
+            twin_ok = bool(t["nq"] == len(qs) and t["nh"] == t["nq"])
+        approx = (
+            scores.filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rk", F.row_number().over(aw))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        hits.append(exact.join(approx, ["query_id", "neighbor_id"]).count())
+    monotone = all(a <= b for a, b in zip(hits, hits[1:]))
+    return spark.createDataFrame(
+        [(len(qs), len(hits), monotone, twin_ok)],
+        "n_queries int, n_levels int, monotone_ok boolean, twin_ok boolean",
+    )
+
+
 # =========================================================================
 # S — similarity search (embeddings table)
 # =========================================================================
@@ -3502,8 +3612,19 @@ def p_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "score_micro", "curriculum_rank")
 
 
+# Literal weights/bias of the chain's model-scored stage (the
+# s_sql_lr_inference mechanism over quality features instead of
+# embeddings) — the SAME decimal literals are embedded in the Spark
+# expression and the DuckDB oracle, so both engines parse identical
+# doubles.  Feature order: [len_ok, punct_ok, stop_ok, tok_ok,
+# min(n_tokens/100, 1), top_token_ratio].
+_CHAIN_LR_W = [1.0, 0.5, 2.0, 0.5, 1.5, -3.0]
+_CHAIN_LR_B = -3.0
+
+
 def _filter_chain_oracle() -> str:
     score_cols, pred = _duckdb_pred_lang()
+    warr = ", ".join(repr(w) for w in _CHAIN_LR_W)
     return f"""
     WITH {_duckdb_quality_cte()},
     toks AS (
@@ -3517,21 +3638,38 @@ def _filter_chain_oracle() -> str:
             FROM pc GROUP BY 1),
     scored AS (SELECT doc_id, {score_cols} FROM documents),
     pred AS (SELECT doc_id, {pred} AS pred FROM scored),
+    feats AS (
+      SELECT pa.doc_id,
+             [pa.len_ok, pa.punct_ok, pa.stop_ok, pa.tok_ok,
+              least(pa.n_tokens / 100.0, 1.0),
+              coalesce(r.top_c * 1.0 / r.nt, 1.0)] AS x
+      FROM parts pa LEFT JOIN rep r USING (doc_id)),
+    lr AS (
+      SELECT doc_id,
+             round(1 / (1 + exp(-(list_sum(list_transform(range(1, 7),
+                     i -> x[i] * ([{warr}])[i])) + {_CHAIN_LR_B!r}))), 6)
+               AS lr_score
+      FROM feats),
     flags AS (
       SELECT q.doc_id,
              q.n_tokens >= 20 AS b1,
              p.pred = q.lang AS b2,
              q.score >= 0.5 AS b3,
              coalesce(r.top_c * 1.0 / r.nt <= 0.15
-                      AND r.nd * 1.0 / r.nt >= 0.2, false) AS b4
-      FROM q JOIN pred p USING (doc_id) LEFT JOIN rep r USING (doc_id))
+                      AND r.nd * 1.0 / r.nt >= 0.2, false) AS b4,
+             l.lr_score > 0.5 AS b5
+      FROM q JOIN pred p USING (doc_id) JOIN lr l USING (doc_id)
+             LEFT JOIN rep r USING (doc_id))
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count_if(NOT b1) AS BIGINT) AS n_fail_len,
            CAST(count_if(b1 AND NOT b2) AS BIGINT) AS n_fail_lang,
            CAST(count_if(b1 AND b2 AND NOT b3) AS BIGINT) AS n_fail_quality,
            CAST(count_if(b1 AND b2 AND b3 AND NOT b4) AS BIGINT)
              AS n_fail_repetition,
-           CAST(count_if(b1 AND b2 AND b3 AND b4) AS BIGINT) AS n_survivors
+           CAST(count_if(b1 AND b2 AND b3 AND b4 AND NOT b5) AS BIGINT)
+             AS n_fail_model,
+           CAST(count_if(b1 AND b2 AND b3 AND b4 AND b5) AS BIGINT)
+             AS n_survivors
     FROM flags
     """
 
@@ -3621,18 +3759,23 @@ def p_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal accounting — the corpus-curation report every pipeline
     publishes: length (>= 20 tokens) → language agreement (marker
     argmax == labeled lang) → composite quality (>= 0.5) → Gopher
-    repetition (top-token <= 0.15, distinct >= 0.2).  Each stage's
-    count is docs failing THERE having passed every earlier stage, so
-    the six outputs partition the corpus (n_docs = Σ fails +
-    survivors).
+    repetition (top-token <= 0.15, distinct >= 0.2) → MODEL score
+    (the FineWeb-Edu/DCLM-style classifier stage: pure-Catalyst
+    logistic regression over the quality feature vector, the
+    s_sql_lr_inference mechanism with literal weights ``_CHAIN_LR_W``
+    — zero Python, zero UDF).  Each stage's count is docs failing
+    THERE having passed every earlier stage, so the seven outputs
+    partition the corpus (n_docs = Σ fails + survivors).
 
-    Scale shape: the length/lang/quality signals are one row-local
-    projection over the scan; only the repetition signal shuffles
-    (per-doc term counts, map-side combined — the t_repetition_filter
-    plan) and joins back on the doc id; the final report is a single
-    partial-aggregated row.  Every stage boolean is exact
-    (integer-ratio doubles, round-6 score), so the chain is
-    bit-identical cross-engine."""
+    Scale shape: the length/lang/quality/model signals are one
+    row-local projection over the scan (the LR dot product rides
+    whole-stage codegen — no batch handoff, no inference service);
+    only the repetition signal shuffles (per-doc term counts,
+    map-side combined — the t_repetition_filter plan) and joins back
+    on the doc id; the final report is a single partial-aggregated
+    row.  Every stage boolean is exact (integer-ratio doubles,
+    round-6 scores, identical weight literals and fold order both
+    engines), so the chain is bit-identical cross-engine."""
     _prep(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
@@ -3642,14 +3785,40 @@ def p_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_c"),
         F.count("*").alias("nd"),
     )
+    len_ok, punct_ok, stop_ok, tok_ok = text.quality_parts(F.col("text"))
     base = docs.select(
         "doc_id",
         "lang",
         text.token_count(F.col("text")).alias("n_tokens"),
         text.predict_lang(F.col("text")).alias("pred"),
-        text.quality_score(F.col("text")).alias("score"),
+        len_ok.alias("len_ok"),
+        punct_ok.alias("punct_ok"),
+        stop_ok.alias("stop_ok"),
+        tok_ok.alias("tok_ok"),
+    ).withColumn(
+        "score",
+        F.round(
+            (F.col("len_ok") + F.col("punct_ok") + F.col("stop_ok")
+             + F.col("tok_ok")) / F.lit(4.0),
+            6,
+        ),
     )
     j = base.join(rep, "doc_id", "left")
+    feat = F.array(
+        F.col("len_ok"),
+        F.col("punct_ok"),
+        F.col("stop_ok"),
+        F.col("tok_ok"),
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)),
+        F.coalesce(F.col("top_c") * F.lit(1.0) / F.col("nt"), F.lit(1.0)),
+    )
+    warr = F.array(*[F.lit(w) for w in _CHAIN_LR_W])
+    z = F.aggregate(
+        F.zip_with(feat, warr, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) + F.lit(_CHAIN_LR_B)
+    j = j.withColumn("lr_score", F.round(1 / (1 + F.exp(-z)), 6))
     b1 = F.col("n_tokens") >= 20
     b2 = F.col("pred") == F.col("lang")
     b3 = F.col("score") >= 0.5
@@ -3658,13 +3827,15 @@ def p_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("nd") * F.lit(1.0) / F.col("nt") >= 0.2),
         F.lit(False),
     )
+    b5 = F.col("lr_score") > 0.5
     return j.agg(
         F.count("*").alias("n_docs"),
         F.sum((~b1).cast("long")).alias("n_fail_len"),
         F.sum((b1 & ~b2).cast("long")).alias("n_fail_lang"),
         F.sum((b1 & b2 & ~b3).cast("long")).alias("n_fail_quality"),
         F.sum((b1 & b2 & b3 & ~b4).cast("long")).alias("n_fail_repetition"),
-        F.sum((b1 & b2 & b3 & b4).cast("long")).alias("n_survivors"),
+        F.sum((b1 & b2 & b3 & b4 & ~b5).cast("long")).alias("n_fail_model"),
+        F.sum((b1 & b2 & b3 & b4 & b5).cast("long")).alias("n_survivors"),
     )
 
 

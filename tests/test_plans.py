@@ -566,3 +566,18 @@ def test_r6_pipeline_entries_no_corpus_single_partition(spark):
     assert cov.count("Exchange SinglePartition") <= 3
     for name, plan in (("cur", cur), ("neg", neg), ("cov", cov)):
         assert "CartesianProduct" not in plan or name == "neg", name
+
+
+def test_quality_filter_chain_model_stage_stays_codegen(spark):
+    """The chain's model-scored stage (r8): the LR dot product over
+    quality features must ride the same row-local projection as the
+    other signals — zero Python nodes, no cartesian, and only the
+    repetition signal's aggregates + the doc_id join add exchanges."""
+    from datafusion_randgen_spark.queries import QUERIES
+
+    df = QUERIES["p_quality_filter_chain"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert plans.python_eval_nodes(df) == 0
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "partial_count" in plan  # repetition counts combine map-side
