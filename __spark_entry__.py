@@ -84,14 +84,13 @@ _NAMED_WEIGHT = {
 # Entries whose implementation or oracle changed THIS round (kept in
 # sync with the round's actual diff — see git log): green last round,
 # but the changed code must re-earn its row ahead of unchanged greens.
-# r8: the BPE replay oracle gained the vocabulary-exhaustion LEFT-JOIN
-# fallback (ADVICE r7) and apply_merge gained symbol validation — both
-# BPE oracle-backed entries re-verify.
+# NOTE (pre-snapshot checklist): adding a @query entry ⇒ run
+# `python scripts/gen_readme_catalog.py` (it now also rewrites the
+# prose counts) — the README contract tests fail otherwise.
+# r9: the recall-curve invariant moved from approx-top-5 recall to the
+# mathematically monotone candidate-set hit count (ADVICE r8).
 _REVERIFY = {
-    "t_bpe_merge_vocab",
-    "t_bpe_vocab_stats",
-    # r8: gained the model-scored LR stage (new schema + oracle)
-    "p_quality_filter_chain",
+    "s_ivfpq_recall_curve",
 }
 
 

@@ -305,26 +305,71 @@ def main() -> None:
             if fam_calib(_FAM[n]) > 0
         },
     }
-    # round-over-round family drift (VERDICT r7 task 6): ratio of this
-    # run's normalized family totals to the latest recorded driver
-    # bench — the comparison the r6 TPC-H mystery needed.  >1 means
-    # that family got slower per unit of machine speed.
+    # round-over-round family drift (VERDICT r7 task 6; reworked r9):
+    # compare against the latest BENCH file from a STRICTLY EARLIER
+    # round (ADVICE r8: a re-run after this round's snapshot exists
+    # must not self-compare).  Current round is inferred as
+    # max(CORRECTNESS_r*) + 1 — the correctness file for round N-1 is
+    # always on disk while round N runs.  Two ratio views per family:
+    # normalized (÷ each run's own probe — machine-speed-corrected but
+    # confounded when the probe shifts, VERDICT r8 item 3) and RAW
+    # seconds over the SHARED query set (recomputed from the prev
+    # round's per-query medians, so catalog growth can't skew it).
     try:
         import glob
+        import re as _re
 
         repo_dir = os.path.dirname(os.path.abspath(__file__))
-        benches = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+
+        def _round_of(path: str) -> int:
+            m = _re.search(r"_r(\d+)\.json$", path)
+            return int(m.group(1)) if m else -1
+
+        cur_round = 1 + max(
+            [_round_of(p) for p in
+             glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))] or [0]
+        )
+        benches = sorted(
+            (p for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+             if 0 <= _round_of(p) < cur_round),
+            key=_round_of,
+        )
         if benches:
             with open(benches[-1]) as fh:
                 prev = json.load(fh)
-            pf = (prev.get("parsed") or {}).get("families_normalized") or {}
+            parsed_prev = prev.get("parsed") or {}
+            pf = parsed_prev.get("families_normalized") or {}
+            pq = parsed_prev.get("queries") or {}
+            # raw seconds per family over queries BOTH rounds ran
+            raw_ratios = {}
+            for fam, names in fam_groups.items():
+                shared = [n for n in names if n in pq]
+                prev_s = sum(pq[n] for n in shared)
+                if shared and prev_s > 0:
+                    cur_s = sum(timings[n] for n in shared)
+                    raw_ratios[fam] = round(cur_s / prev_s, 3)
+            common = [n for n in timings if n in pq]
+            prev_common = round(sum(pq[n] for n in common), 3)
             detail["families_vs_prev"] = {
                 "prev_file": os.path.basename(benches[-1]),
+                "prev_round": _round_of(benches[-1]),
+                "this_round": cur_round,
                 "ratios": {
                     f: round(v / pf[f], 3)
                     for f, v in families_normalized.items()
                     if pf.get(f)
                 },
+                "raw_ratios_shared_queries": raw_ratios,
+                # VERDICT r8 task 6: cross-round totals over the
+                # intersection of query sets — the honest 2x-gate input
+                "common_queries": len(common),
+                "common_queries_total": round(
+                    sum(timings[n] for n in common), 3
+                ),
+                "common_queries_total_prev": prev_common,
+                "common_total_ratio": round(
+                    sum(timings[n] for n in common) / prev_common, 3
+                ) if prev_common else None,
             }
     except (OSError, ValueError, ZeroDivisionError):
         pass

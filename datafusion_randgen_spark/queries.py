@@ -3245,15 +3245,20 @@ def s_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     " true AS monotone_ok, true AS twin_ok",
 )
 def s_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ multiprobe recall curve (VERDICT r7 task 2): recall@5 of
-    cell-probed ADC search against exact L2 top-5, at n_probes ∈
-    {1, 2, 4} over ONE trained index.  Property oracle: (a) recall is
-    monotone in n_probes — probing more cells only grows the candidate
-    set, and on the seeded fixtures the top-5 never loses an exact
-    neighbor to an ADC impostor; (b) planted-twin recall is 1.0 at
-    n_probe=1 — each query IS a corpus vector, its nearest cell is its
-    own assignment cell, and within that cell its own row attains the
-    minimum ADC distance (the s_ivfpq_search invariant).
+    """IVF-PQ multiprobe recall curve (VERDICT r7 task 2): exact-L2
+    top-5 neighbors recovered by cell-probed search at n_probes ∈
+    {1, 2, 4} over ONE trained index.  Property oracle: (a) the
+    CANDIDATE-SET hit count (exact neighbors present anywhere in the
+    probed inverted lists) is monotone in n_probes — a true invariant,
+    since probing more cells only ever grows the candidate set
+    (ADVICE r8: recall@5 of the ADC top-5 is NOT monotone in general —
+    a newly probed cell can contribute an ADC impostor that evicts an
+    exact neighbor — so the invariant is pinned on candidate coverage,
+    which no ADC quantization error can reorder); (b) planted-twin
+    recall is 1.0 at n_probe=1 — each query IS a corpus vector, its
+    nearest cell is its own assignment cell, and within that cell its
+    own row attains the minimum ADC distance (the s_ivfpq_search
+    invariant).
 
     Scale shape: the index is trained once; each probe level is one
     broadcast equi-join of the tiny LUT set onto the code lists
@@ -3313,7 +3318,6 @@ def s_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             luts.append((r["vec_id"], int(c_id), pr, lut))
 
-    aw = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     hits, twin_ok = [], None
     for n_probe in (1, 2, 4):
         luts_df = spark.createDataFrame(
@@ -3335,13 +3339,12 @@ def s_ivfpq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("nh"),
             ).collect()[0]
             twin_ok = bool(t["nq"] == len(qs) and t["nh"] == t["nq"])
-        approx = (
-            scores.filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("rk", F.row_number().over(aw))
-            .filter(F.col("rk") <= 5)
-            .select("query_id", "neighbor_id")
-        )
-        hits.append(exact.join(approx, ["query_id", "neighbor_id"]).count())
+        # candidate coverage: exact neighbors present ANYWHERE in the
+        # probed candidate set (monotone by construction — see docstring)
+        cand = scores.filter(
+            F.col("neighbor_id") != F.col("query_id")
+        ).select("query_id", "neighbor_id").distinct()
+        hits.append(exact.join(cand, ["query_id", "neighbor_id"]).count())
     monotone = all(a <= b for a, b in zip(hits, hits[1:]))
     return spark.createDataFrame(
         [(len(qs), len(hits), monotone, twin_ok)],
@@ -7531,8 +7534,30 @@ def t_char_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_N_MERGES = 20
 
+#: normalize + tokenize + word-type count, shared by the trainer replay
+#: (w0) and the encoder-holdout replay (h0) — one spec string
+_BPE_TOKS_SQL = """
+      SELECT unnest(list_filter(string_split(
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g')), ' '), x -> x != '')) AS w
+      FROM documents"""
 
-def _bpe_replay_ctes(n: int = _BPE_N_MERGES) -> str:
+
+def _bpe_fold_case(i: int) -> str:
+    """The greedy merge-application fold (DuckDB ``list_reduce`` over
+    the chr(31)-joined accumulator), with the vocabulary-exhaustion
+    LEFT-JOIN fixed point.  Shared VERBATIM by the trainer replay
+    (``w{i}``) and the encoder replay (``h{i}``) so the two oracles
+    cannot drift (VERDICT r8 task 3)."""
+    sl = "string_split(acc, chr(31))"
+    return f"""CASE WHEN best{i}.rnk IS NULL THEN syms
+        ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+          WHEN {sl}[-1] = best{i}.a AND x = best{i}.b
+          THEN array_to_string(list_append({sl}[1:len({sl})-1], best{i}.m), chr(31))
+          ELSE acc || chr(31) || x END), chr(31)) END AS syms"""
+
+
+def _bpe_replay_ctes(n: int = _BPE_N_MERGES, train_where: str = "") -> str:
     """The BPE merge-replay CTE chain, shared by both BPE oracles (the
     ExactSubstr shared-CTE discipline — the two entries cannot drift).
 
@@ -7549,14 +7574,12 @@ def _bpe_replay_ctes(n: int = _BPE_N_MERGES) -> str:
     ``break`` instead of collapsing the chain to empty.
     ``MATERIALIZED``
     is load-bearing: each ``w{i}`` is referenced twice (pair counts +
-    next fold), and inlining would expand the chain 2^n times."""
-    sl = "string_split(acc, chr(31))"
+    next fold), and inlining would expand the chain 2^n times.
+    ``train_where`` optionally restricts the training corpus (the
+    encoder-holdout entry trains on ``doc_id % 5 <> 0``)."""
+    where = f" WHERE {train_where}" if train_where else ""
     parts = [
-        """toks AS (
-      SELECT unnest(list_filter(string_split(
-          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-               '\\s+', ' ', 'g')), ' '), x -> x != '')) AS w
-      FROM documents),
+        f"""toks AS ({_BPE_TOKS_SQL}{where}),
     w0 AS MATERIALIZED (
       SELECT w, count(*) AS cnt, string_split(w, '') AS syms
       FROM toks GROUP BY w)"""
@@ -7574,11 +7597,7 @@ def _bpe_replay_ctes(n: int = _BPE_N_MERGES) -> str:
       SELECT {i} AS rnk, a, b, a || b AS m, pc
       FROM p{i} ORDER BY pc DESC, a, b LIMIT 1),
     w{i} AS MATERIALIZED (
-      SELECT w, cnt, CASE WHEN best{i}.rnk IS NULL THEN syms
-        ELSE string_split(list_reduce(syms, (acc, x) -> CASE
-          WHEN {sl}[-1] = best{i}.a AND x = best{i}.b
-          THEN array_to_string(list_append({sl}[1:len({sl})-1], best{i}.m), chr(31))
-          ELSE acc || chr(31) || x END), chr(31)) END AS syms
+      SELECT w, cnt, {_bpe_fold_case(i)}
       FROM {prev} LEFT JOIN best{i} ON TRUE)"""
         )
     return ",\n    ".join(parts)
@@ -7653,6 +7672,70 @@ def t_bpe_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.size("syms")).alias("total_tokens"),
         F.count("*").alias("n_word_types"),
     ).crossJoin(sym)
+
+
+def _bpe_encode_oracle(n: int = _BPE_N_MERGES) -> str:
+    """Train best1..best{n} on the 80% split, then replay the SAME
+    fold chain (``_bpe_fold_case``) over the held-out word table."""
+    parts = [
+        f"""htoks AS ({_BPE_TOKS_SQL} WHERE doc_id % 5 = 0),
+    h0 AS MATERIALIZED (
+      SELECT w, count(*) AS cnt, string_split(w, '') AS syms
+      FROM htoks GROUP BY w)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+      SELECT w, cnt, {_bpe_fold_case(i)}
+      FROM h{i - 1} LEFT JOIN best{i} ON TRUE)"""
+        )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {_bpe_replay_ctes(n, train_where="doc_id % 5 <> 0")},
+    {chain},
+    flat AS (SELECT cnt, unnest(syms) AS s FROM h{n})
+    SELECT s AS symbol, CAST(sum(cnt) AS BIGINT) AS occurrences
+    FROM flat GROUP BY s
+    ORDER BY occurrences DESC, symbol LIMIT 20
+    """
+
+
+@query("t_bpe_encode", oracle=_bpe_encode_oracle())
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLIED half of the tokenizer (VERDICT r8 task 3,
+    ``operators/bpe.py:147`` ``bpe_encode``): train 20 merges on the
+    ``doc_id % 5 != 0`` split, then encode the HELD-OUT fifth of the
+    corpus with the learned merge list, exactly how a trained BPE
+    tokenizer meets new text.  Output: the holdout's top-20 symbols by
+    occurrence-weighted count — a wrong merge order or a non-greedy
+    application changes the symbol inventory and fails the hash.
+
+    Scale design: training cost is unchanged (vocab-sized iterations);
+    encoding is a pure MAP stage — 20 chained row-local Catalyst array
+    folds over the holdout word table, no shuffle until the final
+    vocabulary-sized symbol count.  Oracle: trainer and encoder replay
+    share one fold spec string (``_bpe_fold_case``), so the two halves
+    of the tokenizer are pinned to the same greedy semantics."""
+    from datafusion_randgen_spark.operators import bpe
+
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(
+        docs.filter(F.col("doc_id") % 5 != 0), n_merges=_BPE_N_MERGES
+    )
+    mlist = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    hold = bpe.word_freq_table(docs.filter(F.col("doc_id") % 5 == 0))
+    enc = bpe.bpe_encode(hold, mlist)
+    return (
+        enc.select("cnt", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "symbol")
+        .limit(20)
+    )
 
 
 @query(

@@ -33,7 +33,7 @@ def main() -> int:
     durations = {
         m.group(2): float(m.group(1))
         for m in re.finditer(
-            r"^([0-9.]+)s call\s+\S+::(\w+)", proc.stdout, re.M
+            r"^([0-9.]+)s call\s+\S+?::(\S+)", proc.stdout, re.M
         )
     }
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]

@@ -919,3 +919,67 @@ def test_bpe_oracle_survives_vocabulary_exhaustion(spark):
         F.sum(F.col("cnt") * F.size("syms"))
     ).collect()[0][0]
     assert spark_total == 3
+
+
+def test_bpe_encode_hand_computed_word(spark):
+    """bpe_encode applies a learned merge LIST in order (VERDICT r8
+    task 3): 'abcab' under merges [(a,b), (ab,c)] -> [abc, ab]."""
+    from datafusion_randgen_spark.operators import bpe
+
+    words = spark.createDataFrame(
+        [("abcab", 1)], "w string, cnt long"
+    ).withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+    )
+    out = bpe.bpe_encode(words, [("a", "b"), ("ab", "c")]).collect()[0]
+    assert list(out.syms) == ["abc", "ab"]
+
+
+def test_bpe_encode_holdout_matches_duckdb_replay(spark):
+    """Train on a split, encode held-out text, and check the encoder
+    against the shared-fold DuckDB replay (the t_bpe_encode contract
+    on a hand-sized corpus)."""
+    import duckdb
+    import pandas as pd
+
+    from datafusion_randgen_spark.operators import bpe
+    from datafusion_randgen_spark.queries import _bpe_encode_oracle
+
+    texts = [
+        (0, "the mat and the hat"),       # holdout (doc_id % 5 = 0)
+        (1, "the cat sat on the mat"),
+        (2, "the bat and the cat chat"),
+        (3, "that hat on the cat is flat"),
+        (5, "a cat that sat"),            # holdout
+        (6, "the flat mat"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges, _ = bpe.bpe_train(
+        docs.filter(F.col("doc_id") % 5 != 0), n_merges=6
+    )
+    mlist = [
+        (r.left_sym, r.right_sym)
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    hold = bpe.word_freq_table(docs.filter(F.col("doc_id") % 5 == 0))
+    enc = bpe.bpe_encode(hold, mlist)
+    got = [
+        (r.symbol, r.occurrences)
+        for r in enc.select("cnt", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "symbol")
+        .limit(20)
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": [d for d, _ in texts], "text": [t for _, t in texts]}
+        ),
+    )
+    oracle = [tuple(r) for r in con.sql(_bpe_encode_oracle(6)).fetchall()]
+    assert got == oracle
+    assert got, "holdout encoding produced no symbols"
