@@ -1987,6 +1987,68 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d_skewed_digest_dedup",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'Hot boilerplate page! (planted skew)'
+                  ELSE text END AS t
+      FROM documents),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9\\s]', '', 'g'),
+                                 '\\s+', ' ', 'g')) AS nt
+      FROM c),
+    g AS (SELECT nt, count(*) AS gs FROM norm GROUP BY nt)
+    SELECT CAST(sum(gs) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(gs) - count(*) AS BIGINT) AS n_dup_rows,
+           CAST(max(gs) AS BIGINT) AS max_group_size,
+           CAST(sum(CASE WHEN gs >= 50 THEN gs ELSE 0 END) AS BIGINT)
+             AS n_heavy_rows
+    FROM g
+    """,
+)
+def d_skewed_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level dedup labeling under PLANTED key skew (VERDICT r8
+    task 7): every fifth document is replaced with identical
+    boilerplate, so one digest carries 20% of the corpus — the
+    web-scale hot-key shape a plain digest-shuffle rep join cannot
+    survive (10^8-row boilerplate group ⇒ one 10^8-row reducer).
+
+    ``dedup.skew_routed_dedup_labels`` routes by measured group size:
+    heavy digests (≥50 rows here; by definition at most n/50 of them)
+    join their keeper through a BROADCAST of the tiny heavy-rep table
+    — hot rows never shuffle — while the tail takes the ordinary
+    digest-shuffle join whose per-key row count is bounded below the
+    threshold.  The plan pin (tests/test_plans.py) asserts the hot
+    path is a BroadcastHashJoin with the shuffle join reserved for the
+    tail.  Output (exact group accounting incl. rows routed heavy) is
+    routing-invariant, which is exactly what the oracle certifies."""
+    _prep(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("Hot boilerplate page! (planted skew)"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    labeled = dedup.skew_routed_dedup_labels(docs, heavy_min_count=50)
+    return labeled.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("dedup_key").alias("n_groups"),
+        (F.count("*") - F.count_distinct("dedup_key")).alias("n_dup_rows"),
+        F.max("group_size").alias("max_group_size"),
+        F.sum(F.when(F.col("is_heavy_key"), 1).otherwise(0)).alias(
+            "n_heavy_rows"
+        ),
+    )
+
+
+@query(
     "d_snapshot_dedup",
     oracle="""
     WITH norm AS (

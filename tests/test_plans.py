@@ -581,3 +581,40 @@ def test_quality_filter_chain_model_stage_stays_codegen(spark):
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     assert "partial_count" in plan  # repetition counts combine map-side
+
+
+def test_skew_routed_dedup_hot_path_broadcasts_tail_shuffles(spark):
+    """d_skewed_digest_dedup's routing contract (VERDICT r8 task 7):
+    with auto-broadcast off, the HEAVY-key rep join must still be a
+    BroadcastHashJoin (the routing broadcasts the tiny heavy-rep table
+    explicitly, so hot rows never shuffle) while the tail join is a
+    shuffle join whose per-key rows are bounded by the threshold."""
+    from datafusion_randgen_spark.operators import dedup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 5 == 0, F.lit("hot boilerplate"))
+            .otherwise(F.concat(F.lit("doc "), F.col("id").cast("string")))
+            .alias("text"),
+        )
+        labeled = dedup.skew_routed_dedup_labels(docs, heavy_min_count=50)
+        plan = plans.physical_plan(labeled)
+        # hot path: explicit broadcast of the heavy reps
+        assert plan.count("BroadcastHashJoin") >= 2  # heavy join + anti probe
+        # tail path: an ordinary shuffle equi-join survives
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+        assert plans.python_eval_nodes(labeled) == 0
+        # routing-invariance: output equals the plain rep join
+        rows = labeled.collect()
+        assert len(rows) == 2000
+        hot = [r for r in rows if r.is_heavy_key]
+        assert len(hot) == 400 and all(r.keeper == 0 for r in hot)
+        assert all(r.group_size == 400 for r in hot)
+        tail = [r for r in rows if not r.is_heavy_key]
+        assert all(r.group_size == 1 and r.keeper == r.doc_id for r in tail)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
