@@ -133,6 +133,10 @@ def main() -> None:
         # r7: the iterative BPE merge loop (20 driver-iterated rounds
         # over the vocab-sized word table) — new family probe
         "t_bpe_merge_vocab": cat.QUERIES["t_bpe_merge_vocab"],
+        # r9: the skew-routed hot-key rep join (broadcast heavy path +
+        # bounded shuffle tail) — the r9 scale addition; cross-round
+        # totals stay honest via common_queries_total
+        "d_skewed_digest_dedup": cat.QUERIES["d_skewed_digest_dedup"],
     }
 
     # Family assignment for per-family calibration (VERDICT r6 task 3:
@@ -171,6 +175,7 @@ def main() -> None:
         "q_bfs_shortest_path": "iterative",
         "d_semantic_dedup": "iterative",
         "t_bpe_merge_vocab": "iterative",
+        "d_skewed_digest_dedup": "dedup",
         "s_ann_bruteforce_topk": "similarity",
         "s_ann_ivf_recall": "similarity",
         "t_token_stats": "text",

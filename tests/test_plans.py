@@ -618,3 +618,21 @@ def test_skew_routed_dedup_hot_path_broadcasts_tail_shuffles(spark):
         assert all(r.group_size == 1 and r.keeper == r.doc_id for r in tail)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bpe_encode_is_shuffle_free_row_local_fold(spark):
+    """bpe_encode (the applied tokenizer half) must be a pure MAP
+    stage: chained Catalyst array folds, zero shuffles, zero Python
+    nodes — at 100 TB it's one corpus pass."""
+    from datafusion_randgen_spark.operators import bpe
+
+    words = spark.range(1000).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("w"),
+        F.lit(1).alias("cnt"),
+    ).withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+    )
+    enc = bpe.bpe_encode(words, [("w", "1"), ("w1", "0")])
+    assert plans.python_eval_nodes(enc) == 0
+    assert plans.exchange_count(enc) == 0

@@ -192,3 +192,38 @@ def test_bfs_distances_at_scale(spark):
     ).union(base.select(F.col("id"), (F.col("id") * 2) % n))
     out = graph.bfs_distances(edges, 0, max_hops=45)
     assert out.count() == n  # every node reachable within the cap
+
+
+def test_skew_routed_dedup_at_scale(spark):
+    """~200k rows with ONE digest carrying 25% of the corpus: the
+    routed rep join must label every row correctly while the hot rows
+    take the broadcast path (never a corpus-keyed shuffle reducer) —
+    the r9 hot-key behavior sf0.1 plan pins can't load-test."""
+    from datafusion_randgen_spark import plans
+
+    n = 200_000
+    docs = spark.range(n).repartition(16).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, F.lit("hot boilerplate page"))
+        .otherwise(F.concat(F.lit("unique doc "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    labeled = dedup.skew_routed_dedup_labels(docs, heavy_min_count=1000)
+    plan = plans.physical_plan(labeled)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    agg = labeled.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_heavy_key").cast("long")).alias("hot"),
+        F.count_distinct("dedup_key").alias("groups"),
+        F.max("group_size").alias("max_gs"),
+    ).collect()[0]
+    assert agg.n == n
+    assert agg.hot == n // 4
+    assert agg.groups == n - n // 4 + 1
+    assert agg.max_gs == n // 4
+    # every hot row labeled with the global min-id keeper (0)
+    assert (
+        labeled.filter(F.col("is_heavy_key") & (F.col("keeper") != 0)).count()
+        == 0
+    )
