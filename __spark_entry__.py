@@ -88,9 +88,14 @@ _NAMED_WEIGHT = {
 # `python scripts/gen_readme_catalog.py` (it now also rewrites the
 # prose counts) — the README contract tests fail otherwise.
 # r9: the recall-curve invariant moved from approx-top-5 recall to the
-# mathematically monotone candidate-set hit count (ADVICE r8).
+# mathematically monotone candidate-set hit count (ADVICE r8); the
+# SimHash fingerprint became a row-local zero-shuffle fold, so every
+# fingerprint consumer re-earns its row.
 _REVERIFY = {
     "s_ivfpq_recall_curve",
+    "d_simhash_near_pairs",
+    "d_simhash_r6",
+    "d_simhash128_r9",
 }
 
 

@@ -372,43 +372,51 @@ def simhash_multi(
     ``n_words=1`` reproduces it bit-for-bit; extra words derive their
     seed by golden-ratio stepping).
 
-    Implemented as explode(tokens) → per-(doc, bit) vote via bitwise ops
-    → reassemble.  Pure Catalyst integer arithmetic: ONE token explode
-    feeds all words, one map-side-combinable aggregate carries the
-    n_words×64 vote sums."""
+    Implemented ROW-LOCALLY (r9): per doc, one Catalyst fold over the
+    token array carries all 64 bit votes in an ``array<int>``
+    accumulator, then a second row-local fold reassembles the sign
+    bits into the fingerprint word.  ZERO shuffles — the previous
+    form cost two (a parallelizing ``repartition`` plus the 64-column
+    vote aggregate); at 100 TB the fingerprint step is now a pure map
+    riding the corpus scan.  A SimHash is a per-document function of
+    that document alone, so nothing about it ever needed a shuffle.
+
+    Docs whose token array is empty (or null text) produce no
+    fingerprint row — identical to the explode-based form, which
+    dropped them at the explode.
+
+    Small-input caveat: a compact parquet fixture arrives as ONE scan
+    partition, which would serialize the whole fold on one core — so
+    when the input has fewer partitions than the default parallelism
+    we repartition first (that shuffle moves each doc once, the same
+    cost the old form always paid).  A 100 TB scan already has
+    thousands of splits, so the branch never fires at scale and the
+    fingerprint stays a zero-shuffle map there."""
     from datafusion_randgen_spark.functions.text import tokens
 
-    tok = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    base = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
-    )
-    h = tok.select(
-        "id",
-        *[
-            F.xxhash64(F.col("tok"), F.lit(seed + w * 0x9E3779B9)).alias(f"h{w}")
-            for w in range(n_words)
-        ],
-    )
-    votes = h.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"h{w}"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"b{w}_{i}")
-            for w in range(n_words)
-            for i in range(64)
-        ]
-    )
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
     fps = []
     for w in range(n_words):
-        fp = F.lit(0).cast("long")
-        for i in range(64):
-            fp = fp + F.when(
-                F.col(f"b{w}_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(0)
-        fps.append(fp.alias(f"sh{w}"))
-    return votes.select("id", *fps)
+        word_seed = seed + w * 0x9E3779B9
+        votes = (
+            f"aggregate(transform(_toks, t -> xxhash64(t, {word_seed}L)), "
+            f"array_repeat(0, 64), (acc, h) -> zip_with(acc, "
+            f"transform(sequence(0, 63), "
+            f"i -> IF(((h >> i) & 1) = 1, 1, -1)), (a, v) -> a + v))"
+        )
+        fp = (
+            f"aggregate(zip_with({votes}, sequence(0, 63), "
+            f"(c, i) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), i), "
+            f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, v) -> a + v)"
+        )
+        fps.append(F.expr(fp).alias(f"sh{w}"))
+    return base.select("id", *fps)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 0) -> DataFrame:

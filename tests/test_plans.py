@@ -636,3 +636,24 @@ def test_bpe_encode_is_shuffle_free_row_local_fold(spark):
     enc = bpe.bpe_encode(words, [("w", "1"), ("w1", "0")])
     assert plans.python_eval_nodes(enc) == 0
     assert plans.exchange_count(enc) == 0
+
+
+def test_simhash_fingerprint_is_zero_shuffle_map(spark):
+    """The r9 row-local SimHash: on an input that already has enough
+    partitions, fingerprinting is a pure map — zero exchanges, zero
+    Python nodes (the old explode + 64-column vote aggregate cost two
+    shuffles)."""
+    from datafusion_randgen_spark.operators import dedup
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.range(0, 10_000, 1, par).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some words here "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    fp = dedup.simhash(docs)
+    assert plans.exchange_count(fp) == 0
+    assert plans.python_eval_nodes(fp) == 0
+    fp2 = dedup.simhash_multi(docs, n_words=2)
+    assert plans.exchange_count(fp2) == 0
