@@ -227,3 +227,48 @@ def test_skew_routed_dedup_at_scale(spark):
         labeled.filter(F.col("is_heavy_key") & (F.col("keeper") != 0)).count()
         == 0
     )
+
+
+def test_simhash_planted_twins_at_scale(spark):
+    """200k docs through the r9 row-local SimHash + block-pair join:
+    every planted twin at controlled Hamming distance 4-6 must
+    surface, and the fingerprint stage must stay shuffle-free on a
+    well-partitioned input (the rewrite's contract off the toy
+    fixture)."""
+    from datafusion_randgen_spark import plans
+
+    n = 200_000
+    docs = spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}x"), ((F.col("id") * (j + 7)) % 9973).cast("string"))
+                for j in range(8)
+            ],
+        ).alias("text"),
+    )
+    fps = dedup.simhash(docs).localCheckpoint(eager=True)
+    assert plans.exchange_count(dedup.simhash(docs)) == 0
+    # twins at exact Hamming 4 + id % 3 (the d_simhash_r6 mask design)
+    r = (F.lit(4) + F.col("id") % 3).cast("int")
+    mask = F.lit(0).cast("long")
+    for k in range(6):
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST((id * 7 + {k * 13}) % 64 AS INT))"
+        )
+        mask = mask + F.when(F.lit(k) < r, bit).otherwise(F.lit(0).cast("long"))
+    twins = fps.select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.col("simhash").bitwiseXOR(mask).alias("simhash"),
+    )
+    pairs = dedup.simhash_pairs_within(fps.unionByName(twins), max_hamming=6)
+    planted = pairs.filter(
+        (F.col("id_b") == F.col("id_a") + 1_000_000)
+        & (F.col("id_a") < 1_000_000)
+    )
+    got = planted.agg(
+        F.count("*").alias("n"), F.sum("hamming").alias("hs")
+    ).collect()[0]
+    assert got.n == n
+    assert got.hs == 4 * n + sum(i % 3 for i in range(n))
