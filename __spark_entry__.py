@@ -96,6 +96,9 @@ _REVERIFY = {
     "d_simhash_near_pairs",
     "d_simhash_r6",
     "d_simhash128_r9",
+    # r9: bpe_train checkpoints every 4th merge instead of every merge
+    "t_bpe_merge_vocab",
+    "t_bpe_vocab_stats",
 }
 
 
