@@ -983,3 +983,44 @@ def test_bpe_encode_holdout_matches_duckdb_replay(spark):
     oracle = [tuple(r) for r in con.sql(_bpe_encode_oracle(6)).fetchall()]
     assert got == oracle
     assert got, "holdout encoding produced no symbols"
+
+
+def test_skew_routed_labels_equal_plain_rep_join(spark):
+    """Routing invariance: for corpora with hot keys above, below, and
+    straddling the threshold, skew_routed_dedup_labels must produce
+    exactly the labels of a plain (unrouted) rep join — the heavy /
+    light split is a physical strategy, never a semantic one."""
+    for seed, hot_share, thresh in ((1, 0.5, 10), (2, 0.0, 5), (3, 0.3, 10_000)):
+        n = 600
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                (F.xxhash64("id", F.lit(seed)) % 100) < int(hot_share * 100),
+                F.lit("common text"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("doc "),
+                    (F.xxhash64("id", F.lit(seed + 10)) % 50).cast("string"),
+                )
+            )
+            .alias("text"),
+        )
+        routed = {
+            (r.doc_id, r.keeper, r.group_size)
+            for r in dedup.skew_routed_dedup_labels(
+                docs, heavy_min_count=thresh
+            ).collect()
+        }
+        keyed = docs.select(
+            "doc_id",
+            F.sha2(dedup.normalize_text(F.col("text")), 256).alias("k"),
+        )
+        reps = keyed.groupBy("k").agg(
+            F.min("doc_id").alias("keeper"), F.count("*").alias("gs")
+        )
+        plain = {
+            (r.doc_id, r.keeper, r.gs)
+            for r in keyed.join(reps, "k").collect()
+        }
+        assert routed == plain, (seed, hot_share, thresh)
