@@ -206,6 +206,10 @@ def main() -> None:
         "q_pagerank_transitions": max(reps, 5),
         "s_kmeans_embeddings": max(reps, 5),
         "d_semantic_dedup": max(reps, 5),  # kmeans driver loop inside
+        # the catalog's most expensive entry showed a 3.6-6.1s spread at
+        # 3 reps on unchanged code (r9) — widest in the run; 5 reps so a
+        # real move can't hide behind one GC-unlucky middle value
+        "d_minhash_lsh_pairs": max(reps, 5),
     }
 
     # Environment calibration: one fixed shuffle-heavy probe, identical
@@ -294,6 +298,7 @@ def main() -> None:
     # progressively trimmed if the catalog ever grows it past ~1.4 KB.
     print(f"# queries_spread: {json.dumps(spread)}", file=sys.stderr)
     detail = {
+        "queries_median": dict(timings),  # full map — never truncated
         "queries_spread": spread,
         "reps": reps,
         "extra_reps": extra_reps,
@@ -310,16 +315,23 @@ def main() -> None:
             if fam_calib(_FAM[n]) > 0
         },
     }
-    # round-over-round family drift (VERDICT r7 task 6; reworked r9):
-    # compare against the latest BENCH file from a STRICTLY EARLIER
-    # round (ADVICE r8: a re-run after this round's snapshot exists
-    # must not self-compare).  Current round is inferred as
-    # max(CORRECTNESS_r*) + 1 — the correctness file for round N-1 is
-    # always on disk while round N runs.  Two ratio views per family:
-    # normalized (÷ each run's own probe — machine-speed-corrected but
-    # confounded when the probe shifts, VERDICT r8 item 3) and RAW
-    # seconds over the SHARED query set (recomputed from the prev
-    # round's per-query medians, so catalog growth can't skew it).
+    # round-over-round family drift (VERDICT r7 task 6; reworked r9,
+    # r10): compare against the latest BENCH file from a STRICTLY
+    # EARLIER round.  Round inference (VERDICT r9 item 4 / ADVICE r9):
+    # the driver's wrap-up for round N writes CORRECTNESS_rN first,
+    # THEN records BENCH_rN — so if BENCH for the max correctness round
+    # is absent we ARE that round's official bench run; if present,
+    # that round is fully recorded and this is the next round's
+    # session.  prev candidates are always < this_round, so the pick
+    # can never resolve to the run's own round; the one filesystem-
+    # indistinguishable case (an immediate re-run after the round's own
+    # snapshot landed) is flagged via prev_age_minutes instead of
+    # silently mislabeled.  Two ratio views per family: normalized
+    # (÷ each run's own probe) and RAW seconds over the SHARED query
+    # set.  Prev per-query medians come from BENCH_HISTORY.jsonl (full,
+    # written by every run) when available — the stdout BENCH line may
+    # be truncated to the slowest ~20 queries (ADVICE r9: a truncated
+    # prev map biases shared-query drift toward slow queries).
     try:
         import glob
         import re as _re
@@ -330,10 +342,19 @@ def main() -> None:
             m = _re.search(r"_r(\d+)\.json$", path)
             return int(m.group(1)) if m else -1
 
-        cur_round = 1 + max(
+        max_corr = max(
             [_round_of(p) for p in
              glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))] or [0]
         )
+        cur_round = max(1, max_corr + (
+            1 if os.path.exists(
+                os.path.join(repo_dir, f"BENCH_r{max_corr:02d}.json")
+            ) or os.path.exists(
+                os.path.join(repo_dir, f"BENCH_r{max_corr}.json")
+            ) else 0
+        ))
+        detail["this_round"] = cur_round
+        hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
         benches = sorted(
             (p for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
              if 0 <= _round_of(p) < cur_round),
@@ -342,9 +363,28 @@ def main() -> None:
         if benches:
             with open(benches[-1]) as fh:
                 prev = json.load(fh)
+            prev_round = _round_of(benches[-1])
             parsed_prev = prev.get("parsed") or {}
             pf = parsed_prev.get("families_normalized") or {}
             pq = parsed_prev.get("queries") or {}
+            pq_source = "bench_file"
+            if parsed_prev.get("queries_truncated_to_slowest"):
+                pq_source = "bench_file_truncated"
+            # prefer the full per-query medians this harness itself
+            # recorded for that round (last history entry wins)
+            try:
+                with open(hist_path) as fh:
+                    for ln in fh:
+                        ent = json.loads(ln)
+                        if (
+                            ent.get("round") == prev_round
+                            and ent.get("queries")
+                            and ent.get("sf") == parsed_prev.get("sf")
+                        ):
+                            pq = ent["queries"]
+                            pq_source = "history"
+            except OSError:
+                pass
             # raw seconds per family over queries BOTH rounds ran
             raw_ratios = {}
             for fam, names in fam_groups.items():
@@ -355,10 +395,19 @@ def main() -> None:
                     raw_ratios[fam] = round(cur_s / prev_s, 3)
             common = [n for n in timings if n in pq]
             prev_common = round(sum(pq[n] for n in common), 3)
+            prev_age_min = round(
+                (time.time() - os.path.getmtime(benches[-1])) / 60.0, 1
+            )
             detail["families_vs_prev"] = {
                 "prev_file": os.path.basename(benches[-1]),
-                "prev_round": _round_of(benches[-1]),
+                "prev_round": prev_round,
                 "this_round": cur_round,
+                "prev_queries_source": pq_source,
+                # a freshly-written prev snapshot (< ~60 min) means this
+                # is almost certainly a same-session re-run — the ratios
+                # below then compare a run against its own round
+                "prev_age_minutes": prev_age_min,
+                "self_compare_risk": prev_age_min < 60.0,
                 "ratios": {
                     f: round(v / pf[f], 3)
                     for f, v in families_normalized.items()
@@ -377,6 +426,20 @@ def main() -> None:
                 ) if prev_common else None,
             }
     except (OSError, ValueError, ZeroDivisionError):
+        pass
+    # per-round full-medians history: future drift blocks read THIS for
+    # the prev round's per-query map (the stdout BENCH line truncates
+    # past ~1.4 KB); last entry per round wins on read
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_HISTORY.jsonl"), "a") as fh:
+            fh.write(json.dumps({
+                "round": detail.get("this_round"),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": timings,
+                "calib": calib,
+            }) + "\n")
+    except OSError:
         pass
     # opt-in scale-smoke trend line (VERDICT r6 task 6): a side script
     # (scripts/record_scale_smoke.py) runs tests/test_scale_smoke.py

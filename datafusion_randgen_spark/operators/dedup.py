@@ -85,19 +85,25 @@ def skew_routed_dedup_labels(
        key exceeds ``heavy_min_count`` rows by construction — bounded
        reducers, no salt replication cost.
 
-    Row routing is one broadcast membership test (heavy-key set), so
-    the corpus is scanned once.  Results are routing-invariant: the
-    output equals a plain rep join's, which is what the oracle checks.
+    The corpus is scanned (and sha2-digested) exactly ONCE: the
+    (id, digest) projection is pinned with an eager ``localCheckpoint``
+    before it fans out to the three consumers below (rep aggregation,
+    hot broadcast probe, tail joins).  Without the pin each consumer
+    would re-read the documents and recompute the digests — three full
+    corpus passes, the dominant cost at 100 TB (ADVICE r9).  The pinned
+    frame is digest-sized (≤48 B/row — ~1% of a web corpus), so the
+    re-reads the routing does perform touch cheap cached longs+digests,
+    never document bodies.  Results are routing-invariant: the output
+    equals a plain rep join's, which is what the oracle checks.
 
     Returns (id, dedup_key, keeper, group_size, is_heavy_key).
     """
     keyed = docs.select(
         F.col(id_col),
         F.sha2(normalize_text(F.col(text_col)), 256).alias("dedup_key"),
-    )
-    # reps feeds three joins below; materialize so the corpus-sized
-    # aggregation (and its scan) runs once, not three times.  reps is
-    # digest-sized (≤48 B/row), the cheap side to pin.
+    ).localCheckpoint(eager=True)
+    # reps also feeds three consumers; materialize so the aggregation
+    # runs once, not three times (same digest-sized pin as keyed).
     reps = (
         keyed.groupBy("dedup_key")
         .agg(F.min(id_col).alias("keeper"), F.count("*").alias("group_size"))
@@ -368,9 +374,14 @@ def simhash_multi(
 ) -> DataFrame:
     """``n_words``×64-bit SimHash per doc as ``(id, sh0, sh1, …)`` —
     sign-sum of token-hash bits, one independent 64-bit hash per word
-    (word 0 uses exactly the classic :func:`simhash` seed, so
-    ``n_words=1`` reproduces it bit-for-bit; extra words derive their
-    seed by golden-ratio stepping).
+    (word 0 uses the classic :func:`simhash` seed; extra words derive
+    theirs by golden-ratio stepping).  NOTE (r9 value change): the seed
+    is now a BIGINT literal (``{seed}L``), and Spark's ``xxhash64``
+    hashes an int literal and a long literal differently — so r9+
+    fingerprint VALUES differ from the pre-r9 implementation's.  All
+    SimHash oracles are value-independent (planted-pair recall /
+    Hamming invariants), so this is a representation change, not a
+    correctness one.
 
     Implemented ROW-LOCALLY (r9): per doc, one Catalyst fold over the
     token array carries all 64 bit votes in an ``array<int>``
@@ -421,8 +432,8 @@ def simhash_multi(
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 0) -> DataFrame:
     """64-bit SimHash per doc: sign-sum of token-hash bits — the
-    single-word case of :func:`simhash_multi` (bit-identical to the
-    pre-generalization fingerprints)."""
+    single-word case of :func:`simhash_multi` (see its docstring for
+    the r9 seed-literal value change vs pre-r9 fingerprints)."""
     return simhash_multi(docs, text_col, id_col, seed, n_words=1).select(
         "id", F.col("sh0").alias("simhash")
     )
