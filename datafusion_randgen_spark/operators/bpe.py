@@ -109,8 +109,13 @@ def bpe_train(
     connected-components discipline) without paying a vocabulary
     materialization per round; the ≤``checkpoint_every``−1 pending
     row-local folds the pair-count aggregate re-evaluates are far
-    cheaper than the skipped materializations (measured ~3.8s → ~2.9s
-    at sf0.1 for the 20-merge entry).
+    cheaper than the skipped materializations.  Measured (r10,
+    same-session A/B under bench.py conditions, sf0.1, median of 5):
+    4.88s at ``checkpoint_every=1`` vs 4.02s at ``=4`` for the
+    20-merge entry — a real but modest ~1.2× win; the earlier
+    "3.8s → 2.9s" figure came from a different measurement context
+    and cross-VM-boot official bench rounds show it inside noise
+    (3.45s r8 → 3.50s r9).
 
     Determinism: pair counts are exact integers and ties break on
     (left, right) byte order, so the whole merge SEQUENCE is

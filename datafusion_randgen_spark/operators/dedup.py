@@ -396,6 +396,16 @@ def simhash_multi(
     fingerprint row — identical to the explode-based form, which
     dropped them at the explode.
 
+    HOF-vs-vectorized, measured (r10, VERDICT r9 task 2): Catalyst
+    HOFs are interpreted (CodegenFallback), so the fold's CPU constant
+    was benchmarked against a value-identical ``mapInArrow`` NumPy
+    variant (JVM xxhash64 token hashing kept, 64-lane vote fold moved
+    to a vectorized ``np.add.reduceat`` kernel) at 200k docs on
+    local[32] (``scripts/measure_simhash_kernels.py``): the HOF fold
+    WINS — 1.00s vs 1.38s at 8 tokens/doc, 4.08s vs 11.8s at 48
+    tokens/doc.  The Arrow variant pays the Python-worker round-trip
+    plus a 64×-blowup vote matrix; the interpreted fold stays.
+
     Small-input caveat: a compact parquet fixture arrives as ONE scan
     partition, which would serialize the whole fold on one core — so
     when the input has fewer partitions than the default parallelism

@@ -21,7 +21,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    env = dict(os.environ, SPARK_GRAFT_SCALE_TESTS="1")
+    trend_path = os.path.join(REPO, ".scale_trend.jsonl")
+    try:
+        os.remove(trend_path)  # stale entries must not survive a re-run
+    except OSError:
+        pass
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SCALE_TESTS="1",
+        SPARK_GRAFT_TREND_OUT=trend_path,
+    )
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_scale_smoke.py",
@@ -37,11 +46,23 @@ def main() -> int:
         )
     }
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    # cross-scale trend (VERDICT r9 task 5): two wall-time points per
+    # heavy dedup op, written by the trend tests — {op: {n_docs: sec}}
+    trend: dict[str, dict[str, float]] = {}
+    try:
+        with open(trend_path) as fh:
+            for ln in fh:
+                ent = json.loads(ln)
+                trend.setdefault(ent["op"], {})[str(ent["n_docs"])] = ent["sec"]
+        os.remove(trend_path)
+    except OSError:
+        pass
     record = {
         "rc": proc.returncode,
         "wall_sec": wall,
         "summary": lines[-1] if lines else "",
         "durations_sec": durations,
+        "trend_sec_by_ndocs": trend,
         "recorded_unix": int(t0),
     }
     with open(os.path.join(REPO, "SCALE_SMOKE.json"), "w") as fh:

@@ -272,3 +272,121 @@ def test_simhash_planted_twins_at_scale(spark):
     ).collect()[0]
     assert got.n == n
     assert got.hs == 4 * n + sum(i % 3 for i in range(n))
+
+
+# ---------------------------------------------------------------------------
+# Cross-scale trend (VERDICT r9 task 5): the three heaviest dedup ops at
+# ~200k AND ~1M docs, each timed, so SCALE_SMOKE.json carries two scale
+# points per op and a verdict can read a scaling exponent instead of a
+# single number.  Timings go to $SPARK_GRAFT_TREND_OUT (JSONL, written
+# by scripts/record_scale_smoke.py's run); invariants assert at BOTH
+# scales regardless.
+
+TREND_PAIRS = 1_000
+
+
+def _record_trend(op: str, n_docs: int, sec: float) -> None:
+    import json
+
+    path = os.environ.get("SPARK_GRAFT_TREND_OUT")
+    if path:
+        with open(path, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {"op": op, "n_docs": n_docs, "sec": round(sec, 2)}
+                )
+                + "\n"
+            )
+
+
+@pytest.fixture(scope="module", params=[200_000, 1_000_000], ids=["200k", "1m"])
+def trend_docs(spark, request):
+    """n synthetic docs + 1000 planted exact-twin pairs (twin of doc i
+    is doc i+n), checkpointed so generation isn't billed to the ops."""
+    from datafusion_randgen_spark.sources.synthetic import synthetic_table
+
+    n = request.param
+    base = synthetic_table(
+        spark, n,
+        {"w1": {"kind": "string_alpha", "length": 40}},
+        seed=17, num_partitions=32,
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.substring("w1", i * 5 + 1, 5) for i in range(8)]
+        ).alias("text"),
+    )
+    twins = base.filter(F.col("doc_id") < TREND_PAIRS).select(
+        (F.col("doc_id") + n).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(twins).localCheckpoint(eager=True)
+    yield n, docs
+    docs.unpersist()
+
+
+def test_trend_minhash_lsh(trend_docs):
+    import time
+
+    n, docs = trend_docs
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.9)
+    found = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter(F.col("jaccard") >= 0.999).collect()
+    }
+    sec = time.perf_counter() - t0
+    assert {(i, i + n) for i in range(TREND_PAIRS)} <= found
+    _record_trend("minhash_lsh_pairs", n, sec)
+
+
+def test_trend_exact_substring(trend_docs):
+    import time
+
+    n, docs = trend_docs
+    t0 = time.perf_counter()
+    spans = dedup.exact_substring_spans(docs, min_len=5)
+    full = {
+        r.doc_id
+        for r in spans.filter(
+            (F.col("span_start") == 0) & (F.col("span_len") == 8)
+        ).collect()
+    }
+    sec = time.perf_counter() - t0
+    # every planted twin's WHOLE 8-token text occurs twice -> both
+    # members carry one maximal full-length span
+    planted_ids = set(range(TREND_PAIRS)) | {i + n for i in range(TREND_PAIRS)}
+    assert planted_ids <= full
+    _record_trend("exact_substring_spans", n, sec)
+
+
+def test_trend_skew_routed_dedup(trend_docs):
+    import time
+
+    n, docs = trend_docs
+    # plant the hot key row-locally on the shared corpus: every
+    # doc_id % 4 == 0 becomes the same boilerplate page (n % 4 == 0 at
+    # both scales, so a hot base doc's twin is hot too -> 250 extra)
+    skew = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("hot boilerplate page"))
+        .otherwise(F.col("text")),
+    )
+    t0 = time.perf_counter()
+    labeled = dedup.skew_routed_dedup_labels(skew, heavy_min_count=1000)
+    agg = labeled.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("is_heavy_key").cast("long")).alias("hot"),
+        F.count_distinct("dedup_key").alias("groups"),
+        F.max("group_size").alias("max_gs"),
+        F.sum(
+            (F.col("is_heavy_key") & (F.col("keeper") != 0)).cast("long")
+        ).alias("bad_keeper"),
+    ).collect()[0]
+    sec = time.perf_counter() - t0
+    hot_twins = sum(1 for i in range(TREND_PAIRS) if i % 4 == 0)
+    assert agg.rows == n + TREND_PAIRS
+    assert agg.hot == n // 4 + hot_twins
+    assert agg.max_gs == n // 4 + hot_twins
+    assert agg.groups == 1 + (n - n // 4)
+    assert agg.bad_keeper == 0
+    _record_trend("skew_routed_dedup", n, sec)
