@@ -92,13 +92,12 @@ _NAMED_WEIGHT = {
 # SimHash fingerprint became a row-local zero-shuffle fold, so every
 # fingerprint consumer re-earns its row.
 _REVERIFY = {
-    "s_ivfpq_recall_curve",
-    "d_simhash_near_pairs",
-    "d_simhash_r6",
-    "d_simhash128_r9",
-    # r9: bpe_train checkpoints every 4th merge instead of every merge
-    "t_bpe_merge_vocab",
-    "t_bpe_vocab_stats",
+    # r10: skew_routed_dedup_labels now pins the (id, digest) projection
+    # with an eager localCheckpoint (single corpus scan) — physical
+    # change, so the entry re-earns its green; everything else this
+    # round was docstrings/bench/scripts, so the window is free for the
+    # 30 r5-vintage greens the stalest-first rotation queues next.
+    "d_skewed_digest_dedup",
 }
 
 
