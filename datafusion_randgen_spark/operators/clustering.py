@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans"]
+__all__ = ["kmeans", "kmeans_exact_quantized"]
 
 
 def kmeans(
@@ -141,3 +141,117 @@ def kmeans(
 
     assignments = vecs.mapInPandas(assign, schema=f"{id_col} long, cluster int")
     return centroids, inertias, assignments
+
+
+def kmeans_exact_quantized(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    shift: int = 1024,
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Integer-quantized Lloyd's whose EVERY arithmetic step is exact,
+    so the full per-iteration trajectory is cross-engine hashable — the
+    full-value oracle twin of :func:`kmeans` (whose float centroid
+    means carry partition-order last-bit jitter and can only be
+    invariant-checked).
+
+    Quantization (row-local, exact in both engines): each float32
+    component widens to double (exact), scales by ``scale``, floors to
+    a BIGINT, and shifts by ``shift`` so every quantized value is
+    nonnegative (distances are shift-invariant; nonnegative sums keep
+    floor-division semantics identical everywhere).  From there the
+    algorithm runs in int64: squared-L2 distances, first-minimum
+    (lowest cluster index) argmin ties, centroid update by FLOOR
+    division of exact sums, empty clusters keeping their previous
+    centroid.  The DuckDB oracle replays the identical ``iterations``
+    rounds in unrolled SQL and must land on the identical trajectory.
+
+    Same scale shape as :func:`kmeans`: raw vectors never shuffle —
+    one Arrow map pass per iteration emits O(partitions × k × dim)
+    integer partials, reduced by a tiny groupBy; driver state is the
+    k × dim int64 centroid matrix.
+
+    Returns the trajectory as plain rows
+    ``(iter, cluster, pos, centroid_q, cluster_n, iter_inertia)`` —
+    k × dim rows per iteration, centroids AFTER that iteration's
+    update.
+    """
+    spark = df.sparkSession
+    qv = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {scale}) AS BIGINT) + {shift})"
+        ).alias("qv"),
+    )
+    init = qv.orderBy(id_col).limit(k).select("qv").collect()
+    if len(init) < k:
+        raise ValueError(f"kmeans_exact_quantized: k={k} exceeds input size")
+    centroids = np.array([r[0] for r in init], dtype=np.int64)
+    dim = centroids.shape[1]
+
+    trajectory: list[tuple[int, int, int, int, int, int]] = []
+    for it in range(1, iterations + 1):
+        c_bc = spark.sparkContext.broadcast(centroids)
+
+        def partial_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = c_bc.value  # (k, dim) int64
+            cc = (C * C).sum(axis=1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+                # exact int64 squared-L2 (values ~2^11, dim 64: far
+                # below overflow); argmin takes the FIRST minimum =
+                # lowest cluster index, the SQL tie-break
+                d2 = (M * M).sum(axis=1)[:, None] - 2 * (M @ C.T) + cc[None, :]
+                a = d2.argmin(axis=1)
+                best = d2[np.arange(len(a)), a]
+                rows = []
+                for c in np.unique(a):
+                    mask = a == c
+                    rows.append(
+                        {
+                            "cluster": int(c),
+                            "cnt": int(mask.sum()),
+                            "inertia": int(best[mask].sum()),
+                            "sums": M[mask].sum(axis=0).tolist(),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        stats = qv.mapInPandas(
+            partial_stats,
+            schema="cluster int, cnt long, inertia long, sums array<long>",
+        ).localCheckpoint(eager=True)
+        meta = {
+            r["cluster"]: (int(r["cnt"]), int(r["inertia"]))
+            for r in stats.groupBy("cluster")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("inertia").alias("inertia"))
+            .collect()
+        }
+        acc = np.zeros((k, dim), dtype=np.int64)
+        for r in (
+            stats.select("cluster", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        ):
+            acc[r["cluster"], r["pos"]] = r["s"]
+        iter_inertia = sum(i for _, i in meta.values())
+        new_c = centroids.copy()
+        for c, (cnt, _) in meta.items():
+            if cnt > 0:
+                new_c[c] = acc[c] // cnt  # floor division, exact
+        centroids = new_c
+        c_bc.destroy()
+        for c in range(k):
+            n_c = meta.get(c, (0, 0))[0]
+            for p in range(dim):
+                trajectory.append(
+                    (it, c, p, int(centroids[c, p]), n_c, iter_inertia)
+                )
+    return trajectory

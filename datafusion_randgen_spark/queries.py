@@ -7507,6 +7507,87 @@ def s_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_replay_sql(k: int, iterations: int, scale: int, shift: int) -> str:
+    """Unrolled DuckDB replay of :func:`clustering.kmeans_exact_quantized`
+    — the SAME quantization, init, argmin tie-break (lowest cluster),
+    floor-division centroid update, and empty-cluster carry, one CTE
+    chain per iteration.  Exact integer arithmetic end to end, so the
+    trajectory hash-matches (every SUM cast to BIGINT: DuckDB widens
+    integer sums to HUGEINT)."""
+    ctes = [
+        "expl0 AS (SELECT vec_id, unnest(embedding) AS x,"
+        " unnest(range(0, len(embedding))) AS pos FROM embeddings)",
+        f"expl AS (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {scale})"
+        f" AS BIGINT) + {shift} AS q, CAST(pos AS INTEGER) AS pos FROM expl0)",
+        "cent0 AS (SELECT CAST(r.rk - 1 AS INTEGER) AS cluster, e.pos,"
+        " e.q AS c FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id)"
+        f" AS rk FROM embeddings ORDER BY vec_id LIMIT {k}) r"
+        " JOIN expl e USING (vec_id))",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes += [
+            f"d{i} AS (SELECT e.vec_id, c.cluster,"
+            " SUM((e.q - c.c) * (e.q - c.c)) AS d2"
+            f" FROM expl e JOIN cent{p} c USING (pos)"
+            " GROUP BY e.vec_id, c.cluster)",
+            f"a{i} AS (SELECT vec_id, cluster, d2 FROM"
+            " (SELECT vec_id, cluster, d2, row_number() OVER"
+            " (PARTITION BY vec_id ORDER BY d2, cluster) AS rn"
+            f" FROM d{i}) WHERE rn = 1)",
+            f"cnt{i} AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,"
+            f" CAST(SUM(d2) AS BIGINT) AS inert FROM a{i} GROUP BY cluster)",
+            f"sums{i} AS (SELECT a.cluster, e.pos, CAST(SUM(e.q) AS BIGINT)"
+            f" AS s FROM a{i} a JOIN expl e USING (vec_id)"
+            " GROUP BY a.cluster, e.pos)",
+            f"cent{i} AS (SELECT p.cluster, p.pos, CASE WHEN c.n > 0 THEN"
+            " CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ELSE p.c END"
+            f" AS c FROM cent{p} p"
+            f" LEFT JOIN cnt{i} c ON c.cluster = p.cluster"
+            f" LEFT JOIN sums{i} s ON s.cluster = p.cluster AND s.pos = p.pos)",
+            f"out{i} AS (SELECT {i} AS iter, p.cluster, p.pos,"
+            " p.c AS centroid_q, CAST(COALESCE(c.n, 0) AS BIGINT) AS"
+            f" cluster_n, (SELECT CAST(SUM(inert) AS BIGINT) FROM cnt{i})"
+            f" AS iter_inertia FROM cent{i} p"
+            f" LEFT JOIN cnt{i} c ON c.cluster = p.cluster)",
+        ]
+    union = " UNION ALL ".join(
+        f"SELECT * FROM out{i}" for i in range(1, iterations + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT CAST(iter AS INTEGER) AS iter, cluster, pos, centroid_q,"
+        " cluster_n, iter_inertia FROM (" + union + ")"
+        " ORDER BY iter, cluster, pos"
+    )
+
+
+@query(
+    "s_kmeans_exact_replay",
+    oracle=_kmeans_replay_sql(k=4, iterations=3, scale=1000, shift=1024),
+)
+def s_kmeans_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-value k-means oracle (VERDICT r9 task 8): the quantized
+    Lloyd\'s trajectory — `operators/clustering.py:
+    kmeans_exact_quantized`, k=4, 3 iterations — where every arithmetic
+    step is exact int64, so the ENTIRE per-iteration centroid table,
+    cluster sizes, and inertias hash-match a DuckDB replay (upgrade
+    over `s_kmeans_embeddings`, whose float path can only be
+    invariant-checked).  Same scale shape as the float operator: one
+    Arrow map pass per iteration, integer partials shuffle, vectors
+    never do."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = clustering.kmeans_exact_quantized(emb, k=4, iterations=3)
+    return spark.createDataFrame(
+        rows,
+        "iter int, cluster int, pos int, centroid_q long,"
+        " cluster_n long, iter_inertia long",
+    )
+
+
 @query(
     "p_weighted_sample",
     oracle="""

@@ -1024,3 +1024,49 @@ def test_skew_routed_labels_equal_plain_rep_join(spark):
             for r in keyed.join(reps, "k").collect()
         }
         assert routed == plain, (seed, hot_share, thresh)
+
+
+def test_kmeans_exact_quantized_matches_numpy_replay(spark):
+    """The quantized Lloyd's trajectory must equal a straight NumPy
+    replay of its spec (quantize->argmin-first-min->floor-div update,
+    empty clusters carry) — the in-Python mirror of the DuckDB oracle
+    for s_kmeans_exact_replay."""
+    import numpy as np
+
+    from datafusion_randgen_spark.operators import clustering
+
+    rng = [((i * 37) % 19 - 9) / 7.0 for i in range(48)]
+    vecs = [rng[i * 4:(i + 1) * 4] for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = clustering.kmeans_exact_quantized(
+        df, k=3, iterations=2, scale=1000, shift=1024
+    )
+
+    # reference replay
+    Q = np.floor(
+        np.array([[np.float32(x) for x in v] for v in vecs], dtype=np.float64)
+        * 1000
+    ).astype(np.int64) + 1024
+    C = Q[:3].copy()
+    want = []
+    for it in (1, 2):
+        d2 = (
+            (Q * Q).sum(1)[:, None] - 2 * (Q @ C.T) + (C * C).sum(1)[None, :]
+        )
+        a = d2.argmin(1)
+        inert = int(d2[np.arange(len(a)), a].sum())
+        newC = C.copy()
+        counts = {}
+        for c in range(3):
+            m = a == c
+            counts[c] = int(m.sum())
+            if counts[c] > 0:
+                newC[c] = Q[m].sum(0) // counts[c]
+        C = newC
+        for c in range(3):
+            for p in range(4):
+                want.append((it, c, p, int(C[c, p]), counts[c], inert))
+    assert got == want
