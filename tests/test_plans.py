@@ -602,6 +602,13 @@ def test_skew_routed_dedup_hot_path_broadcasts_tail_shuffles(spark):
         )
         labeled = dedup.skew_routed_dedup_labels(docs, heavy_min_count=50)
         plan = plans.physical_plan(labeled)
+        # single-scan contract (ADVICE r9): the (id, digest) projection
+        # is checkpointed before fan-out, so the routing plan must read
+        # ONLY the pinned RDD — the source (here a Range) may not
+        # appear anywhere, i.e. no consumer re-scans the corpus
+        # ("Range (" is the range-source scan node; the looser "Range"
+        # would also match RangePartitioning)
+        assert "Range (" not in plan
         # hot path: explicit broadcast of the heavy reps
         assert plan.count("BroadcastHashJoin") >= 2  # heavy join + anti probe
         # tail path: an ordinary shuffle equi-join survives
