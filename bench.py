@@ -208,7 +208,14 @@ def main() -> None:
         "d_semantic_dedup": max(reps, 5),  # kmeans driver loop inside
         # the catalog's most expensive entry showed a 3.6-6.1s spread at
         # 3 reps on unchanged code (r9) — widest in the run; 5 reps so a
-        # real move can't hide behind one GC-unlucky middle value
+        # real move can't hide behind one GC-unlucky middle value.
+        # Profiled in isolation (r10, 8 reps): rep 1 pays ~9s of one-off
+        # Janino codegen for the 64-permutation signature expressions,
+        # then the entry settles at a steady 2.9-3.3s — so the wide
+        # spread is the compile rep, the median at 5 reps sits in steady
+        # state, and the r9 "regression" was that compile rep landing on
+        # a 3-rep median.  queries_runs in bench_detail.json makes the
+        # pattern visible per entry.
         "d_minhash_lsh_pairs": max(reps, 5),
     }
 
@@ -236,6 +243,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    all_runs: dict[str, list[float]] = {}
     probes: list[float] = []
     probe_samples: list[list[float]] = []
 
@@ -267,6 +275,7 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(statistics.median(runs), 3)
             spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+            all_runs[name] = [round(r, 3) for r in runs]
             print(
                 f"# {name}: median {timings[name]}s of "
                 f"{extra_reps.get(name, reps)} "
@@ -300,6 +309,10 @@ def main() -> None:
     detail = {
         "queries_median": dict(timings),  # full map — never truncated
         "queries_spread": spread,
+        # per-rep sequences: first-rep Janino-codegen inflation (e.g.
+        # ~9s on the 64-perm minhash) is visible instead of folded into
+        # an unexplained spread
+        "queries_runs": all_runs,
         "reps": reps,
         "extra_reps": extra_reps,
         "calib_probes_sec": probes,
