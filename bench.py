@@ -209,14 +209,14 @@ def main() -> None:
         # the catalog's most expensive entry showed a 3.6-6.1s spread at
         # 3 reps on unchanged code (r9) — widest in the run; 5 reps so a
         # real move can't hide behind one GC-unlucky middle value.
-        # Profiled in isolation (r10, 8 reps): rep 1 pays ~9s of one-off
-        # Janino codegen for the 64-permutation signature expressions,
-        # then the entry settles at a steady 2.9-3.3s — so the wide
-        # spread is the compile rep, the median at 5 reps sits in steady
-        # state, and the r9 "regression" was that compile rep landing on
-        # a 3-rep median.  queries_runs in bench_detail.json makes the
-        # pattern visible per entry.
-        "d_minhash_lsh_pairs": max(reps, 5),
+        # Profiled in isolation (r10, 8 reps): steady state is 2.9-3.3s
+        # (unchanged since r8) with a single ~9-15s outlier rep — the
+        # first rep's Janino codegen for the 64-perm signature exprs in
+        # isolation, but full-bench runs show the outlier landing on ANY
+        # rep (GC / host stall), so it gets 7 reps: one outlier then
+        # pulls the median at most one slot off steady state.
+        # queries_runs in bench_detail.json shows the per-rep pattern.
+        "d_minhash_lsh_pairs": max(reps, 7),
     }
 
     # Environment calibration: one fixed shuffle-heavy probe, identical
