@@ -174,10 +174,11 @@ def kmeans_exact_quantized(
     integer partials, reduced by a tiny groupBy; driver state is the
     k × dim int64 centroid matrix.
 
-    Returns the trajectory as plain rows
+    Returns ``(trajectory, centroids)``: the trajectory as plain rows
     ``(iter, cluster, pos, centroid_q, cluster_n, iter_inertia)`` —
     k × dim rows per iteration, centroids AFTER that iteration's
-    update.
+    update — plus the final k × dim int64 centroid matrix (for exact
+    downstream assignment, e.g. :func:`dedup.semantic_dedup_exact`).
     """
     spark = df.sparkSession
     qv = df.select(
@@ -254,4 +255,4 @@ def kmeans_exact_quantized(
                 trajectory.append(
                     (it, c, p, int(centroids[c, p]), n_c, iter_inertia)
                 )
-    return trajectory
+    return trajectory, centroids

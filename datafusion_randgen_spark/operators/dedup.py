@@ -1110,3 +1110,105 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", "comp")
+
+
+def semantic_dedup_exact(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 500,
+    tau_sq: tuple[int, int] = (49, 100),
+) -> DataFrame:
+    """SemDeDup with EVERY step exact — the full-value-oracle twin of
+    :func:`semantic_dedup` (whose float k-means + float cosine can only
+    be invariant-checked).  Cells come from the integer-quantized
+    Lloyd's (:func:`clustering.kmeans_exact_quantized`, shift 0: dot
+    products need true signs); each member is then compared against its
+    cell's lowest-id representative by exact integer cosine
+    cross-multiplication:
+
+        cos(a, b) >= tau  <=>  dot > 0  AND
+        tau_den * dot^2 >= tau_num * |a|^2 * |b|^2
+
+    with ``tau_sq = (tau_num, tau_den) = tau^2`` as a reduced rational.
+    All arithmetic is int64 with wide margin (|q| <= ~300 at scale 500,
+    dim 64: dot <= ~6e6, tau_den*dot^2 <= ~4e15), so DuckDB replays the
+    identical cells, reps, dots, and verdicts bit-for-bit.
+
+    Scale shape: quantization is row-local; assignment is one broadcast
+    + Arrow map pass (vectors never shuffle); the rep join broadcasts
+    the k-row rep table; dot/norm folds are row-local Catalyst
+    aggregates.  Returns ``(vec_id, cluster, rep_id, dot, is_dup)``.
+    """
+    from datafusion_randgen_spark.operators.clustering import (
+        kmeans_exact_quantized,
+    )
+
+    tau_num, tau_den = tau_sq
+    _, cents = kmeans_exact_quantized(
+        emb, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
+        scale=scale, shift=0,
+    )
+    qv = emb.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {scale}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    # exact assignment against the FINAL centroids: argmin of int64
+    # squared-L2, first minimum (lowest cluster) on ties — row-local
+    # Catalyst folds over the k broadcast-literal centroid arrays
+    d2_exprs = [
+        "aggregate(zip_with(qv, array({}), (x, c) -> (x - c) * (x - c)),"
+        " 0L, (acc, v) -> acc + v)".format(
+            ", ".join(f"{int(v)}L" for v in cents[c])
+        )
+        for c in range(k)
+    ]
+    best = "array_position(array({d}), array_min(array({d}))) - 1".format(
+        d=", ".join(d2_exprs)
+    )
+    asg = qv.select(
+        F.col(id_col),
+        "qv",
+        F.expr(best).cast("int").alias("cluster"),
+        F.expr(
+            "aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"
+        ).alias("n2"),
+    )
+    reps = (
+        asg.groupBy("cluster")
+        .agg(F.min(id_col).alias("rep_id"))
+        .join(
+            asg.select(
+                F.col(id_col).alias("rep_id"),
+                F.col("qv").alias("rep_qv"),
+                F.col("n2").alias("rep_n2"),
+            ),
+            "rep_id",
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, rep_qv, (x, y) -> x * y), 0L,"
+        " (acc, v) -> acc + v)"
+    ).alias("dot")
+    out = asg.join(F.broadcast(reps), "cluster").select(
+        F.col(id_col), "cluster", "rep_id", dot, "n2", "rep_n2"
+    )
+    return out.select(
+        F.col(id_col),
+        "cluster",
+        "rep_id",
+        "dot",
+        (
+            (F.col(id_col) != F.col("rep_id"))
+            & (F.col("dot") > 0)
+            & (
+                F.lit(tau_den) * F.col("dot") * F.col("dot")
+                >= F.lit(tau_num) * F.col("n2") * F.col("rep_n2")
+            )
+        ).alias("is_dup"),
+    )

@@ -7507,13 +7507,14 @@ def s_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_replay_sql(k: int, iterations: int, scale: int, shift: int) -> str:
-    """Unrolled DuckDB replay of :func:`clustering.kmeans_exact_quantized`
+def _kmeans_replay_ctes(k: int, iterations: int, scale: int, shift: int) -> list:
+    """Shared CTE chain replaying :func:`clustering.kmeans_exact_quantized`
     — the SAME quantization, init, argmin tie-break (lowest cluster),
     floor-division centroid update, and empty-cluster carry, one CTE
-    chain per iteration.  Exact integer arithmetic end to end, so the
-    trajectory hash-matches (every SUM cast to BIGINT: DuckDB widens
-    integer sums to HUGEINT)."""
+    group per iteration.  Exact integer arithmetic end to end (every SUM
+    cast to BIGINT: DuckDB widens integer sums to HUGEINT).  Used by the
+    s_kmeans_exact_replay oracle and extended by the
+    d_semdedup_exact_replay one."""
     ctes = [
         "expl0 AS (SELECT vec_id, unnest(embedding) AS x,"
         " unnest(range(0, len(embedding))) AS pos FROM embeddings)",
@@ -7551,6 +7552,11 @@ def _kmeans_replay_sql(k: int, iterations: int, scale: int, shift: int) -> str:
             f" AS iter_inertia FROM cent{i} p"
             f" LEFT JOIN cnt{i} c ON c.cluster = p.cluster)",
         ]
+    return ctes
+
+
+def _kmeans_replay_sql(k: int, iterations: int, scale: int, shift: int) -> str:
+    ctes = _kmeans_replay_ctes(k, iterations, scale, shift)
     union = " UNION ALL ".join(
         f"SELECT * FROM out{i}" for i in range(1, iterations + 1)
     )
@@ -7559,6 +7565,76 @@ def _kmeans_replay_sql(k: int, iterations: int, scale: int, shift: int) -> str:
         + " SELECT CAST(iter AS INTEGER) AS iter, cluster, pos, centroid_q,"
         " cluster_n, iter_inertia FROM (" + union + ")"
         " ORDER BY iter, cluster, pos"
+    )
+
+
+def _semdedup_replay_sql(
+    k: int, iterations: int, scale: int, tau_num: int, tau_den: int
+) -> str:
+    """d_semdedup_exact_replay oracle: the kmeans replay chain (shift 0
+    — cosine needs true signs), one MORE exact assignment round against
+    the FINAL centroids, then per-member exact dot/norm integer
+    cross-multiplication against the cell's lowest-id representative —
+    mirrors :func:`operators.dedup.semantic_dedup_exact` step for
+    step."""
+    it = iterations
+    ctes = _kmeans_replay_ctes(k, iterations, scale, shift=0)
+    ctes += [
+        f"dF AS (SELECT e.vec_id, c.cluster,"
+        " SUM((e.q - c.c) * (e.q - c.c)) AS d2"
+        f" FROM expl e JOIN cent{it} c USING (pos)"
+        " GROUP BY e.vec_id, c.cluster)",
+        "aF AS (SELECT vec_id, cluster FROM"
+        " (SELECT vec_id, cluster, row_number() OVER"
+        " (PARTITION BY vec_id ORDER BY d2, cluster) AS rn"
+        " FROM dF) WHERE rn = 1)",
+        "repsF AS (SELECT cluster, min(vec_id) AS rep_id"
+        " FROM aF GROUP BY cluster)",
+        "normsF AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2"
+        " FROM expl GROUP BY vec_id)",
+        "dotsF AS (SELECT m.vec_id, m.cluster, r.rep_id,"
+        " CAST(SUM(e1.q * e2.q) AS BIGINT) AS dot"
+        " FROM aF m JOIN repsF r USING (cluster)"
+        " JOIN expl e1 ON e1.vec_id = m.vec_id"
+        " JOIN expl e2 ON e2.vec_id = r.rep_id AND e2.pos = e1.pos"
+        " GROUP BY m.vec_id, m.cluster, r.rep_id)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT d.vec_id, d.cluster, d.rep_id, d.dot,"
+        " (d.vec_id <> d.rep_id AND d.dot > 0 AND"
+        f" {tau_den} * d.dot * d.dot >= {tau_num} * n1.n2 * n2.n2)"
+        " AS is_dup"
+        " FROM dotsF d"
+        " JOIN normsF n1 ON n1.vec_id = d.vec_id"
+        " JOIN normsF n2 ON n2.vec_id = d.rep_id"
+        " ORDER BY d.vec_id"
+    )
+
+
+@query(
+    "d_semdedup_exact_replay",
+    oracle=_semdedup_replay_sql(
+        k=4, iterations=2, scale=500, tau_num=49, tau_den=100
+    ),
+)
+def d_semdedup_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-value SemDeDup oracle (r10, companion to
+    s_kmeans_exact_replay): `operators/dedup.py:semantic_dedup_exact` —
+    integer-quantized Lloyd's cells (k=4, 2 iterations, shift 0), exact
+    int64 assignment against the final centroids, then each member
+    compared to its cell's lowest-id representative by exact integer
+    cosine cross-multiplication (tau^2 = 49/100).  Every output value
+    — cluster, rep, dot product, verdict — hash-matches the DuckDB
+    replay, upgrading SemDeDup verification from the float pipeline's
+    invariants to full values.  Vectors never shuffle: assignment and
+    dot/norm folds are row-local, the rep table broadcasts."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.operators import dedup as dd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.semantic_dedup_exact(
+        emb, k=4, iterations=2, scale=500, tau_sq=(49, 100)
     )
 
 
@@ -7580,7 +7656,7 @@ def s_kmeans_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_randgen_spark.operators import clustering
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = clustering.kmeans_exact_quantized(emb, k=4, iterations=3)
+    rows, _ = clustering.kmeans_exact_quantized(emb, k=4, iterations=3)
     return spark.createDataFrame(
         rows,
         "iter int, cluster int, pos int, centroid_q long,"

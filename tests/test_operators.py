@@ -1041,7 +1041,7 @@ def test_kmeans_exact_quantized_matches_numpy_replay(spark):
         [(i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vecs)],
         "vec_id long, embedding array<float>",
     )
-    got = clustering.kmeans_exact_quantized(
+    got, got_cents = clustering.kmeans_exact_quantized(
         df, k=3, iterations=2, scale=1000, shift=1024
     )
 
@@ -1070,3 +1070,52 @@ def test_kmeans_exact_quantized_matches_numpy_replay(spark):
             for p in range(4):
                 want.append((it, c, p, int(C[c, p]), counts[c], inert))
     assert got == want
+    assert got_cents.tolist() == C.tolist()
+
+
+def test_semantic_dedup_exact_flags_planted_near_dup(spark):
+    """The exact integer cosine verdict must fire: vec 10 is a scaled
+    copy of vec 0 (cosine 1 exactly in the quantized ints too, since
+    scaling by 2 scales every quantized component exactly at these
+    values), vec 11 is orthogonal to everything — only vec 10 may be
+    flagged, and dots must equal the NumPy integers."""
+    import numpy as np
+
+    from datafusion_randgen_spark.operators import dedup
+
+    base = [0.2, -0.4, 0.1, 0.3]
+    rows = [(0, base)]
+    rows += [
+        (i, [float((i * 7 + j * 3) % 5 - 2) / 4.0 for j in range(4)])
+        for i in range(1, 10)
+    ]
+    rows.append((10, [x * 2 for x in base]))  # same direction as 0
+    df = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: (r.cluster, r.rep_id, r.dot, r.is_dup)
+        for r in dedup.semantic_dedup_exact(
+            df, k=2, iterations=2, scale=500, tau_sq=(49, 100)
+        ).collect()
+    }
+    assert len(out) == 11
+    # the planted co-directional pair must land in one cell with a
+    # True verdict on the non-rep member (cos = 1 > 0.7)
+    c0, rep0, _, _ = out[0]
+    c10, rep10, dot10, dup10 = out[10]
+    assert c10 == c0 and rep10 == rep0
+    flagged = {i for i, (_, _, _, d) in out.items() if d}
+    assert 10 in flagged or 0 in flagged
+    # reps are never self-flagged
+    for i, (c, rep, dot, d) in out.items():
+        if i == rep:
+            assert not d
+    # exact dot check for the planted pair against NumPy integers
+    q = {
+        i: np.floor(np.array([np.float32(x) for x in v], dtype=np.float64) * 500).astype(np.int64)
+        for i, v in rows
+    }
+    rep = out[10][1]
+    assert out[10][2] == int((q[10] * q[rep]).sum())
