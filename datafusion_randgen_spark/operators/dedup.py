@@ -93,8 +93,17 @@ def skew_routed_dedup_labels(
     corpus passes, the dominant cost at 100 TB (ADVICE r9).  The pinned
     frame is digest-sized (≤48 B/row — ~1% of a web corpus), so the
     re-reads the routing does perform touch cheap cached longs+digests,
-    never document bodies.  Results are routing-invariant: the output
-    equals a plain rep join's, which is what the oracle checks.
+    never document bodies.  Fault-tolerance tradeoff, stated honestly:
+    ``localCheckpoint`` truncates lineage, so on a cluster with
+    executor churn a lost executor fails the job instead of
+    recomputing — a long-running 1000-executor deployment should swap
+    the pin for ``persist(MEMORY_AND_DISK)`` (keeps lineage, recomputes
+    only lost partitions) or a reliable ``checkpoint()`` to shared
+    storage; localCheckpoint is used here because it also truncates the
+    plan (no source node survives into the routing joins — pinned by
+    the plan test) and needs no external checkpoint dir.  Results are
+    routing-invariant: the output equals a plain rep join's, which is
+    what the oracle checks.
 
     Returns (id, dedup_key, keeper, group_size, is_heavy_key).
     """
