@@ -668,3 +668,153 @@ def embedding_near_dup_pairs_exact(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def pq_exact_quantized(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 500,
+) -> DataFrame:
+    """Product quantization with EVERY step exact — the full-value
+    oracle twin of :func:`pq_train` (whose float codebooks carry
+    partition-order FP jitter and can only be invariant-checked).
+
+    Vectors floor-quantize to int64 (scale ``scale``, no shift: only
+    L2 distances are taken, which are shift-invariant anyway, and
+    centroid updates floor-divide on both engines).  Each of the ``m``
+    subspaces learns an independent k-means codebook by the exact
+    integer Lloyd's recipe of ``clustering.kmeans_exact_quantized``
+    (first-min argmin ties, floor-division updates, empty clusters
+    carry), ALL m SUBSPACES IN THE SAME Arrow pass per iteration — one
+    corpus scan trains everything, the :func:`pq_train` scale shape.
+    Each vector is then encoded (per-subspace exact argmin against the
+    final codebooks) and scored by exact ADC against the corpus's
+    lowest-id vector as the query: ``adc_d2 = Σ_j d2(query_sub_j,
+    codebook_j[code_j(v)])`` — pure int64 (subspace d2 ≤ ~6e6 at these
+    bounds).
+
+    Returns a DataFrame ``(vec_id, code0..code{m-1}, adc_d2)`` whose
+    every value the DuckDB oracle replays bit-for-bit.
+    """
+    from collections.abc import Iterator
+
+    spark = embeddings.sparkSession
+    dim_row = embeddings.select(F.size(vec_col)).first()
+    if dim_row is None:
+        raise ValueError("pq_exact_quantized: input DataFrame is empty")
+    dim = dim_row[0]
+    if dim % m != 0:
+        raise ValueError(f"pq_exact_quantized: dim {dim} not divisible by m={m}")
+    sd = dim // m
+    qv = embeddings.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {scale}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    init = qv.orderBy(id_col).limit(k).select("qv").collect()
+    if len(init) < k:
+        raise ValueError(f"pq_exact_quantized: k={k} exceeds input size")
+    V0 = np.array([r[0] for r in init], dtype=np.int64)  # (k, dim)
+    C = np.stack([V0[:, j * sd:(j + 1) * sd] for j in range(m)])  # (m,k,sd)
+
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(C)
+
+        def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            CC = bc.value  # (m, k, sd) int64
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+                rows = []
+                for j in range(CC.shape[0]):
+                    S = M[:, j * sd:(j + 1) * sd]
+                    Cj = CC[j]
+                    d2 = (
+                        (S * S).sum(axis=1)[:, None]
+                        - 2 * (S @ Cj.T)
+                        + (Cj * Cj).sum(axis=1)[None, :]
+                    )
+                    a = d2.argmin(axis=1)  # first min = lowest code
+                    for c in np.unique(a):
+                        mask = a == c
+                        rows.append(
+                            {
+                                "sub": int(j),
+                                "cluster": int(c),
+                                "cnt": int(mask.sum()),
+                                "sums": S[mask].sum(axis=0).tolist(),
+                            }
+                        )
+                yield pd.DataFrame(rows)
+
+        partials = qv.mapInPandas(
+            stats, schema="sub int, cluster int, cnt long, sums array<long>"
+        ).localCheckpoint(eager=True)
+        cnts = {
+            (r["sub"], r["cluster"]): int(r["cnt"])
+            for r in partials.groupBy("sub", "cluster")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        acc = np.zeros((m, k, sd), dtype=np.int64)
+        for r in (
+            partials.select("sub", "cluster", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        ):
+            acc[r["sub"], r["cluster"], r["pos"]] = r["s"]
+        newC = C.copy()
+        for (j, c), n in cnts.items():
+            if n > 0:
+                newC[j, c] = acc[j, c] // n  # floor division, exact
+        C = newC
+        bc.destroy()
+
+    # exact encode + ADC against the lowest-id vector as query
+    qrow = qv.orderBy(id_col).limit(1).select("qv").collect()[0][0]
+    Q = np.array(qrow, dtype=np.int64)
+    # per-subspace table of query-to-centroid exact distances
+    qd = np.stack(
+        [
+            ((Q[j * sd:(j + 1) * sd][None, :] - C[j]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )  # (m, k)
+    final_bc = spark.sparkContext.broadcast((C, qd))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        CC, QD = final_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            out = {id_col: pdf[id_col].to_numpy()}
+            adc = np.zeros(len(M), dtype=np.int64)
+            for j in range(CC.shape[0]):
+                S = M[:, j * sd:(j + 1) * sd]
+                Cj = CC[j]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2 * (S @ Cj.T)
+                    + (Cj * Cj).sum(axis=1)[None, :]
+                )
+                code = d2.argmin(axis=1)
+                out[f"code{j}"] = code.astype("int32")
+                adc += QD[j][code]
+            out["adc_d2"] = adc
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, "
+        + ", ".join(f"code{j} int" for j in range(m))
+        + ", adc_d2 long"
+    )
+    return qv.mapInPandas(encode, schema=schema)

@@ -7507,50 +7507,70 @@ def s_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_replay_ctes(k: int, iterations: int, scale: int, shift: int) -> list:
+def _kmeans_replay_ctes(
+    k: int,
+    iterations: int,
+    scale: int,
+    shift: int,
+    prefix: str = "",
+    expl_name: str | None = None,
+) -> list:
     """Shared CTE chain replaying :func:`clustering.kmeans_exact_quantized`
     — the SAME quantization, init, argmin tie-break (lowest cluster),
     floor-division centroid update, and empty-cluster carry, one CTE
     group per iteration.  Exact integer arithmetic end to end (every SUM
     cast to BIGINT: DuckDB widens integer sums to HUGEINT).  Used by the
-    s_kmeans_exact_replay oracle and extended by the
-    d_semdedup_exact_replay one."""
-    ctes = [
-        "expl0 AS (SELECT vec_id, unnest(embedding) AS x,"
-        " unnest(range(0, len(embedding))) AS pos FROM embeddings)",
-        f"expl AS (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {scale})"
-        f" AS BIGINT) + {shift} AS q, CAST(pos AS INTEGER) AS pos FROM expl0)",
-        "cent0 AS (SELECT CAST(r.rk - 1 AS INTEGER) AS cluster, e.pos,"
+    s_kmeans_exact_replay oracle, extended by d_semdedup_exact_replay,
+    and instantiated once per PQ subspace (``prefix``/``expl_name``:
+    every CTE name gets the prefix, and an externally-defined exploded
+    (vec_id, q, pos) table replaces the built-in quantization CTEs) by
+    s_pq_exact_replay."""
+    x = prefix
+    if expl_name is None:
+        expl = f"{x}expl"
+        ctes = [
+            f"{x}expl0 AS (SELECT vec_id, unnest(embedding) AS x,"
+            " unnest(range(0, len(embedding))) AS pos FROM embeddings)",
+            f"{expl} AS (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {scale})"
+            f" AS BIGINT) + {shift} AS q, CAST(pos AS INTEGER) AS pos"
+            f" FROM {x}expl0)",
+        ]
+    else:
+        expl = expl_name
+        ctes = []
+    ctes += [
+        f"{x}cent0 AS (SELECT CAST(r.rk - 1 AS INTEGER) AS cluster, e.pos,"
         " e.q AS c FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id)"
         f" AS rk FROM embeddings ORDER BY vec_id LIMIT {k}) r"
-        " JOIN expl e USING (vec_id))",
+        f" JOIN {expl} e USING (vec_id))",
     ]
     for i in range(1, iterations + 1):
         p = i - 1
         ctes += [
-            f"d{i} AS (SELECT e.vec_id, c.cluster,"
+            f"{x}d{i} AS (SELECT e.vec_id, c.cluster,"
             " SUM((e.q - c.c) * (e.q - c.c)) AS d2"
-            f" FROM expl e JOIN cent{p} c USING (pos)"
+            f" FROM {expl} e JOIN {x}cent{p} c USING (pos)"
             " GROUP BY e.vec_id, c.cluster)",
-            f"a{i} AS (SELECT vec_id, cluster, d2 FROM"
+            f"{x}a{i} AS (SELECT vec_id, cluster, d2 FROM"
             " (SELECT vec_id, cluster, d2, row_number() OVER"
             " (PARTITION BY vec_id ORDER BY d2, cluster) AS rn"
-            f" FROM d{i}) WHERE rn = 1)",
-            f"cnt{i} AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,"
-            f" CAST(SUM(d2) AS BIGINT) AS inert FROM a{i} GROUP BY cluster)",
-            f"sums{i} AS (SELECT a.cluster, e.pos, CAST(SUM(e.q) AS BIGINT)"
-            f" AS s FROM a{i} a JOIN expl e USING (vec_id)"
+            f" FROM {x}d{i}) WHERE rn = 1)",
+            f"{x}cnt{i} AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,"
+            f" CAST(SUM(d2) AS BIGINT) AS inert FROM {x}a{i} GROUP BY cluster)",
+            f"{x}sums{i} AS (SELECT a.cluster, e.pos, CAST(SUM(e.q) AS BIGINT)"
+            f" AS s FROM {x}a{i} a JOIN {expl} e USING (vec_id)"
             " GROUP BY a.cluster, e.pos)",
-            f"cent{i} AS (SELECT p.cluster, p.pos, CASE WHEN c.n > 0 THEN"
+            f"{x}cent{i} AS (SELECT p.cluster, p.pos, CASE WHEN c.n > 0 THEN"
             " CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ELSE p.c END"
-            f" AS c FROM cent{p} p"
-            f" LEFT JOIN cnt{i} c ON c.cluster = p.cluster"
-            f" LEFT JOIN sums{i} s ON s.cluster = p.cluster AND s.pos = p.pos)",
-            f"out{i} AS (SELECT {i} AS iter, p.cluster, p.pos,"
+            f" AS c FROM {x}cent{p} p"
+            f" LEFT JOIN {x}cnt{i} c ON c.cluster = p.cluster"
+            f" LEFT JOIN {x}sums{i} s ON s.cluster = p.cluster"
+            " AND s.pos = p.pos)",
+            f"{x}out{i} AS (SELECT {i} AS iter, p.cluster, p.pos,"
             " p.c AS centroid_q, CAST(COALESCE(c.n, 0) AS BIGINT) AS"
-            f" cluster_n, (SELECT CAST(SUM(inert) AS BIGINT) FROM cnt{i})"
-            f" AS iter_inertia FROM cent{i} p"
-            f" LEFT JOIN cnt{i} c ON c.cluster = p.cluster)",
+            f" cluster_n, (SELECT CAST(SUM(inert) AS BIGINT) FROM {x}cnt{i})"
+            f" AS iter_inertia FROM {x}cent{i} p"
+            f" LEFT JOIN {x}cnt{i} c ON c.cluster = p.cluster)",
         ]
     return ctes
 
@@ -7609,6 +7629,88 @@ def _semdedup_replay_sql(
         " JOIN normsF n1 ON n1.vec_id = d.vec_id"
         " JOIN normsF n2 ON n2.vec_id = d.rep_id"
         " ORDER BY d.vec_id"
+    )
+
+
+def _pq_replay_sql(
+    m: int, k: int, iterations: int, scale: int, dim: int
+) -> str:
+    """s_pq_exact_replay oracle: per-subspace exact-integer k-means
+    chains (the shared kmeans replay CTEs, one prefixed instance per
+    subspace over the sliced positions), then exact encode against the
+    final codebooks and exact ADC against the lowest-vec_id query —
+    mirrors :func:`operators.similarity.pq_exact_quantized` step for
+    step.  ``dim`` is baked in (the fixture's 64); the Spark side reads
+    it from the data and agrees on every testdata SF."""
+    sd = dim // m
+    it = iterations
+    ctes = [
+        "gexpl0 AS (SELECT vec_id, unnest(embedding) AS x,"
+        " unnest(range(0, len(embedding))) AS pos FROM embeddings)",
+        f"gexpl AS (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {scale})"
+        " AS BIGINT) AS q, CAST(pos AS INTEGER) AS pos FROM gexpl0)",
+    ]
+    for j in range(m):
+        lo, hi = j * sd, (j + 1) * sd
+        ctes.append(
+            f"s{j}e AS (SELECT vec_id, q, CAST(pos - {lo} AS INTEGER) AS pos"
+            f" FROM gexpl WHERE pos >= {lo} AND pos < {hi})"
+        )
+        ctes += _kmeans_replay_ctes(
+            k, iterations, scale, shift=0, prefix=f"s{j}", expl_name=f"s{j}e"
+        )
+        ctes += [
+            f"s{j}dF AS (SELECT e.vec_id, c.cluster,"
+            " SUM((e.q - c.c) * (e.q - c.c)) AS d2"
+            f" FROM s{j}e e JOIN s{j}cent{it} c USING (pos)"
+            " GROUP BY e.vec_id, c.cluster)",
+            f"s{j}aF AS (SELECT vec_id, cluster AS code FROM"
+            " (SELECT vec_id, cluster, row_number() OVER"
+            " (PARTITION BY vec_id ORDER BY d2, cluster) AS rn"
+            f" FROM s{j}dF) WHERE rn = 1)",
+            f"s{j}q AS (SELECT pos, q FROM s{j}e"
+            " WHERE vec_id = (SELECT min(vec_id) FROM embeddings))",
+            f"s{j}qd AS (SELECT c.cluster, CAST(SUM((qs.q - c.c) *"
+            f" (qs.q - c.c)) AS BIGINT) AS qd2 FROM s{j}cent{it} c"
+            f" JOIN s{j}q qs USING (pos) GROUP BY c.cluster)",
+        ]
+    code_cols = ", ".join(
+        f"CAST(a{j}.code AS INTEGER) AS code{j}" for j in range(m)
+    )
+    joins = " ".join(
+        f"JOIN s{j}aF a{j} USING (vec_id)" for j in range(1, m)
+    ) + " " + " ".join(
+        f"JOIN s{j}qd q{j} ON q{j}.cluster = a{j}.code" for j in range(m)
+    )
+    adc = " + ".join(f"q{j}.qd2" for j in range(m))
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT a0.vec_id, {code_cols},"
+        f" CAST({adc} AS BIGINT) AS adc_d2"
+        " FROM s0aF a0 " + joins + " ORDER BY a0.vec_id"
+    )
+
+
+@query(
+    "s_pq_exact_replay",
+    oracle=_pq_replay_sql(m=4, k=4, iterations=2, scale=500, dim=64),
+)
+def s_pq_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-value product-quantization oracle (r10, third of the
+    exact-replay family): `operators/similarity.py:pq_exact_quantized`
+    — per-subspace integer-exact Lloyd's codebooks (m=4 subspaces of
+    the 64-dim fixture, k=4, 2 iterations, all subspaces trained in ONE
+    Arrow pass per iteration), exact per-subspace encode, and exact ADC
+    distance of every vector's code against the lowest-vec_id query.
+    Every code and every ADC distance hash-matches the unrolled DuckDB
+    replay — upgrading the PQ family from the float pipeline's
+    reconstruction-error invariants to full values."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_exact_quantized(
+        emb, m=4, k=4, iterations=2, scale=500
     )
 
 

@@ -1119,3 +1119,66 @@ def test_semantic_dedup_exact_flags_planted_near_dup(spark):
     }
     rep = out[10][1]
     assert out[10][2] == int((q[10] * q[rep]).sum())
+
+
+def test_pq_exact_quantized_matches_numpy_replay(spark):
+    """pq_exact_quantized must equal a straight NumPy replay of its
+    spec (per-subspace quantized Lloyd's, exact encode, exact ADC
+    against the lowest-id query) — the in-Python mirror of the DuckDB
+    oracle for s_pq_exact_replay."""
+    import numpy as np
+
+    from datafusion_randgen_spark.operators import similarity
+
+    vecs = [
+        [((i * 13 + j * 7) % 11 - 5) / 6.0 for j in range(8)]
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    m, k, iters, scale, sd = 2, 3, 2, 500, 4
+    got = {
+        r.vec_id: (r.code0, r.code1, r.adc_d2)
+        for r in similarity.pq_exact_quantized(
+            df, m=m, k=k, iterations=iters, scale=scale
+        ).collect()
+    }
+
+    Q = np.floor(
+        np.array([[np.float32(x) for x in v] for v in vecs], dtype=np.float64)
+        * scale
+    ).astype(np.int64)
+    C = np.stack([Q[:k, j * sd:(j + 1) * sd].copy() for j in range(m)])
+    for _ in range(iters):
+        newC = C.copy()
+        for j in range(m):
+            S = Q[:, j * sd:(j + 1) * sd]
+            d2 = (
+                (S * S).sum(1)[:, None] - 2 * (S @ C[j].T)
+                + (C[j] * C[j]).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            for c in range(k):
+                msk = a == c
+                if msk.sum() > 0:
+                    newC[j, c] = S[msk].sum(0) // int(msk.sum())
+        C = newC
+    codes = np.zeros((len(vecs), m), dtype=int)
+    for j in range(m):
+        S = Q[:, j * sd:(j + 1) * sd]
+        d2 = (
+            (S * S).sum(1)[:, None] - 2 * (S @ C[j].T)
+            + (C[j] * C[j]).sum(1)[None, :]
+        )
+        codes[:, j] = d2.argmin(1)
+    qv = Q[0]
+    want = {}
+    for i in range(len(vecs)):
+        adc = 0
+        for j in range(m):
+            diff = qv[j * sd:(j + 1) * sd] - C[j][codes[i, j]]
+            adc += int((diff * diff).sum())
+        want[i] = (codes[i, 0], codes[i, 1], adc)
+    assert got == want
