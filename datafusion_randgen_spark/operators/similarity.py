@@ -670,6 +670,77 @@ def embedding_near_dup_pairs_exact(
     )
 
 
+def _pq_train_exact(
+    qv: DataFrame, C0: "np.ndarray", m: int, k: int, sd: int, iterations: int
+) -> "np.ndarray":
+    """The exact per-subspace Lloyd's loop shared by
+    :func:`pq_exact_quantized` (codebooks over quantized vectors) and
+    :func:`ivfpq_exact_quantized` (codebooks over quantized RESIDUALS):
+    ``qv`` is an (id, qv array<long>) frame; all m subspaces train in
+    the SAME Arrow pass per iteration (one scan trains everything);
+    first-min argmin ties, floor-division updates, empty clusters
+    carry — bit-replayable in SQL."""
+    from collections.abc import Iterator
+
+    spark = qv.sparkSession
+    C = C0
+    for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(C)
+
+        def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            CC = bc.value  # (m, k, sd) int64
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+                rows = []
+                for j in range(CC.shape[0]):
+                    S = M[:, j * sd:(j + 1) * sd]
+                    Cj = CC[j]
+                    d2 = (
+                        (S * S).sum(axis=1)[:, None]
+                        - 2 * (S @ Cj.T)
+                        + (Cj * Cj).sum(axis=1)[None, :]
+                    )
+                    a = d2.argmin(axis=1)  # first min = lowest code
+                    for c in np.unique(a):
+                        mask = a == c
+                        rows.append(
+                            {
+                                "sub": int(j),
+                                "cluster": int(c),
+                                "cnt": int(mask.sum()),
+                                "sums": S[mask].sum(axis=0).tolist(),
+                            }
+                        )
+                yield pd.DataFrame(rows)
+
+        partials = qv.select("qv").mapInPandas(
+            stats, schema="sub int, cluster int, cnt long, sums array<long>"
+        ).localCheckpoint(eager=True)
+        cnts = {
+            (r["sub"], r["cluster"]): int(r["cnt"])
+            for r in partials.groupBy("sub", "cluster")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        acc = np.zeros((m, k, sd), dtype=np.int64)
+        for r in (
+            partials.select("sub", "cluster", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        ):
+            acc[r["sub"], r["cluster"], r["pos"]] = r["s"]
+        newC = C.copy()
+        for (j, c), n in cnts.items():
+            if n > 0:
+                newC[j, c] = acc[j, c] // n  # floor division, exact
+        C = newC
+        bc.destroy()
+    return C
+
+
 def pq_exact_quantized(
     embeddings: DataFrame,
     m: int = 4,
@@ -722,61 +793,7 @@ def pq_exact_quantized(
         raise ValueError(f"pq_exact_quantized: k={k} exceeds input size")
     V0 = np.array([r[0] for r in init], dtype=np.int64)  # (k, dim)
     C = np.stack([V0[:, j * sd:(j + 1) * sd] for j in range(m)])  # (m,k,sd)
-
-    for _ in range(iterations):
-        bc = spark.sparkContext.broadcast(C)
-
-        def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            CC = bc.value  # (m, k, sd) int64
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                M = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
-                rows = []
-                for j in range(CC.shape[0]):
-                    S = M[:, j * sd:(j + 1) * sd]
-                    Cj = CC[j]
-                    d2 = (
-                        (S * S).sum(axis=1)[:, None]
-                        - 2 * (S @ Cj.T)
-                        + (Cj * Cj).sum(axis=1)[None, :]
-                    )
-                    a = d2.argmin(axis=1)  # first min = lowest code
-                    for c in np.unique(a):
-                        mask = a == c
-                        rows.append(
-                            {
-                                "sub": int(j),
-                                "cluster": int(c),
-                                "cnt": int(mask.sum()),
-                                "sums": S[mask].sum(axis=0).tolist(),
-                            }
-                        )
-                yield pd.DataFrame(rows)
-
-        partials = qv.mapInPandas(
-            stats, schema="sub int, cluster int, cnt long, sums array<long>"
-        ).localCheckpoint(eager=True)
-        cnts = {
-            (r["sub"], r["cluster"]): int(r["cnt"])
-            for r in partials.groupBy("sub", "cluster")
-            .agg(F.sum("cnt").alias("cnt"))
-            .collect()
-        }
-        acc = np.zeros((m, k, sd), dtype=np.int64)
-        for r in (
-            partials.select("sub", "cluster", F.posexplode("sums").alias("pos", "s"))
-            .groupBy("sub", "cluster", "pos")
-            .agg(F.sum("s").alias("s"))
-            .collect()
-        ):
-            acc[r["sub"], r["cluster"], r["pos"]] = r["s"]
-        newC = C.copy()
-        for (j, c), n in cnts.items():
-            if n > 0:
-                newC[j, c] = acc[j, c] // n  # floor division, exact
-        C = newC
-        bc.destroy()
+    C = _pq_train_exact(qv, C, m, k, sd, iterations)
 
     # exact encode + ADC against the lowest-id vector as query
     qrow = qv.orderBy(id_col).limit(1).select("qv").collect()[0][0]
@@ -818,3 +835,141 @@ def pq_exact_quantized(
         + ", adc_d2 long"
     )
     return qv.mapInPandas(encode, schema=schema)
+
+
+def ivfpq_exact_quantized(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    coarse_iterations: int = 2,
+    m: int = 4,
+    k: int = 4,
+    pq_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 500,
+) -> DataFrame:
+    """IVF-PQ with EVERY step exact — the full-value oracle twin of
+    :func:`ivfpq_train` / :func:`ivfpq_adc_scores` (whose float coarse
+    cells, residual codebooks, and ADC sums can only be
+    invariant-checked).
+
+    Pipeline, all int64: floor-quantize (no shift — residuals need
+    true signs); coarse cells from the exact integer Lloyd's
+    (``clustering.kmeans_exact_quantized``); per-vector RESIDUAL
+    ``r = q − coarse[cell]`` computed row-locally by Catalyst folds
+    (vectors never shuffle); per-subspace residual codebooks from the
+    shared exact PQ trainer (:func:`_pq_train_exact` — all m subspaces
+    in one Arrow pass per iteration); exact encode; exact IVF-ADC
+    against the corpus's lowest-id vector as query — for a vector v in
+    cell c the score is ``Σ_j d2((query − coarse[c])_sub_j,
+    codebook_j[code_j(v)])``, i.e. one exact per-cell LUT, the true
+    IVF-PQ identity.  Bounds: |q| ≤ ~300 at scale 500 ⇒ |residual| ≤
+    ~600 ⇒ subspace d2 ≤ ~2.4e7, ADC ≤ ~1e8 — far inside int64.
+
+    Returns ``(vec_id, cell, code0..code{m-1}, adc_d2)`` — every value
+    replayed bit-for-bit by the DuckDB oracle.
+    """
+    from collections.abc import Iterator
+
+    from datafusion_randgen_spark.operators.clustering import (
+        kmeans_exact_quantized,
+    )
+
+    spark = embeddings.sparkSession
+    dim_row = embeddings.select(F.size(vec_col)).first()
+    if dim_row is None:
+        raise ValueError("ivfpq_exact_quantized: input DataFrame is empty")
+    dim = dim_row[0]
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_exact_quantized: dim {dim} % m={m} != 0")
+    sd = dim // m
+    _, CC = kmeans_exact_quantized(
+        embeddings, k=n_cells, iterations=coarse_iterations,
+        id_col=id_col, vec_col=vec_col, scale=scale, shift=0,
+    )  # (n_cells, dim) int64
+    qv = embeddings.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {scale}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    # row-local exact cell assignment + residual (Catalyst folds over
+    # broadcast-literal coarse centroids — no shuffle, no Python)
+    d2_exprs = [
+        "aggregate(zip_with(qv, array({}), (x, c) -> (x - c) * (x - c)),"
+        " 0L, (acc, v) -> acc + v)".format(
+            ", ".join(f"{int(v)}L" for v in CC[c])
+        )
+        for c in range(n_cells)
+    ]
+    best = "array_position(array({d}), array_min(array({d}))) - 1".format(
+        d=", ".join(d2_exprs)
+    )
+    cents_lit = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(f"{int(v)}L" for v in CC[c]))
+            for c in range(n_cells)
+        )
+    )
+    rqv = qv.select(
+        F.col(id_col),
+        F.expr(best).cast("int").alias("cell"),
+        F.expr(
+            f"zip_with(qv, element_at({cents_lit},"
+            f" CAST({best} AS INT) + 1), (x, c) -> x - c)"
+        ).alias("qv"),  # residual, named qv for the shared trainer
+    )
+    init = rqv.orderBy(id_col).limit(k).select("qv").collect()
+    if len(init) < k:
+        raise ValueError(f"ivfpq_exact_quantized: k={k} exceeds input size")
+    V0 = np.array([r[0] for r in init], dtype=np.int64)
+    C0 = np.stack([V0[:, j * sd:(j + 1) * sd] for j in range(m)])
+    C = _pq_train_exact(rqv, C0, m, k, sd, pq_iterations)
+
+    # exact per-cell query LUT: query residual in cell c vs codebook j
+    Q = np.array(
+        qv.orderBy(id_col).limit(1).select("qv").collect()[0][0],
+        dtype=np.int64,
+    )
+    qd = np.zeros((n_cells, m, k), dtype=np.int64)
+    for c in range(n_cells):
+        qr = Q - CC[c]
+        for j in range(m):
+            qd[c, j] = (
+                (qr[j * sd:(j + 1) * sd][None, :] - C[j]) ** 2
+            ).sum(axis=1)
+    final_bc = spark.sparkContext.broadcast((C, qd))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cb, QD = final_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            cells = pdf["cell"].to_numpy().astype(np.int64)
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "cell": cells.astype("int32"),
+            }
+            adc = np.zeros(len(M), dtype=np.int64)
+            for j in range(Cb.shape[0]):
+                S = M[:, j * sd:(j + 1) * sd]
+                Cj = Cb[j]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2 * (S @ Cj.T)
+                    + (Cj * Cj).sum(axis=1)[None, :]
+                )
+                code = d2.argmin(axis=1)
+                out[f"code{j}"] = code.astype("int32")
+                adc += QD[cells, j, code]
+            out["adc_d2"] = adc
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} long, cell int, "
+        + ", ".join(f"code{j} int" for j in range(m))
+        + ", adc_d2 long"
+    )
+    return rqv.mapInPandas(encode, schema=schema)

@@ -7529,9 +7529,9 @@ def _kmeans_replay_ctes(
     if expl_name is None:
         expl = f"{x}expl"
         ctes = [
-            f"{x}expl0 AS (SELECT vec_id, unnest(embedding) AS x,"
+            f"{x}expl0 AS MATERIALIZED (SELECT vec_id, unnest(embedding) AS x,"
             " unnest(range(0, len(embedding))) AS pos FROM embeddings)",
-            f"{expl} AS (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {scale})"
+            f"{expl} AS MATERIALIZED (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {scale})"
             f" AS BIGINT) + {shift} AS q, CAST(pos AS INTEGER) AS pos"
             f" FROM {x}expl0)",
         ]
@@ -7539,7 +7539,7 @@ def _kmeans_replay_ctes(
         expl = expl_name
         ctes = []
     ctes += [
-        f"{x}cent0 AS (SELECT CAST(r.rk - 1 AS INTEGER) AS cluster, e.pos,"
+        f"{x}cent0 AS MATERIALIZED (SELECT CAST(r.rk - 1 AS INTEGER) AS cluster, e.pos,"
         " e.q AS c FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id)"
         f" AS rk FROM embeddings ORDER BY vec_id LIMIT {k}) r"
         f" JOIN {expl} e USING (vec_id))",
@@ -7547,26 +7547,26 @@ def _kmeans_replay_ctes(
     for i in range(1, iterations + 1):
         p = i - 1
         ctes += [
-            f"{x}d{i} AS (SELECT e.vec_id, c.cluster,"
+            f"{x}d{i} AS MATERIALIZED (SELECT e.vec_id, c.cluster,"
             " SUM((e.q - c.c) * (e.q - c.c)) AS d2"
             f" FROM {expl} e JOIN {x}cent{p} c USING (pos)"
             " GROUP BY e.vec_id, c.cluster)",
-            f"{x}a{i} AS (SELECT vec_id, cluster, d2 FROM"
+            f"{x}a{i} AS MATERIALIZED (SELECT vec_id, cluster, d2 FROM"
             " (SELECT vec_id, cluster, d2, row_number() OVER"
             " (PARTITION BY vec_id ORDER BY d2, cluster) AS rn"
             f" FROM {x}d{i}) WHERE rn = 1)",
-            f"{x}cnt{i} AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,"
+            f"{x}cnt{i} AS MATERIALIZED (SELECT cluster, CAST(count(*) AS BIGINT) AS n,"
             f" CAST(SUM(d2) AS BIGINT) AS inert FROM {x}a{i} GROUP BY cluster)",
-            f"{x}sums{i} AS (SELECT a.cluster, e.pos, CAST(SUM(e.q) AS BIGINT)"
+            f"{x}sums{i} AS MATERIALIZED (SELECT a.cluster, e.pos, CAST(SUM(e.q) AS BIGINT)"
             f" AS s FROM {x}a{i} a JOIN {expl} e USING (vec_id)"
             " GROUP BY a.cluster, e.pos)",
-            f"{x}cent{i} AS (SELECT p.cluster, p.pos, CASE WHEN c.n > 0 THEN"
+            f"{x}cent{i} AS MATERIALIZED (SELECT p.cluster, p.pos, CASE WHEN c.n > 0 THEN"
             " CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ELSE p.c END"
             f" AS c FROM {x}cent{p} p"
             f" LEFT JOIN {x}cnt{i} c ON c.cluster = p.cluster"
             f" LEFT JOIN {x}sums{i} s ON s.cluster = p.cluster"
             " AND s.pos = p.pos)",
-            f"{x}out{i} AS (SELECT {i} AS iter, p.cluster, p.pos,"
+            f"{x}out{i} AS MATERIALIZED (SELECT {i} AS iter, p.cluster, p.pos,"
             " p.c AS centroid_q, CAST(COALESCE(c.n, 0) AS BIGINT) AS"
             f" cluster_n, (SELECT CAST(SUM(inert) AS BIGINT) FROM {x}cnt{i})"
             f" AS iter_inertia FROM {x}cent{i} p"
@@ -7600,19 +7600,19 @@ def _semdedup_replay_sql(
     it = iterations
     ctes = _kmeans_replay_ctes(k, iterations, scale, shift=0)
     ctes += [
-        f"dF AS (SELECT e.vec_id, c.cluster,"
+        f"dF AS MATERIALIZED (SELECT e.vec_id, c.cluster,"
         " SUM((e.q - c.c) * (e.q - c.c)) AS d2"
         f" FROM expl e JOIN cent{it} c USING (pos)"
         " GROUP BY e.vec_id, c.cluster)",
-        "aF AS (SELECT vec_id, cluster FROM"
+        "aF AS MATERIALIZED (SELECT vec_id, cluster FROM"
         " (SELECT vec_id, cluster, row_number() OVER"
         " (PARTITION BY vec_id ORDER BY d2, cluster) AS rn"
         " FROM dF) WHERE rn = 1)",
-        "repsF AS (SELECT cluster, min(vec_id) AS rep_id"
+        "repsF AS MATERIALIZED (SELECT cluster, min(vec_id) AS rep_id"
         " FROM aF GROUP BY cluster)",
-        "normsF AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2"
+        "normsF AS MATERIALIZED (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2"
         " FROM expl GROUP BY vec_id)",
-        "dotsF AS (SELECT m.vec_id, m.cluster, r.rep_id,"
+        "dotsF AS MATERIALIZED (SELECT m.vec_id, m.cluster, r.rep_id,"
         " CAST(SUM(e1.q * e2.q) AS BIGINT) AS dot"
         " FROM aF m JOIN repsF r USING (cluster)"
         " JOIN expl e1 ON e1.vec_id = m.vec_id"
@@ -7645,32 +7645,32 @@ def _pq_replay_sql(
     sd = dim // m
     it = iterations
     ctes = [
-        "gexpl0 AS (SELECT vec_id, unnest(embedding) AS x,"
+        "gexpl0 AS MATERIALIZED (SELECT vec_id, unnest(embedding) AS x,"
         " unnest(range(0, len(embedding))) AS pos FROM embeddings)",
-        f"gexpl AS (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {scale})"
+        f"gexpl AS MATERIALIZED (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {scale})"
         " AS BIGINT) AS q, CAST(pos AS INTEGER) AS pos FROM gexpl0)",
     ]
     for j in range(m):
         lo, hi = j * sd, (j + 1) * sd
         ctes.append(
-            f"s{j}e AS (SELECT vec_id, q, CAST(pos - {lo} AS INTEGER) AS pos"
+            f"s{j}e AS MATERIALIZED (SELECT vec_id, q, CAST(pos - {lo} AS INTEGER) AS pos"
             f" FROM gexpl WHERE pos >= {lo} AND pos < {hi})"
         )
         ctes += _kmeans_replay_ctes(
             k, iterations, scale, shift=0, prefix=f"s{j}", expl_name=f"s{j}e"
         )
         ctes += [
-            f"s{j}dF AS (SELECT e.vec_id, c.cluster,"
+            f"s{j}dF AS MATERIALIZED (SELECT e.vec_id, c.cluster,"
             " SUM((e.q - c.c) * (e.q - c.c)) AS d2"
             f" FROM s{j}e e JOIN s{j}cent{it} c USING (pos)"
             " GROUP BY e.vec_id, c.cluster)",
-            f"s{j}aF AS (SELECT vec_id, cluster AS code FROM"
+            f"s{j}aF AS MATERIALIZED (SELECT vec_id, cluster AS code FROM"
             " (SELECT vec_id, cluster, row_number() OVER"
             " (PARTITION BY vec_id ORDER BY d2, cluster) AS rn"
             f" FROM s{j}dF) WHERE rn = 1)",
-            f"s{j}q AS (SELECT pos, q FROM s{j}e"
+            f"s{j}q AS MATERIALIZED (SELECT pos, q FROM s{j}e"
             " WHERE vec_id = (SELECT min(vec_id) FROM embeddings))",
-            f"s{j}qd AS (SELECT c.cluster, CAST(SUM((qs.q - c.c) *"
+            f"s{j}qd AS MATERIALIZED (SELECT c.cluster, CAST(SUM((qs.q - c.c) *"
             f" (qs.q - c.c)) AS BIGINT) AS qd2 FROM s{j}cent{it} c"
             f" JOIN s{j}q qs USING (pos) GROUP BY c.cluster)",
         ]
@@ -7711,6 +7711,121 @@ def s_pq_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_exact_quantized(
         emb, m=4, k=4, iterations=2, scale=500
+    )
+
+
+def _ivfpq_replay_sql(
+    n_cells: int,
+    coarse_iterations: int,
+    m: int,
+    k: int,
+    pq_iterations: int,
+    scale: int,
+    dim: int,
+) -> str:
+    """s_ivfpq_exact_replay oracle: coarse exact-kmeans chain → final
+    cell assignment → residual explosion (q − coarse[cell]) →
+    per-subspace exact residual-codebook chains → exact encode → exact
+    per-cell query LUT ADC — mirrors
+    :func:`operators.similarity.ivfpq_exact_quantized` step for step.
+    ``dim`` baked in (the fixture's 64)."""
+    sd = dim // m
+    cit, pit = coarse_iterations, pq_iterations
+    ctes = [
+        "gexpl0 AS MATERIALIZED (SELECT vec_id, unnest(embedding) AS x,"
+        " unnest(range(0, len(embedding))) AS pos FROM embeddings)",
+        f"gexpl AS MATERIALIZED (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {scale})"
+        " AS BIGINT) AS q, CAST(pos AS INTEGER) AS pos FROM gexpl0)",
+    ]
+    ctes += _kmeans_replay_ctes(
+        n_cells, coarse_iterations, scale, shift=0,
+        prefix="c", expl_name="gexpl",
+    )
+    ctes += [
+        "cdF AS MATERIALIZED (SELECT e.vec_id, c.cluster,"
+        " SUM((e.q - c.c) * (e.q - c.c)) AS d2"
+        f" FROM gexpl e JOIN ccent{cit} c USING (pos)"
+        " GROUP BY e.vec_id, c.cluster)",
+        "caF AS MATERIALIZED (SELECT vec_id, cluster AS cell FROM"
+        " (SELECT vec_id, cluster, row_number() OVER"
+        " (PARTITION BY vec_id ORDER BY d2, cluster) AS rn"
+        " FROM cdF) WHERE rn = 1)",
+        "rexpl AS MATERIALIZED (SELECT e.vec_id, e.pos, e.q - cc.c AS q"
+        " FROM gexpl e JOIN caF a USING (vec_id)"
+        f" JOIN ccent{cit} cc ON cc.cluster = a.cell AND cc.pos = e.pos)",
+        "qrexpl AS MATERIALIZED (SELECT cc.cluster AS cell, e.pos, e.q - cc.c AS q"
+        f" FROM gexpl e JOIN ccent{cit} cc ON cc.pos = e.pos"
+        " WHERE e.vec_id = (SELECT min(vec_id) FROM embeddings))",
+    ]
+    for j in range(m):
+        lo, hi = j * sd, (j + 1) * sd
+        ctes.append(
+            f"r{j}e AS MATERIALIZED (SELECT vec_id, q, CAST(pos - {lo} AS INTEGER) AS pos"
+            f" FROM rexpl WHERE pos >= {lo} AND pos < {hi})"
+        )
+        ctes += _kmeans_replay_ctes(
+            k, pq_iterations, scale, shift=0,
+            prefix=f"r{j}", expl_name=f"r{j}e",
+        )
+        ctes += [
+            f"r{j}dF AS MATERIALIZED (SELECT e.vec_id, c.cluster,"
+            " SUM((e.q - c.c) * (e.q - c.c)) AS d2"
+            f" FROM r{j}e e JOIN r{j}cent{pit} c USING (pos)"
+            " GROUP BY e.vec_id, c.cluster)",
+            f"r{j}aF AS MATERIALIZED (SELECT vec_id, cluster AS code FROM"
+            " (SELECT vec_id, cluster, row_number() OVER"
+            " (PARTITION BY vec_id ORDER BY d2, cluster) AS rn"
+            f" FROM r{j}dF) WHERE rn = 1)",
+            f"r{j}qd AS MATERIALIZED (SELECT qr.cell, c.cluster,"
+            " CAST(SUM((qr.q - c.c) * (qr.q - c.c)) AS BIGINT) AS qd2"
+            f" FROM r{j}cent{pit} c JOIN (SELECT cell,"
+            f" CAST(pos - {lo} AS INTEGER) AS pos, q FROM qrexpl"
+            f" WHERE pos >= {lo} AND pos < {hi}) qr USING (pos)"
+            " GROUP BY qr.cell, c.cluster)",
+        ]
+    code_cols = ", ".join(
+        f"CAST(a{j}.code AS INTEGER) AS code{j}" for j in range(m)
+    )
+    joins = " ".join(
+        f"JOIN r{j}aF a{j} USING (vec_id)" for j in range(m)
+    ) + " " + " ".join(
+        f"JOIN r{j}qd q{j} ON q{j}.cell = ca.cell"
+        f" AND q{j}.cluster = a{j}.code" for j in range(m)
+    )
+    adc = " + ".join(f"q{j}.qd2" for j in range(m))
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT ca.vec_id, CAST(ca.cell AS INTEGER) AS cell,"
+        f" {code_cols}, CAST({adc} AS BIGINT) AS adc_d2"
+        " FROM caF ca " + joins + " ORDER BY ca.vec_id"
+    )
+
+
+@query(
+    "s_ivfpq_exact_replay",
+    oracle=_ivfpq_replay_sql(
+        n_cells=4, coarse_iterations=2, m=4, k=4, pq_iterations=2,
+        scale=500, dim=64,
+    ),
+)
+def s_ivfpq_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-value IVF-PQ oracle (r10, fourth of the exact-replay
+    family): `operators/similarity.py:ivfpq_exact_quantized` — exact
+    coarse cells, row-local integer residuals, per-subspace exact
+    residual codebooks (one Arrow pass per iteration via the shared
+    trainer), exact encode, and exact per-cell-LUT ADC against the
+    lowest-vec_id query (the true IVF-PQ identity: the query's residual
+    is taken in the SCORED vector's cell).  Every cell id, code, and
+    ADC distance hash-matches the unrolled DuckDB replay — upgrading
+    IVF-PQ verification from candidate-set invariants to full
+    values."""
+    _prep(spark, sf_dir)
+    from datafusion_randgen_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_exact_quantized(
+        emb, n_cells=4, coarse_iterations=2, m=4, k=4, pq_iterations=2,
+        scale=500,
     )
 
 

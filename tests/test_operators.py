@@ -1182,3 +1182,81 @@ def test_pq_exact_quantized_matches_numpy_replay(spark):
             adc += int((diff * diff).sum())
         want[i] = (codes[i, 0], codes[i, 1], adc)
     assert got == want
+
+
+def test_ivfpq_exact_quantized_matches_numpy_replay(spark):
+    """ivfpq_exact_quantized must equal a straight NumPy replay of its
+    spec: exact coarse cells -> integer residuals -> per-subspace exact
+    residual codebooks -> exact encode -> exact per-cell-LUT ADC — the
+    in-Python mirror of the DuckDB oracle for s_ivfpq_exact_replay."""
+    import numpy as np
+
+    from datafusion_randgen_spark.operators import similarity
+
+    vecs = [
+        [((i * 17 + j * 5) % 13 - 6) / 7.0 for j in range(8)]
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    nc, cit, m, k, pit, scale, sd = 2, 2, 2, 2, 2, 500, 4
+    got = {
+        r.vec_id: (r.cell, r.code0, r.code1, r.adc_d2)
+        for r in similarity.ivfpq_exact_quantized(
+            df, n_cells=nc, coarse_iterations=cit, m=m, k=k,
+            pq_iterations=pit, scale=scale,
+        ).collect()
+    }
+
+    Q = np.floor(
+        np.array([[np.float32(x) for x in v] for v in vecs], dtype=np.float64)
+        * scale
+    ).astype(np.int64)
+
+    def lloyd(X, C, iters):
+        C = C.copy()
+        for _ in range(iters):
+            d2 = (
+                (X * X).sum(1)[:, None] - 2 * (X @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            newC = C.copy()
+            for c in range(len(C)):
+                msk = a == c
+                if msk.sum() > 0:
+                    newC[c] = X[msk].sum(0) // int(msk.sum())
+            C = newC
+        return C
+
+    def assign(X, C):
+        d2 = (
+            (X * X).sum(1)[:, None] - 2 * (X @ C.T) + (C * C).sum(1)[None, :]
+        )
+        return d2.argmin(1)
+
+    CC = lloyd(Q, Q[:nc].copy(), cit)
+    cells = assign(Q, CC)
+    R = Q - CC[cells]
+    PQ = [
+        lloyd(
+            R[:, j * sd:(j + 1) * sd],
+            R[:k, j * sd:(j + 1) * sd].copy(),
+            pit,
+        )
+        for j in range(m)
+    ]
+    codes = np.stack(
+        [assign(R[:, j * sd:(j + 1) * sd], PQ[j]) for j in range(m)], axis=1
+    )
+    want = {}
+    for i in range(len(vecs)):
+        qr = Q[0] - CC[cells[i]]
+        adc = 0
+        for j in range(m):
+            diff = qr[j * sd:(j + 1) * sd] - PQ[j][codes[i, j]]
+            adc += int((diff * diff).sum())
+        want[i] = (cells[i], codes[i, 0], codes[i, 1], adc)
+    assert got == want
