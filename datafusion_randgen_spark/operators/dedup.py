@@ -1149,7 +1149,13 @@ def semantic_dedup_exact(
     Scale shape: quantization is row-local; assignment is one broadcast
     + Arrow map pass (vectors never shuffle); the rep join broadcasts
     the k-row rep table; dot/norm folds are row-local Catalyst
-    aggregates.  Returns ``(vec_id, cluster, rep_id, dot, is_dup)``.
+    aggregates.  Scan honesty: as a VERIFICATION entry this function
+    re-quantizes the corpus for the training phase and again for the
+    prune phase (Lloyd's itself is one scan per iteration — inherent);
+    a production deployment would ``localCheckpoint`` the 8-byte
+    quantized projection once and feed both phases from the pin, the
+    :func:`skew_routed_dedup_labels` pattern.
+    Returns ``(vec_id, cluster, rep_id, dot, is_dup)``.
     """
     from datafusion_randgen_spark.operators.clustering import (
         kmeans_exact_quantized,

@@ -769,7 +769,11 @@ def pq_exact_quantized(
     bounds).
 
     Returns a DataFrame ``(vec_id, code0..code{m-1}, adc_d2)`` whose
-    every value the DuckDB oracle replays bit-for-bit.
+    every value the DuckDB oracle replays bit-for-bit.  Scan honesty:
+    this verification entry re-derives the quantized projection for
+    training and for the encode pass; a production deployment would
+    pin the 8-byte frame once (``localCheckpoint``) and feed both from
+    it.
     """
     from collections.abc import Iterator
 
@@ -867,7 +871,10 @@ def ivfpq_exact_quantized(
     ~600 ⇒ subspace d2 ≤ ~2.4e7, ADC ≤ ~1e8 — far inside int64.
 
     Returns ``(vec_id, cell, code0..code{m-1}, adc_d2)`` — every value
-    replayed bit-for-bit by the DuckDB oracle.
+    replayed bit-for-bit by the DuckDB oracle.  Scan honesty: as a
+    verification entry this re-derives the quantized/residual frames
+    per phase (coarse training, residual training, encode); a
+    production deployment pins each 8-byte projection once.
     """
     from collections.abc import Iterator
 
