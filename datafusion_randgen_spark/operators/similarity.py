@@ -919,12 +919,19 @@ def ivfpq_exact_quantized(
             for c in range(n_cells)
         )
     )
+    # two-step select: the n_cells-way argmin fold evaluates ONCE per
+    # row; the residual then indexes the centroid literal by the cell
+    # column instead of re-deriving the argmin
     rqv = qv.select(
         F.col(id_col),
         F.expr(best).cast("int").alias("cell"),
+        "qv",
+    ).select(
+        F.col(id_col),
+        "cell",
         F.expr(
-            f"zip_with(qv, element_at({cents_lit},"
-            f" CAST({best} AS INT) + 1), (x, c) -> x - c)"
+            f"zip_with(qv, element_at({cents_lit}, cell + 1),"
+            " (x, c) -> x - c)"
         ).alias("qv"),  # residual, named qv for the shared trainer
     )
     init = rqv.orderBy(id_col).limit(k).select("qv").collect()
