@@ -388,7 +388,10 @@ def main() -> None:
             try:
                 with open(hist_path) as fh:
                     for ln in fh:
-                        ent = json.loads(ln)
+                        try:
+                            ent = json.loads(ln)
+                        except ValueError:
+                            continue  # one bad line must not kill drift
                         if (
                             ent.get("round") == prev_round
                             and ent.get("queries")
