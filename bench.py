@@ -345,6 +345,9 @@ def main() -> None:
     # written by every run) when available — the stdout BENCH line may
     # be truncated to the slowest ~20 queries (ADVICE r9: a truncated
     # prev map biases shared-query drift toward slow queries).
+    # Round inference runs BEFORE the drift block (ADVICE r10): the
+    # history append below reads detail["this_round"], so a drift-block
+    # failure must not leave the history entry with round: null.
     try:
         import glob
         import re as _re
@@ -367,6 +370,11 @@ def main() -> None:
             ) else 0
         ))
         detail["this_round"] = cur_round
+    except (OSError, ValueError):
+        cur_round = None
+    try:
+        if cur_round is None:
+            raise ValueError("round inference failed")
         hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
         benches = sorted(
             (p for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))

@@ -151,7 +151,7 @@ def kmeans_exact_quantized(
     vec_col: str = "embedding",
     scale: int = 1000,
     shift: int = 1024,
-) -> list[tuple[int, int, int, int, int, int]]:
+) -> tuple[list[tuple[int, int, int, int, int, int]], np.ndarray]:
     """Integer-quantized Lloyd's whose EVERY arithmetic step is exact,
     so the full per-iteration trajectory is cross-engine hashable — the
     full-value oracle twin of :func:`kmeans` (whose float centroid

@@ -1183,16 +1183,25 @@ def semantic_dedup_exact(
         )
         for c in range(k)
     ]
-    best = "array_position(array({d}), array_min(array({d}))) - 1".format(
-        d=", ".join(d2_exprs)
-    )
-    asg = qv.select(
+    # Two-step select (the IVF-PQ pattern, similarity.py): materialize
+    # the k-element distance array ONCE, then argmin over the column —
+    # otherwise array_position + array_min each embed all k folds and
+    # the row cost doubles unless Catalyst happens to CSE them.
+    qd = qv.select(
         F.col(id_col),
         "qv",
-        F.expr(best).cast("int").alias("cluster"),
+        F.expr("array({})".format(", ".join(d2_exprs))).alias("d2s"),
         F.expr(
             "aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"
         ).alias("n2"),
+    )
+    asg = qd.select(
+        F.col(id_col),
+        "qv",
+        F.expr("array_position(d2s, array_min(d2s)) - 1")
+        .cast("int")
+        .alias("cluster"),
+        "n2",
     )
     reps = (
         asg.groupBy("cluster")

@@ -910,21 +910,26 @@ def ivfpq_exact_quantized(
         )
         for c in range(n_cells)
     ]
-    best = "array_position(array({d}), array_min(array({d}))) - 1".format(
-        d=", ".join(d2_exprs)
-    )
     cents_lit = "array({})".format(
         ", ".join(
             "array({})".format(", ".join(f"{int(v)}L" for v in CC[c]))
             for c in range(n_cells)
         )
     )
-    # two-step select: the n_cells-way argmin fold evaluates ONCE per
-    # row; the residual then indexes the centroid literal by the cell
-    # column instead of re-deriving the argmin
+    # three-step select: materialize the n_cells-element distance array
+    # ONCE, argmin over the column (array_position + array_min would
+    # otherwise each embed all n_cells folds), then the residual
+    # indexes the centroid literal by the cell column instead of
+    # re-deriving the argmin
     rqv = qv.select(
         F.col(id_col),
-        F.expr(best).cast("int").alias("cell"),
+        F.expr("array({})".format(", ".join(d2_exprs))).alias("d2s"),
+        "qv",
+    ).select(
+        F.col(id_col),
+        F.expr("array_position(d2s, array_min(d2s)) - 1")
+        .cast("int")
+        .alias("cell"),
         "qv",
     ).select(
         F.col(id_col),

@@ -7561,7 +7561,11 @@ def _kmeans_replay_ctes(
             f" AS s FROM {x}a{i} a JOIN {expl} e USING (vec_id)"
             " GROUP BY a.cluster, e.pos)",
             f"{x}cent{i} AS MATERIALIZED (SELECT p.cluster, p.pos, CASE WHEN c.n > 0 THEN"
-            " CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ELSE p.c END"
+            # Exact int64 floor division (Python // semantics for any
+            # sign): subtract the nonnegative mod so the numerator is
+            # exactly divisible, then BIGINT-divide — never touches a
+            # double, so no 2^53 bound on cluster sums.
+            " (s.s - ((s.s % c.n) + c.n) % c.n) // c.n ELSE p.c END"
             f" AS c FROM {x}cent{p} p"
             f" LEFT JOIN {x}cnt{i} c ON c.cluster = p.cluster"
             f" LEFT JOIN {x}sums{i} s ON s.cluster = p.cluster"
