@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 _SYMBOL_RE = re.compile(r"^[a-z0-9]+$")
 
 from datafusion_randgen_spark.operators import dedup
+from datafusion_randgen_spark.pinning import pin
 
 
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -103,7 +104,9 @@ def bpe_train(
     over the vocab-sized word table, (2) a 1-row argmax collect —
     driver state is the merge table itself, the k-means-centroid
     pattern — and (3) :func:`apply_merge`'s row-local fold.  The
-    frame is ``localCheckpoint``ed every ``checkpoint_every`` merges
+    frame is pinned (:mod:`datafusion_randgen_spark.pinning`;
+    ``localCheckpoint`` by default, ``persist`` for cluster
+    fault-tolerance) every ``checkpoint_every`` merges
     (r9: was every merge) — enough to keep the chained fold
     expressions from accumulating into one giant plan (the
     connected-components discipline) without paying a vocabulary
@@ -122,7 +125,8 @@ def bpe_train(
     reproducible cross-engine — the DuckDB oracle replays the
     identical 20 steps and must land on the identical table."""
     spark = docs.sparkSession
-    words = word_freq_table(docs, text_col).localCheckpoint(eager=True)
+    words = pin(word_freq_table(docs, text_col))
+    last_pin = words
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -148,7 +152,8 @@ def bpe_train(
         merges.append((rank, a, b, a + b, pc))
         words = apply_merge(words, a, b)
         if rank % checkpoint_every == 0:
-            words = words.localCheckpoint(eager=True)
+            words = pin(words, replaces=last_pin)
+            last_pin = words
     mdf = spark.createDataFrame(
         merges,
         "merge_rank long, left_sym string, right_sym string,"

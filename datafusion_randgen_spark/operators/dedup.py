@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as WindowSpec, functions as F
 
 from datafusion_randgen_spark.functions.text import tokens, word_shingles
+from datafusion_randgen_spark.pinning import pin, unpin
 
 
 def normalize_text(col):
@@ -93,30 +94,33 @@ def skew_routed_dedup_labels(
     corpus passes, the dominant cost at 100 TB (ADVICE r9).  The pinned
     frame is digest-sized (≤48 B/row — ~1% of a web corpus), so the
     re-reads the routing does perform touch cheap cached longs+digests,
-    never document bodies.  Fault-tolerance tradeoff, stated honestly:
-    ``localCheckpoint`` truncates lineage, so on a cluster with
-    executor churn a lost executor fails the job instead of
-    recomputing — a long-running 1000-executor deployment should swap
-    the pin for ``persist(MEMORY_AND_DISK)`` (keeps lineage, recomputes
-    only lost partitions) or a reliable ``checkpoint()`` to shared
-    storage; localCheckpoint is used here because it also truncates the
-    plan (no source node survives into the routing joins — pinned by
-    the plan test) and needs no external checkpoint dir.  Results are
-    routing-invariant: the output equals a plain rep join's, which is
-    what the oracle checks.
+    never document bodies.  Fault-tolerance tradeoff, stated honestly
+    AND switchable (r11): the pin strategy comes from
+    :mod:`datafusion_randgen_spark.pinning` — ``localCheckpoint``
+    (default) truncates lineage, so on a cluster with executor churn a
+    lost executor fails the job instead of recomputing, but also
+    truncates the plan (no source node survives into the routing
+    joins — pinned by the plan test) and needs no external checkpoint
+    dir; ``set_pin_strategy("persist")`` swaps every pin for
+    ``persist(MEMORY_AND_DISK)`` (keeps lineage, recomputes only lost
+    partitions), the right default for a long-running 1000-executor
+    deployment.  Routing invariance holds under BOTH modes (tested);
+    the output equals a plain rep join's, which is what the oracle
+    checks.
 
     Returns (id, dedup_key, keeper, group_size, is_heavy_key).
     """
-    keyed = docs.select(
-        F.col(id_col),
-        F.sha2(normalize_text(F.col(text_col)), 256).alias("dedup_key"),
-    ).localCheckpoint(eager=True)
+    keyed = pin(
+        docs.select(
+            F.col(id_col),
+            F.sha2(normalize_text(F.col(text_col)), 256).alias("dedup_key"),
+        )
+    )
     # reps also feeds three consumers; materialize so the aggregation
     # runs once, not three times (same digest-sized pin as keyed).
-    reps = (
+    reps = pin(
         keyed.groupBy("dedup_key")
         .agg(F.min(id_col).alias("keeper"), F.count("*").alias("group_size"))
-        .localCheckpoint(eager=True)
     )
     heavy = reps.filter(F.col("group_size") >= heavy_min_count)
     light = reps.filter(F.col("group_size") < heavy_min_count)
@@ -1070,10 +1074,13 @@ def connected_components(
     chain propagation into doubling, so convergence is O(log diameter)
     rounds instead of O(diameter); on a diameter-10 chain that's 4-5
     rounds instead of 9, and each round is one Spark job (the lazy
-    ``localCheckpoint`` materializes inside the convergence probe's
-    job).  ``localCheckpoint`` still truncates lineage every round —
-    without it the plan doubles per iteration and the 100 TB run dies
-    in the optimizer long before the executors.  Early-exits via a
+    pin materializes inside the convergence probe's job).  The
+    per-round pin (:mod:`datafusion_randgen_spark.pinning`;
+    ``localCheckpoint`` by default — without lineage truncation the
+    plan doubles per iteration and the 100 TB run dies in the
+    optimizer long before the executors; ``persist`` keeps lineage
+    for executor-churn fault tolerance, superseded rounds unpinned)
+    bounds both plan depth and executor storage.  Early-exits via a
     LIMIT-1 changed-label probe (cheap, stops at the first changed
     partition rather than scanning all labels).
 
@@ -1084,12 +1091,12 @@ def connected_components(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)  # reused every round
+    sym = pin(sym)  # reused every round
 
     labels = sym.select(F.col("a").alias("node")).distinct()
     if nodes is not None:
         labels = labels.union(nodes.select(F.col("node").cast("long"))).distinct()
-    labels = labels.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    labels = pin(labels.withColumn("comp", F.col("node")))
 
     for _ in range(max_iter):
         neighbor = sym.join(labels, sym.b == labels.node).select(
@@ -1100,13 +1107,13 @@ def connected_components(
             .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
             .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
         )
-        new_labels = (
+        new_labels = pin(
             labels.select("node", "comp")
             .union(neighbor)
             .union(ptr)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=False)
+            .agg(F.min("comp").alias("comp")),
+            eager=False,  # materializes inside the convergence probe's job
         )
         changed = (
             new_labels.alias("n")
@@ -1115,9 +1122,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        unpin(labels)  # superseded round's pin (no-op under default mode)
         labels = new_labels
         if changed == 0:
             break
+    unpin(sym)
     return labels.select("node", "comp")
 
 

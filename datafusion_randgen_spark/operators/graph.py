@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_randgen_spark.pinning import pin
+
 __all__ = ["pagerank", "bfs_distances"]
 
 
@@ -97,9 +99,11 @@ def bfs_distances(
     Each round expands the current frontier through ONE hash equi-join
     on ``src``, dedups, and anti-joins the visited set — so a round
     shuffles (frontier × out-degree) candidate rows, never the whole
-    graph's distance state.  ``localCheckpoint`` after every round
-    truncates the growing lineage (the same discipline as
-    ``dedup.connected_components``); the per-round ``isEmpty`` probe is
+    graph's distance state.  The per-round pin
+    (:mod:`datafusion_randgen_spark.pinning`: ``localCheckpoint``
+    truncates the growing lineage, the same discipline as
+    ``dedup.connected_components``; ``persist`` keeps it for
+    executor-churn fault tolerance); the per-round ``isEmpty`` probe is
     the standard convergence action (limit-1 scan, not a collect of
     data).  Frontier-based BFS touches each edge at most once per
     incident frontier round — on a 100 TB edge list the per-round cost
@@ -115,15 +119,18 @@ def bfs_distances(
     )
     visited = frontier
     for hop in range(1, max_hops + 1):
-        frontier = (
+        frontier = pin(
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .withColumn("dist", F.lit(hop))
-            .localCheckpoint()
+            .withColumn("dist", F.lit(hop)),
+            replaces=frontier if hop > 1 else None,
         )
         if frontier.isEmpty():
             break
-        visited = visited.union(frontier).localCheckpoint()
+        visited = pin(
+            visited.union(frontier),
+            replaces=visited if hop > 1 else None,
+        )
     return visited

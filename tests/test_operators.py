@@ -985,11 +985,21 @@ def test_bpe_encode_holdout_matches_duckdb_replay(spark):
     assert got, "holdout encoding produced no symbols"
 
 
-def test_skew_routed_labels_equal_plain_rep_join(spark):
+@pytest.mark.parametrize("pin_mode", ["localCheckpoint", "persist"])
+def test_skew_routed_labels_equal_plain_rep_join(spark, pin_mode):
     """Routing invariance: for corpora with hot keys above, below, and
     straddling the threshold, skew_routed_dedup_labels must produce
     exactly the labels of a plain (unrouted) rep join — the heavy /
-    light split is a physical strategy, never a semantic one."""
+    light split is a physical strategy, never a semantic one.  Runs
+    under BOTH pin strategies (r11): the materialization pin is a
+    fault-tolerance knob, never a semantic one."""
+    from datafusion_randgen_spark.pinning import pin_strategy
+
+    with pin_strategy(pin_mode):
+        _run_skew_routed_invariance(spark)
+
+
+def _run_skew_routed_invariance(spark):
     for seed, hot_share, thresh in ((1, 0.5, 10), (2, 0.0, 5), (3, 0.3, 10_000)):
         n = 600
         docs = spark.range(n).select(
@@ -1024,6 +1034,43 @@ def test_skew_routed_labels_equal_plain_rep_join(spark):
             for r in keyed.join(reps, "k").collect()
         }
         assert routed == plain, (seed, hot_share, thresh)
+
+
+def test_iterative_pins_mode_invariant(spark):
+    """bpe_train / connected_components / bfs_distances produce
+    identical results under both pin strategies (r11 task 3): persist
+    keeps lineage for executor-churn fault tolerance, localCheckpoint
+    truncates it — neither may change a single output row."""
+    from datafusion_randgen_spark.operators import bpe, graph
+    from datafusion_randgen_spark.pinning import pin_strategy
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "wide wider widest"] * 3
+        )],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (11, 10)], "id_a long, id_b long"
+    )
+    bfs_edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long"
+    )
+
+    results = {}
+    for mode in ("localCheckpoint", "persist"):
+        with pin_strategy(mode):
+            merges, words = bpe.bpe_train(docs, n_merges=6, checkpoint_every=2)
+            results[mode] = (
+                [tuple(r) for r in merges.orderBy("merge_rank").collect()],
+                {tuple(r) for r in dedup.connected_components(edges).collect()},
+                {(r.node, r.dist) for r in graph.bfs_distances(bfs_edges, 0).collect()},
+            )
+    assert results["persist"] == results["localCheckpoint"]
+    assert results["persist"][0], "BPE learned no merges"
+    # leftover persisted frames from the persist-mode run must not
+    # accumulate beyond the final round's pins
+    spark.catalog.clearCache()
 
 
 def test_kmeans_exact_quantized_matches_numpy_replay(spark):
