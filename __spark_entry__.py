@@ -92,12 +92,20 @@ _NAMED_WEIGHT = {
 # SimHash fingerprint became a row-local zero-shuffle fold, so every
 # fingerprint consumer re-earns its row.
 _REVERIFY = {
-    # r10: skew_routed_dedup_labels now pins the (id, digest) projection
-    # with an eager localCheckpoint (single corpus scan) — physical
-    # change, so the entry re-earns its green; everything else this
-    # round was docstrings/bench/scripts, so the window is free for the
-    # 30 r5-vintage greens the stalest-first rotation queues next.
-    "d_skewed_digest_dedup",
+    # r11: the kmeans-replay CTE chain switched its centroid update to
+    # exact BIGINT floor division (shared by all four exact-replay
+    # oracles), and the semdedup/ivfpq Spark argmin folds were
+    # materialized into a single-evaluation column — both sides of
+    # these entries changed, so they re-earn their greens.  The pin-
+    # strategy threading (skew dedup / BPE / CC / BFS) is a default-
+    # mode no-op (pin() == localCheckpoint) covered by both-modes unit
+    # tests, so the remaining 46 window slots go to the 33 r6-vintage
+    # greens the stalest-first rotation queues next (VERDICT r10
+    # task 2).
+    "s_kmeans_exact_replay",
+    "d_semdedup_exact_replay",
+    "s_pq_exact_replay",
+    "s_ivfpq_exact_replay",
 }
 
 

@@ -57,26 +57,73 @@ def _fake_decode_dims(byte_len: pd.Series) -> tuple[pd.Series, pd.Series]:
     return width.astype("int32"), height.astype("int32")
 
 
-def real_decode(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """Real-codec decode path. STUB: codecs not present in this container."""
+def _has_pil() -> bool:
+    """Availability probe for the real image codec (VERDICT r10 task 7)
+    — the protobuf-gate pattern: the real path registers itself where
+    Pillow exists; the deterministic fake stays the driver-verified
+    path either way."""
+    try:
+        from PIL import Image  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+HAS_PIL = _has_pil()
+
+
+def real_decode(payload: bytes, media_type: str) -> tuple[int, int]:
+    """Real-codec decode: (width, height) from the actual container
+    header.  Image payloads decode via Pillow where it is installed;
+    audio would use soundfile/librosa (never present here).  Raises
+    ``NotImplementedError`` when no codec for ``media_type`` is
+    available — callers choose the deterministic fake path instead."""
+    if media_type.startswith("image/") and HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height
     raise NotImplementedError(
-        "media decode requires an image/audio codec (Pillow/libsndfile); "
-        "not available in this environment — use the deterministic fake path"
+        f"no codec for {media_type!r} in this environment "
+        "(image needs Pillow; audio needs libsndfile) — "
+        "use the deterministic fake path"
     )
 
 
-def extract_features(media_df: DataFrame) -> DataFrame:
+def extract_features(media_df: DataFrame, decoder: str = "fake") -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Checksum is a real computation over the bytes (sum of byte values —
     SQL-expressible so the oracle can verify the payload actually
-    crossed the Arrow boundary intact); width/height come from the fake
-    decode.
+    crossed the Arrow boundary intact).  ``decoder="fake"`` (default,
+    the driver-verified path) derives width/height deterministically
+    from the payload size; ``decoder="real"`` parses the actual
+    container header via :func:`real_decode` — available only where a
+    codec is installed (``HAS_PIL``), exercised by a skip-gated test
+    exactly like the protobuf-gated state API v2.
     """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
+    if decoder == "real" and not HAS_PIL:
+        raise NotImplementedError(
+            "decoder='real' needs Pillow, absent in this environment"
+        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            width, height = _fake_decode_dims(pdf["byte_len"])
+            if decoder == "real":
+                dims = [
+                    (None, None) if b is None
+                    else real_decode(bytes(b), mt)
+                    for b, mt in zip(pdf["media"], pdf["media_type"])
+                ]
+                width = pd.array([w for w, _ in dims], dtype="Int32")
+                height = pd.array([h for _, h in dims], dtype="Int32")
+            else:
+                width, height = _fake_decode_dims(pdf["byte_len"])
             # vectorized per payload: a megabyte media blob must not go
             # through a per-byte Python loop; NULL payload -> NULL
             # checksum (not a stage-killing TypeError)

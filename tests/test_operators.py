@@ -505,9 +505,44 @@ def test_multimodal_features_roundtrip(spark):
     assert out[1].width == 64 + 3 % 640
 
 
+@pytest.mark.skipif(
+    multimodal.HAS_PIL,
+    reason="Pillow present: the real decode path is active, not stubbed",
+)
 def test_multimodal_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"\x89PNG", "image/png")
+
+
+@pytest.mark.skipif(
+    not multimodal.HAS_PIL,
+    reason="real media decode needs Pillow (absent here)",
+)
+def test_multimodal_real_decode_dims(spark):
+    """Where Pillow exists, decoder='real' must return the ACTUAL
+    container dims (env-gated exactly like the protobuf state API v2
+    test — VERDICT r10 task 7)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    png = buf.getvalue()
+    docs = spark.createDataFrame([(2, "x")], "doc_id long, text string")
+    media = multimodal.attach_fake_media(docs).withColumn(
+        "media", F.lit(bytearray(png))
+    ).withColumn("byte_len", F.lit(len(png)).cast("long"))
+    out = multimodal.extract_features(media, decoder="real").collect()[0]
+    assert (out.width, out.height) == (17, 9)
+    assert out.checksum == sum(png)
+
+
+def test_multimodal_bad_decoder_rejected(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    media = multimodal.attach_fake_media(docs)
+    with pytest.raises(ValueError):
+        multimodal.extract_features(media, decoder="png")
 
 
 def test_salted_join_matches_plain_join(spark):

@@ -664,3 +664,52 @@ def test_simhash_fingerprint_is_zero_shuffle_map(spark):
     assert plans.python_eval_nodes(fp) == 0
     fp2 = dedup.simhash_multi(docs, n_words=2)
     assert plans.exchange_count(fp2) == 0
+
+
+def test_exact_replay_scan_budgets(spark):
+    """Pin the scan budgets the exact-replay docstrings state in prose
+    (VERDICT r10 task 6): the verification entries re-derive the
+    quantized projection per phase, so their input-pass counts are
+    fixed by construction — pq_exact_quantized reads its input 5 full
+    times (init take-ordered, 2 training iterations, query
+    take-ordered, encode), ivfpq_exact_quantized 8 (coarse init + 2
+    coarse iterations, residual init, 2 residual iterations, query,
+    encode), each plus one <=1-partition dim probe.  Measured with a
+    row-counting pass-through source so a refactor that silently adds
+    even ONE more full pass breaks the upper bound."""
+    from datafusion_randgen_spark.operators import similarity
+
+    n, dim, parts = 64, 8, 4
+    base = spark.range(n).selectExpr(
+        "id AS vec_id",
+        # deterministic pseudo-floats, no Python needed to build them
+        f"transform(sequence(1, {dim}),"
+        " j -> CAST(((id * 37 + j * 11) % 19) - 9 AS FLOAT) / 4.0)"
+        " AS embedding",
+    ).repartition(parts)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = base.mapInPandas(
+        counting, schema="vec_id long, embedding array<float>"
+    )
+    probe_slack = n // parts + parts  # the dim probe reads <=1 partition
+
+    start = acc.value
+    out = similarity.pq_exact_quantized(src, m=2, k=2, iterations=2)
+    assert out.count() == n
+    seen = acc.value - start
+    assert 5 * n <= seen <= 5 * n + probe_slack, seen
+
+    start = acc.value
+    out = similarity.ivfpq_exact_quantized(
+        src, n_cells=2, coarse_iterations=2, m=2, k=2, pq_iterations=2
+    )
+    assert out.count() == n
+    seen = acc.value - start
+    assert 8 * n <= seen <= 8 * n + probe_slack, seen
