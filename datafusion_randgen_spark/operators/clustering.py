@@ -26,6 +26,42 @@ from pyspark.sql import functions as F
 __all__ = ["kmeans", "kmeans_exact_quantized"]
 
 
+def argmin_d2(
+    M: np.ndarray, C: np.ndarray, chunk: int = 2048
+) -> tuple[np.ndarray, np.ndarray]:
+    """(nearest-centroid index, min squared-L2) per row of ``M``
+    against every row of ``C`` — the assign kernel shared by k-means
+    training, the final assignment pass, SemDeDup's tagging pass, and
+    IVF-PQ's residual pass.
+
+    For ``len(C) <= chunk`` this is the original full-matrix expansion
+    trick, byte-for-byte (every existing catalog entry runs k <= 64,
+    so their results cannot move).  Beyond that the centroids stream
+    in chunks with a running first-min — SemDeDup's contract grows
+    k ∝ corpus (~20k clusters at 1M vectors), where the dense
+    (batch, k) distance matrix would be the assign pass's real memory
+    bound (10k-row batch × 20k centroids × 8 B = 1.6 GB); chunking
+    caps it at O(batch × chunk).  Ties keep the LOWEST centroid index
+    in both paths (np.argmin takes the first minimum; the cross-chunk
+    update uses strict ``<``)."""
+    mm = (M * M).sum(axis=1)
+    if len(C) <= chunk:
+        d2 = mm[:, None] - 2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = d2.argmin(axis=1)
+        return a, d2[np.arange(len(a)), a]
+    best_c = np.zeros(len(M), dtype=np.int64)
+    best_d = np.full(len(M), np.inf)
+    for s in range(0, len(C), chunk):
+        Cc = C[s:s + chunk]
+        d2 = mm[:, None] - 2.0 * (M @ Cc.T) + (Cc * Cc).sum(axis=1)[None, :]
+        a = d2.argmin(axis=1)
+        d = d2[np.arange(len(a)), a]
+        upd = d < best_d
+        best_d[upd] = d[upd]
+        best_c[upd] = a[upd] + s
+    return best_c, best_d
+
+
 def kmeans(
     df: DataFrame,
     k: int = 10,
@@ -69,15 +105,10 @@ def kmeans(
                 if pdf.empty:
                     continue
                 M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                # squared L2 distance via the expansion trick: one matmul
-                # per Arrow batch, no (n, k, dim) intermediate
-                d2 = (
-                    (M * M).sum(axis=1)[:, None]
-                    - 2.0 * (M @ C.T)
-                    + (C * C).sum(axis=1)[None, :]
-                )
-                a = d2.argmin(axis=1)
-                best = d2[np.arange(len(a)), a]
+                # squared L2 via the expansion trick: one matmul per
+                # Arrow batch, no (n, k, dim) intermediate; centroid-
+                # chunked beyond k=2048 so memory stays bounded
+                a, best = argmin_d2(M, C)
                 rows = []
                 for c in np.unique(a):
                     mask = a == c
@@ -130,13 +161,9 @@ def kmeans(
             if pdf.empty:
                 continue
             M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = (
-                (M * M).sum(axis=1)[:, None]
-                - 2.0 * (M @ C.T)
-                + (C * C).sum(axis=1)[None, :]
-            )
+            a, _ = argmin_d2(M, C)
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "cluster": d2.argmin(axis=1).astype("int32")}
+                {id_col: pdf[id_col], "cluster": a.astype("int32")}
             )
 
     assignments = vecs.mapInPandas(assign, schema=f"{id_col} long, cluster int")

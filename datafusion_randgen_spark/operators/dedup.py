@@ -1006,15 +1006,11 @@ def semantic_dedup(
             if pdf.empty:
                 continue
             M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = (
-                (M * M).sum(axis=1)[:, None]
-                - 2.0 * (M @ C.T)
-                + (C * C).sum(axis=1)[None, :]
-            )
+            a, _ = clustering.argmin_d2(M, C)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "cluster": d2.argmin(axis=1).astype("int32"),
+                    "cluster": a.astype("int32"),
                     vec_col: pdf[vec_col],
                 }
             )

@@ -477,12 +477,7 @@ def ivfpq_train(
             if pdf.empty:
                 continue
             M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = (
-                (M * M).sum(axis=1)[:, None]
-                - 2.0 * (M @ C.T)
-                + (C * C).sum(axis=1)[None, :]
-            )
-            a = d2.argmin(axis=1)
+            a, _ = clustering.argmin_d2(M, C)
             R = M - C[a]
             yield pd.DataFrame(
                 {

@@ -130,3 +130,25 @@ def test_bfs_max_hops_truncates(spark):
     e = _long_edges(spark, [(i, i + 1) for i in range(10)])
     got = {r.node: r.dist for r in graph.bfs_distances(e, 0, max_hops=3).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_argmin_d2_chunked_matches_full():
+    """The centroid-chunked assign kernel must agree with the
+    full-matrix path (same argmin everywhere, distances equal to
+    rounding) and keep the lowest index on exact ties across chunk
+    boundaries."""
+    import numpy as np
+
+    from datafusion_randgen_spark.operators import clustering
+
+    rng = np.random.default_rng(3)
+    M = rng.normal(size=(500, 16))
+    C = rng.normal(size=(5000, 16))
+    a_full, d_full = clustering.argmin_d2(M, C, chunk=10_000)
+    a_ch, d_ch = clustering.argmin_d2(M, C, chunk=64)
+    assert (a_full == a_ch).all()
+    assert np.allclose(d_full, d_ch, rtol=1e-10, atol=1e-9)
+    # duplicated centroid, chunk=1: strict < keeps the first copy
+    C2 = np.vstack([C[7], C[7]])
+    a2, _ = clustering.argmin_d2(M, C2, chunk=1)
+    assert (a2 == 0).all()

@@ -390,3 +390,136 @@ def test_trend_skew_routed_dedup(trend_docs):
     assert agg.groups == 1 + (n - n // 4)
     assert agg.bad_keeper == 0
     _record_trend("skew_routed_dedup", n, sec)
+
+
+# Similarity-family cross-scale trend (VERDICT r10 task 4): SemDeDup
+# and IVF-PQ ADC search at 200k AND 1M vectors, invariants green at
+# both scales, wall time recorded per point.
+
+@pytest.fixture(
+    scope="module", params=[200_000, 1_000_000], ids=["v200k", "v1m"]
+)
+def trend_vecs(spark, request):
+    """n cluster-structured unit vectors + 1000 planted exact twins
+    (twin of vec i is vec i+n), checkpointed so generation isn't
+    billed to the ops."""
+    from datafusion_randgen_spark.functions.vectors import (
+        synthetic_embeddings,
+    )
+
+    n = request.param
+    base = synthetic_embeddings(
+        spark, n=n, dim=16, n_clusters=32, noise=0.05, seed=23,
+        num_partitions=32,
+    ).select("vec_id", "embedding")
+    twins = base.filter(F.col("vec_id") < TREND_PAIRS).select(
+        (F.col("vec_id") + n).alias("vec_id"), "embedding"
+    )
+    vecs = base.unionByName(twins).localCheckpoint(eager=True)
+    yield n, vecs
+    vecs.unpersist()
+
+
+def test_trend_semantic_dedup(trend_vecs):
+    """SemDeDup with k grown ∝ corpus (the paper's contract: ~n/50
+    clusters keeps the cluster-local pair cost ~25n) — the planted
+    exact twin of vec i MUST land in vec i's cluster (identical
+    vectors, identical argmin) and be pruned at any threshold, and
+    every cluster's lowest-id member must survive."""
+    import time
+
+    n, vecs = trend_vecs
+    k = max(64, n // 50)
+    t0 = time.perf_counter()
+    out = dedup.semantic_dedup(
+        vecs, threshold=0.99, k=k, iterations=1
+    ).localCheckpoint(eager=True)
+    agg = out.agg(
+        F.count("*").alias("rows"),
+        F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+        F.sum(
+            ((F.col("vec_id") >= n) & F.col("keep")).cast("long")
+        ).alias("twins_kept"),
+    ).collect()[0]
+    sec = time.perf_counter() - t0
+    assert agg.rows == n + TREND_PAIRS
+    assert agg.twins_kept == 0  # every planted twin pruned
+    assert agg.dropped >= TREND_PAIRS
+    # the exemplar rule: each cluster's lowest-id member is kept
+    mins = out.groupBy("cluster").agg(F.min("vec_id").alias("vec_id"))
+    assert out.join(mins, ["cluster", "vec_id"]).filter(
+        ~F.col("keep")
+    ).count() == 0
+    out.unpersist()
+    _record_trend("semantic_dedup", n, sec)
+
+
+def test_trend_ivfpq_adc_search(trend_vecs):
+    """IVF-PQ train + cell-probed ADC search at scale: per query (a
+    corpus vector), within its own cell its own row attains the
+    minimum ADC distance (the s_ivfpq_search invariant), and scored
+    rows equal the probed inverted-list sizes — cost ∝ probed cells,
+    never the corpus."""
+    import time
+
+    import numpy as np
+    from datafusion_randgen_spark.operators import similarity
+
+    n, vecs = trend_vecs
+    spark = vecs.sparkSession
+    t0 = time.perf_counter()
+    coarse, pq_c, _, asg = similarity.ivfpq_train(
+        vecs, n_cells=16, m=4, k=16, iterations=2
+    )
+    asg = asg.select("vec_id", "cell", "codes").localCheckpoint(eager=True)
+    sd = pq_c.shape[2]
+    qs = vecs.filter(F.col("vec_id") % 9973 == 0).orderBy("vec_id").limit(5).collect()
+    luts, own_cell = [], {}
+    for r in qs:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        d2 = ((v[None, :] - coarse) ** 2).sum(axis=1)
+        own_cell[r["vec_id"]] = int(d2.argmin())
+        for c_id in np.argsort(d2)[:2]:
+            rq = v - coarse[int(c_id)]
+            lut = [
+                [
+                    float(((rq[j * sd:(j + 1) * sd] - pq_c[j, c]) ** 2).sum())
+                    for c in range(pq_c.shape[1])
+                ]
+                for j in range(pq_c.shape[0])
+            ]
+            luts.append((r["vec_id"], int(c_id), lut))
+    luts_df = spark.createDataFrame(
+        luts, "query_id long, cell int, lut array<array<double>>"
+    )
+    scores = similarity.ivfpq_adc_scores(asg, luts_df).localCheckpoint(
+        eager=True
+    )
+    sec = time.perf_counter() - t0
+    # scored rows == sum of probed list sizes (cell-probed, not corpus)
+    cell_sizes = {r.cell: r.n for r in asg.groupBy("cell").count().withColumnRenamed("count", "n").collect()}
+    expected = sum(cell_sizes.get(c, 0) for _, c, _ in luts)
+    assert scores.count() == expected
+    # own-cell minimum: the query's own row sits at the min ADC
+    cells_df = spark.createDataFrame(
+        list(own_cell.items()), "query_id long, own_cell int"
+    )
+    oc = (
+        scores.join(F.broadcast(cells_df), "query_id")
+        .join(
+            asg.select(F.col("vec_id").alias("neighbor_id"), "cell"),
+            "neighbor_id",
+        )
+        .filter(F.col("cell") == F.col("own_cell"))
+    )
+    per_q = oc.groupBy("query_id").agg(F.min("adc_d2").alias("min_d2"))
+    own = oc.filter(F.col("neighbor_id") == F.col("query_id")).select(
+        "query_id", F.col("adc_d2").alias("own_d2")
+    )
+    bad = per_q.join(own, "query_id").filter(
+        F.col("own_d2") > F.col("min_d2") + F.lit(1e-9)
+    )
+    assert bad.count() == 0
+    scores.unpersist()
+    asg.unpersist()
+    _record_trend("ivfpq_adc_search", n, sec)
