@@ -1188,24 +1188,31 @@ def semantic_dedup_exact(
         )
         for c in range(k)
     ]
-    # Two-step select (the IVF-PQ pattern, similarity.py): materialize
-    # the k-element distance array ONCE, then argmin over the column —
-    # otherwise array_position + array_min each embed all k folds and
-    # the row cost doubles unless Catalyst happens to CSE them.
-    qd = qv.select(
+    # Single-reference argmin (ADVICE r10, hardened r11): the obvious
+    # array_position(d2s, array_min(d2s)) references the distance
+    # array TWICE, and CollapseProject re-inlines the k folds into
+    # both references (verified on the optimized plan — a plan test
+    # pins the fold count now).  The struct-fold below references d2s
+    # exactly once, so however Catalyst collapses the projects, the k
+    # distance folds evaluate once per row.  Strict < keeps the FIRST
+    # minimum — identical tie semantics to array_position-of-min.
+    _argmin = (
+        "aggregate(transform(d2s, (v, i) -> struct(v AS v, i AS i)),"
+        " struct(CAST(9223372036854775807 AS BIGINT) AS v,"
+        " CAST(-1 AS INT) AS i),"
+        " (acc, x) -> IF(x.v < acc.v, x, acc)).i"
+    )
+    asg = qv.select(
         F.col(id_col),
         "qv",
         F.expr("array({})".format(", ".join(d2_exprs))).alias("d2s"),
         F.expr(
             "aggregate(transform(qv, x -> x * x), 0L, (acc, v) -> acc + v)"
         ).alias("n2"),
-    )
-    asg = qd.select(
+    ).select(
         F.col(id_col),
         "qv",
-        F.expr("array_position(d2s, array_min(d2s)) - 1")
-        .cast("int")
-        .alias("cluster"),
+        F.expr(_argmin).cast("int").alias("cluster"),
         "n2",
     )
     reps = (

@@ -911,20 +911,25 @@ def ivfpq_exact_quantized(
             for c in range(n_cells)
         )
     )
-    # three-step select: materialize the n_cells-element distance array
-    # ONCE, argmin over the column (array_position + array_min would
-    # otherwise each embed all n_cells folds), then the residual
-    # indexes the centroid literal by the cell column instead of
-    # re-deriving the argmin
+    # Single-reference argmin (the semantic_dedup_exact pattern — see
+    # the comment there: array_position + array_min double-reference
+    # the distance array and CollapseProject re-inlines the folds into
+    # both; the struct-fold references it once, first-min ties kept by
+    # strict <), then the residual indexes the centroid literal by the
+    # cell column instead of re-deriving the argmin.
+    _argmin = (
+        "aggregate(transform(d2s, (v, i) -> struct(v AS v, i AS i)),"
+        " struct(CAST(9223372036854775807 AS BIGINT) AS v,"
+        " CAST(-1 AS INT) AS i),"
+        " (acc, x) -> IF(x.v < acc.v, x, acc)).i"
+    )
     rqv = qv.select(
         F.col(id_col),
         F.expr("array({})".format(", ".join(d2_exprs))).alias("d2s"),
         "qv",
     ).select(
         F.col(id_col),
-        F.expr("array_position(d2s, array_min(d2s)) - 1")
-        .cast("int")
-        .alias("cell"),
+        F.expr(_argmin).cast("int").alias("cell"),
         "qv",
     ).select(
         F.col(id_col),

@@ -713,3 +713,23 @@ def test_exact_replay_scan_budgets(spark):
     assert out.count() == n
     seen = acc.value - start
     assert 8 * n <= seen <= 8 * n + probe_slack, seen
+
+
+def test_exact_assign_argmin_folds_single_evaluated(spark):
+    """The exact-assign argmin must evaluate its k distance folds once
+    per row (ADVICE r10): the naive array_position(d2s, array_min(d2s))
+    double-references the distance array and CollapseProject re-inlines
+    all k folds into BOTH references (measured: 25 zip_with nodes in
+    the optimized plan at k=4 vs 17 for the single-reference struct
+    fold).  Pin the optimized-plan fold count so a refactor back to the
+    double-reference form fails here."""
+    from datafusion_randgen_spark.operators import dedup as dd
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dd.semantic_dedup_exact(emb, k=4, iterations=1, scale=10)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # 4 copies of the assign subtree (the verification entry's stated
+    # re-derivation) x k=4 folds + 1 dot fold; the double-reference
+    # form lands at 25+
+    assert plan.count("zip_with") <= 17
