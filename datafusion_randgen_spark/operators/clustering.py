@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_randgen_spark.pinning import pin
+
 __all__ = ["kmeans", "kmeans_exact_quantized"]
 
 
@@ -138,7 +140,7 @@ def kmeans(
         # tiny reduce: partitions × k rows in, k rows out — materialize
         # the partial frame once so counts and dimension sums don't
         # re-run the assignment pass
-        stats = stats.localCheckpoint(eager=True)
+        stats = pin(stats)
         rows = stats.groupBy("cluster").agg(
             F.sum("cnt").alias("cnt"), F.sum("inertia").alias("inertia")
         )
@@ -263,7 +265,8 @@ def kmeans_exact_quantized(
         stats = qv.mapInPandas(
             partial_stats,
             schema="cluster int, cnt long, inertia long, sums array<long>",
-        ).localCheckpoint(eager=True)
+        )
+        stats = pin(stats)
         meta = {
             r["cluster"]: (int(r["cnt"]), int(r["inertia"]))
             for r in stats.groupBy("cluster")

@@ -484,7 +484,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
     # the candidate self-join (no ReusedExchange fires across the
     # alias branches) — truncate so it executes once, same reasoning
     # as the d_simhash_r6 entry (measured ~2x there)
-    fps = simhash(docs, **kw).localCheckpoint(eager=True)
+    fps = pin(simhash(docs, **kw))
     chunks = fps.select(
         "id",
         "simhash",
@@ -850,10 +850,8 @@ def exact_substring_spans(
         .filter(F.col("__c") >= 2)
         .select("h")
     )
-    dup = (
-        anchors.join(dup_digests, "h", "left_semi")
-        .select(id_col, "pos")
-        .localCheckpoint(eager=True)
+    dup = pin(
+        anchors.join(dup_digests, "h", "left_semi").select(id_col, "pos")
     )
     anchors.unpersist()
     island = F.col("pos") - F.row_number().over(
@@ -1024,8 +1022,8 @@ def semantic_dedup(
             assign_with_vec,
             schema=f"{id_col} long, cluster int, {vec_col} {vec_type}",
         )
-        .localCheckpoint(eager=True)
     )
+    tagged = pin(tagged)
     a = tagged.select(
         F.col(id_col).alias("__xid"), "cluster", F.col(vec_col).alias("__xv")
     )

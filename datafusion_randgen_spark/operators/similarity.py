@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datafusion_randgen_spark.functions.vectors import cosine_similarity  # noqa: F401 (API)
+from datafusion_randgen_spark.pinning import pin
 
 
 @F.pandas_udf(T.DoubleType())
@@ -380,10 +381,10 @@ def pq_train(
                         )
                 yield pd.DataFrame(rows)
 
-        st = vecs.mapInPandas(
+        st = pin(vecs.mapInPandas(
             stats,
             schema="sub int, cluster int, cnt long, inertia double, sums array<double>",
-        ).localCheckpoint(eager=True)  # partial frame feeds two reduces
+        ))  # partial frame feeds two reduces
         meta = st.groupBy("sub", "cluster").agg(
             F.sum("cnt").alias("cnt"), F.sum("inertia").alias("i")
         ).collect()
@@ -492,8 +493,8 @@ def ivfpq_train(
         .mapInPandas(
             resid, schema=f"{id_col} long, cell int, {vec_col} array<double>"
         )
-        .localCheckpoint(eager=True)
     )
+    res_df = pin(res_df)
     pq_c, inertias, asg = pq_train(
         res_df, m=m, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
@@ -633,7 +634,7 @@ def embedding_near_dup_pairs(
     # accumulating for the session lifetime across repeated calls.
     # Cost: plan-only callers pay the candidate job; freeing the codes
     # cache requires materializing its consumer, so that is inherent.
-    cand = cand.localCheckpoint(eager=True)
+    cand = pin(cand)
     codes.unpersist()
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
@@ -712,7 +713,8 @@ def _pq_train_exact(
 
         partials = qv.select("qv").mapInPandas(
             stats, schema="sub int, cluster int, cnt long, sums array<long>"
-        ).localCheckpoint(eager=True)
+        )
+        partials = pin(partials)
         cnts = {
             (r["sub"], r["cluster"]): int(r["cnt"])
             for r in partials.groupBy("sub", "cluster")

@@ -1092,6 +1092,11 @@ def test_iterative_pins_mode_invariant(spark):
         [(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long"
     )
 
+    emb = spark.createDataFrame(
+        [(i, [float((i % 4) * 3 + j) for j in range(4)]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+
     results = {}
     for mode in ("localCheckpoint", "persist"):
         with pin_strategy(mode):
@@ -1100,6 +1105,11 @@ def test_iterative_pins_mode_invariant(spark):
                 [tuple(r) for r in merges.orderBy("merge_rank").collect()],
                 {tuple(r) for r in dedup.connected_components(edges).collect()},
                 {(r.node, r.dist) for r in graph.bfs_distances(bfs_edges, 0).collect()},
+                # exercises the r11 pins inside kmeans training stats
+                # and SemDeDup's tagged frame too
+                {tuple(r) for r in dedup.semantic_dedup(
+                    emb, threshold=0.99, k=4, iterations=2
+                ).collect()},
             )
     assert results["persist"] == results["localCheckpoint"]
     assert results["persist"][0], "BPE learned no merges"
