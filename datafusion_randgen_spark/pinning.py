@@ -75,6 +75,11 @@ def pin(df: DataFrame, eager: bool = True, replaces: DataFrame | None = None) ->
     is unpersisted once the new pin is materialized so executor
     storage stays O(one round); under ``localCheckpoint`` it is
     ignored (superseded blocks are GC'd with their DataFrame).
+    ``replaces`` is honored only with ``eager=True`` — a lazy pin has
+    not materialized yet, so releasing its predecessor here would
+    force the first action to recompute inputs from source; lazy
+    callers release the predecessor themselves via :func:`unpin` after
+    their first action (the connected-components pattern).
     """
     if _strategy == LOCAL_CHECKPOINT:
         return df.localCheckpoint(eager=eager)
