@@ -198,15 +198,31 @@ def main() -> None:
     # entries 3-5× and made one full r10 run garbage (89.7s vs 65.9s
     # warm); the dataset is small enough (~17 MB at sf0.1) that paging
     # it in unconditionally costs nothing.
+    def _warm(path: str) -> int:
+        # per-file try so one unreadable entry can't silently leave the
+        # rest of the dataset cold; *.parquet may be a DIRECTORY
+        # (sources.load_table supports that layout for events)
+        n = 0
+        try:
+            if os.path.isdir(path):
+                for sub in sorted(os.listdir(path)):
+                    n += _warm(os.path.join(path, sub))
+                return n
+            with open(path, "rb") as fh:
+                while chunk := fh.read(1 << 22):
+                    n += len(chunk)
+        except OSError:
+            pass
+        return n
+
     warm_bytes = 0
     try:
-        for fname in sorted(os.listdir(sf_dir)):
-            if fname.endswith(".parquet"):
-                with open(os.path.join(sf_dir, fname), "rb") as fh:
-                    while chunk := fh.read(1 << 22):
-                        warm_bytes += len(chunk)
+        entries = sorted(os.listdir(sf_dir))
     except OSError:
-        pass
+        entries = []
+    for fname in entries:
+        if fname.endswith(".parquet"):
+            warm_bytes += _warm(os.path.join(sf_dir, fname))
     print(f"# page-cache warm-up: {warm_bytes} bytes", file=sys.stderr)
 
     import statistics
@@ -246,6 +262,11 @@ def main() -> None:
         )) as fh:
             _prev_detail = json.load(fh)
         _pm = _prev_detail.get("queries_median") or {}
+        # spreads are only comparable at the SAME scale factor (a
+        # smoke at another sf would flag short-runtime noise instead);
+        # details written before the sf field existed pass through
+        if str(_prev_detail.get("sf", sf)) != str(sf):
+            raise ValueError("prev bench_detail is a different sf")
         for _n, _sp in (_prev_detail.get("queries_spread") or {}).items():
             if (
                 _n in bench_queries

@@ -23,9 +23,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_randgen_spark.pinning import pin
+from datafusion_randgen_spark.pinning import pin, unpin
 
 __all__ = ["kmeans", "kmeans_exact_quantized"]
+
+# SQL twin of :func:`argmin_d2` for the exact-replay operators: argmin
+# over a BIGINT array column named ``d2s`` as a struct fold that
+# references d2s exactly ONCE — CollapseProject re-inlines the k
+# distance folds into BOTH references of the naive
+# array_position(d2s, array_min(d2s)) (plan-pinned in
+# tests/test_plans.py).  Strict < keeps the FIRST minimum, matching
+# np.argmin and array_position-of-min tie semantics; the INT64-max
+# sentinel can never collide with a real squared distance because the
+# quantized inputs are bounded far below sqrt(2^63).  Shared by
+# dedup.semantic_dedup_exact and similarity.ivfpq_exact_quantized so
+# the two exact-replay oracles cannot drift.
+EXACT_ARGMIN_SQL = (
+    "aggregate(transform(d2s, (v, i) -> struct(v AS v, i AS i)),"
+    " struct(CAST(9223372036854775807 AS BIGINT) AS v,"
+    " CAST(-1 AS INT) AS i),"
+    " (acc, x) -> IF(x.v < acc.v, x, acc)).i"
+)
 
 
 def argmin_d2(
@@ -107,6 +125,7 @@ def kmeans(
 
     vecs = df.select(id_col, vec_col)
     inertias: list[float] = []
+    prev_stats = None
     for _ in range(iterations):
         c_bc = spark.sparkContext.broadcast(centroids)
 
@@ -139,8 +158,10 @@ def kmeans(
         )
         # tiny reduce: partitions × k rows in, k rows out — materialize
         # the partial frame once so counts and dimension sums don't
-        # re-run the assignment pass
-        stats = pin(stats)
+        # re-run the assignment pass; the previous iteration's pin is
+        # released (persist mode) so executor storage stays O(1 round)
+        stats = pin(stats, replaces=prev_stats)
+        prev_stats = stats
         rows = stats.groupBy("cluster").agg(
             F.sum("cnt").alias("cnt"), F.sum("inertia").alias("inertia")
         )
@@ -163,6 +184,8 @@ def kmeans(
         inertias.append(total_inertia)
         centroids = new_c
         c_bc.destroy()
+    if prev_stats is not None:
+        unpin(prev_stats)  # last iteration's internal pin
 
     final_bc = spark.sparkContext.broadcast(centroids)
 
@@ -233,6 +256,7 @@ def kmeans_exact_quantized(
     dim = centroids.shape[1]
 
     trajectory: list[tuple[int, int, int, int, int, int]] = []
+    prev_stats = None
     for it in range(1, iterations + 1):
         c_bc = spark.sparkContext.broadcast(centroids)
 
@@ -266,7 +290,8 @@ def kmeans_exact_quantized(
             partial_stats,
             schema="cluster int, cnt long, inertia long, sums array<long>",
         )
-        stats = pin(stats)
+        stats = pin(stats, replaces=prev_stats)
+        prev_stats = stats
         meta = {
             r["cluster"]: (int(r["cnt"]), int(r["inertia"]))
             for r in stats.groupBy("cluster")
@@ -294,4 +319,6 @@ def kmeans_exact_quantized(
                 trajectory.append(
                     (it, c, p, int(centroids[c, p]), n_c, iter_inertia)
                 )
+    if prev_stats is not None:
+        unpin(prev_stats)  # last iteration's internal pin
     return trajectory, centroids

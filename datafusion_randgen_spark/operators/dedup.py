@@ -1160,6 +1160,7 @@ def semantic_dedup_exact(
     :func:`skew_routed_dedup_labels` pattern.
     Returns ``(vec_id, cluster, rep_id, dot, is_dup)``.
     """
+    from datafusion_randgen_spark.operators import clustering
     from datafusion_randgen_spark.operators.clustering import (
         kmeans_exact_quantized,
     )
@@ -1194,12 +1195,7 @@ def semantic_dedup_exact(
     # exactly once, so however Catalyst collapses the projects, the k
     # distance folds evaluate once per row.  Strict < keeps the FIRST
     # minimum — identical tie semantics to array_position-of-min.
-    _argmin = (
-        "aggregate(transform(d2s, (v, i) -> struct(v AS v, i AS i)),"
-        " struct(CAST(9223372036854775807 AS BIGINT) AS v,"
-        " CAST(-1 AS INT) AS i),"
-        " (acc, x) -> IF(x.v < acc.v, x, acc)).i"
-    )
+
     asg = qv.select(
         F.col(id_col),
         "qv",
@@ -1210,7 +1206,7 @@ def semantic_dedup_exact(
     ).select(
         F.col(id_col),
         "qv",
-        F.expr(_argmin).cast("int").alias("cluster"),
+        F.expr(clustering.EXACT_ARGMIN_SQL).cast("int").alias("cluster"),
         "n2",
     )
     reps = (

@@ -113,11 +113,23 @@ def extract_features(media_df: DataFrame, decoder: str = "fake") -> DataFrame:
         )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def try_decode(payload, media_type):
+            # Per-row fallback: a corpus mixes modalities row by row, so
+            # a codec-less media_type (audio here) or a corrupt payload
+            # must yield NULL dims for THAT row, never abort the stage.
+            if payload is None:
+                return (None, None)
+            try:
+                return real_decode(bytes(payload), media_type)
+            except NotImplementedError:
+                return (None, None)  # no codec for this modality
+            except Exception:
+                return (None, None)  # undecodable payload
+
         for pdf in batches:
             if decoder == "real":
                 dims = [
-                    (None, None) if b is None
-                    else real_decode(bytes(b), mt)
+                    try_decode(b, mt)
                     for b, mt in zip(pdf["media"], pdf["media_type"])
                 ]
                 width = pd.array([w for w, _ in dims], dtype="Int32")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datafusion_randgen_spark.functions.vectors import cosine_similarity  # noqa: F401 (API)
-from datafusion_randgen_spark.pinning import pin
+from datafusion_randgen_spark.pinning import pin, unpin
 
 
 @F.pandas_udf(T.DoubleType())
@@ -348,6 +348,7 @@ def pq_train(
 
     vecs = embeddings.select(id_col, vec_col)
     inertias: list[float] = []
+    prev_st = None
     for _ in range(iterations):
         bc = spark.sparkContext.broadcast(C)
 
@@ -384,7 +385,8 @@ def pq_train(
         st = pin(vecs.mapInPandas(
             stats,
             schema="sub int, cluster int, cnt long, inertia double, sums array<double>",
-        ))  # partial frame feeds two reduces
+        ), replaces=prev_st)  # partial frame feeds two reduces
+        prev_st = st
         meta = st.groupBy("sub", "cluster").agg(
             F.sum("cnt").alias("cnt"), F.sum("inertia").alias("i")
         ).collect()
@@ -406,6 +408,8 @@ def pq_train(
         inertias.append(total)
         C = new_c
         bc.destroy()
+    if prev_st is not None:
+        unpin(prev_st)  # last iteration's internal pin
 
     fbc = spark.sparkContext.broadcast(C)
 
@@ -680,6 +684,7 @@ def _pq_train_exact(
 
     spark = qv.sparkSession
     C = C0
+    prev_partials = None
     for _ in range(iterations):
         bc = spark.sparkContext.broadcast(C)
 
@@ -714,7 +719,8 @@ def _pq_train_exact(
         partials = qv.select("qv").mapInPandas(
             stats, schema="sub int, cluster int, cnt long, sums array<long>"
         )
-        partials = pin(partials)
+        partials = pin(partials, replaces=prev_partials)
+        prev_partials = partials
         cnts = {
             (r["sub"], r["cluster"]): int(r["cnt"])
             for r in partials.groupBy("sub", "cluster")
@@ -735,6 +741,8 @@ def _pq_train_exact(
                 newC[j, c] = acc[j, c] // n  # floor division, exact
         C = newC
         bc.destroy()
+    if prev_partials is not None:
+        unpin(prev_partials)  # last iteration's internal pin
     return C
 
 
@@ -875,6 +883,7 @@ def ivfpq_exact_quantized(
     """
     from collections.abc import Iterator
 
+    from datafusion_randgen_spark.operators import clustering
     from datafusion_randgen_spark.operators.clustering import (
         kmeans_exact_quantized,
     )
@@ -919,19 +928,14 @@ def ivfpq_exact_quantized(
     # both; the struct-fold references it once, first-min ties kept by
     # strict <), then the residual indexes the centroid literal by the
     # cell column instead of re-deriving the argmin.
-    _argmin = (
-        "aggregate(transform(d2s, (v, i) -> struct(v AS v, i AS i)),"
-        " struct(CAST(9223372036854775807 AS BIGINT) AS v,"
-        " CAST(-1 AS INT) AS i),"
-        " (acc, x) -> IF(x.v < acc.v, x, acc)).i"
-    )
+
     rqv = qv.select(
         F.col(id_col),
         F.expr("array({})".format(", ".join(d2_exprs))).alias("d2s"),
         "qv",
     ).select(
         F.col(id_col),
-        F.expr(_argmin).cast("int").alias("cell"),
+        F.expr(clustering.EXACT_ARGMIN_SQL).cast("int").alias("cell"),
         "qv",
     ).select(
         F.col(id_col),
