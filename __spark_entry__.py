@@ -91,22 +91,15 @@ _NAMED_WEIGHT = {
 # mathematically monotone candidate-set hit count (ADVICE r8); the
 # SimHash fingerprint became a row-local zero-shuffle fold, so every
 # fingerprint consumer re-earns its row.
-_REVERIFY = {
-    # r11: the kmeans-replay CTE chain switched its centroid update to
-    # exact BIGINT floor division (shared by all four exact-replay
-    # oracles), and the semdedup/ivfpq Spark argmin folds were
-    # materialized into a single-evaluation column — both sides of
-    # these entries changed, so they re-earn their greens.  The pin-
-    # strategy threading (skew dedup / BPE / CC / BFS) is a default-
-    # mode no-op (pin() == localCheckpoint) covered by both-modes unit
-    # tests, so the remaining 46 window slots go to the 33 r6-vintage
-    # greens the stalest-first rotation queues next (VERDICT r10
-    # task 2).
-    "s_kmeans_exact_replay",
-    "d_semdedup_exact_replay",
-    "s_pq_exact_replay",
-    "s_ivfpq_exact_replay",
-}
+# r12: EMPTY (VERDICT r11 task 3 — keep the window entirely on the
+# stalest-first rotation so the 34 r7-vintage greens plus the oldest
+# r8s fill all 50 slots).  This round's code changes are behavior-
+# neutral for every catalog entry: bench.py probe classes (harness
+# only), pin-leak releases + a pin(eager=False, replaces=) guard
+# (default-mode no-ops, covered by both-modes unit tests), docstring
+# cost models, and semantic_dedup's k_cap knob whose default None
+# leaves the entry's k untouched (unit-tested identical).
+_REVERIFY: set[str] = set()
 
 
 def _past_results() -> tuple[set[str], set[str], dict[str, int]]:

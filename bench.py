@@ -28,6 +28,17 @@ import time
 
 
 def main() -> None:
+    # cwd-independence (ADVICE r11): the package lives next to this
+    # script; a launch from any other directory must still import it
+    _here = os.path.dirname(os.path.abspath(__file__))
+    if _here not in sys.path:
+        sys.path.insert(0, _here)
+    # Python WORKERS unpickle package UDFs too — they read PYTHONPATH,
+    # not the driver's sys.path (must be set before the JVM starts)
+    if _here not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _here + os.pathsep + os.environ.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -284,11 +295,17 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Environment calibration: one fixed shuffle-heavy probe, identical
-    # every round.  Cross-round comparisons should read value/calib —
-    # VM boots differ (measured: the same commit's per-stage overhead
-    # varies ~1.7× between boots), and this separates machine speed
-    # from plan regressions.
+    # Environment calibration: fixed probes, identical every round.
+    # Cross-round comparisons should read value/calib — VM boots differ
+    # (measured: the same commit's per-stage overhead varies ~1.7×
+    # between boots), and this separates machine speed from plan
+    # regressions.  THREE cost classes (VERDICT r11 task 1 — the r11
+    # anomaly hid in classes the shuffle probe doesn't span: dedup/
+    # similarity families ran 1.4-1.5× while the JVM shuffle probe
+    # moved 1.07×):
+    #   shuffle     — JVM exchange + hash agg (whole-stage codegen)
+    #   pyworker    — Python-worker spawn + Arrow IPC round trip
+    #   driver_loop — scheduler/driver latency over many small jobs
     def calib_probe() -> float:
         t0 = time.perf_counter()
         (
@@ -301,6 +318,45 @@ def main() -> None:
         )
         return time.perf_counter() - t0
 
+    # module-level pandas import: pandas_udf resolves the type hints
+    # against the function's module globals, so a main()-local alias
+    # fails hint inference
+    global pd
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    @_pandas_udf("long")
+    def _probe_double(s: pd.Series) -> pd.Series:
+        return s * 2
+
+    def pyworker_probe() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 200_000, 1, int(cpus))
+            .select(_probe_double("id").alias("v"))
+            .selectExpr("sum(v) AS s")
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    def driver_loop_probe() -> float:
+        t0 = time.perf_counter()
+        for _ in range(20):
+            spark.range(0, 1000, 1, 1).selectExpr("sum(id) AS s").collect()
+        return time.perf_counter() - t0
+
+    # first-call costs (Python-worker pool spawn) must not be billed to
+    # the first boundary's probe sample
+    pyworker_probe()
+    driver_loop_probe()
+
+    PROBE_CLASSES = ("shuffle", "pyworker", "driver_loop")
+    _PROBE_FNS = {
+        "shuffle": calib_probe,
+        "pyworker": pyworker_probe,
+        "driver_loop": driver_loop_probe,
+    }
+
     # family order = first appearance in the (ordered) query dict
     fam_groups: dict[str, list[str]] = {}
     for name in bench_queries:
@@ -309,17 +365,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     all_runs: dict[str, list[float]] = {}
-    probes: list[float] = []
-    probe_samples: list[list[float]] = []
+    probes_by_class: dict[str, list[float]] = {c: [] for c in PROBE_CLASSES}
+    probes = probes_by_class["shuffle"]  # legacy alias: fam_calib reads it
+    probe_samples_by_class: dict[str, list[list[float]]] = {
+        c: [] for c in PROBE_CLASSES
+    }
+    probe_samples = probe_samples_by_class["shuffle"]
 
     def boundary_probe() -> None:
-        # median of 3 at each family boundary: a single probe sample
-        # makes families_normalized swing on one noisy run (ADVICE r7);
-        # the raw samples stay in bench_detail so a noisy bracket is
-        # visible when reading family drift
-        samples = [round(calib_probe(), 3) for _ in range(3)]
-        probe_samples.append(samples)
-        probes.append(round(statistics.median(samples), 3))
+        # median of 3 per class at each family boundary: a single probe
+        # sample makes families_normalized swing on one noisy run
+        # (ADVICE r7); the raw samples stay in bench_detail so a noisy
+        # bracket is visible when reading family drift
+        for cls in PROBE_CLASSES:
+            samples = [round(_PROBE_FNS[cls](), 3) for _ in range(3)]
+            probe_samples_by_class[cls].append(samples)
+            probes_by_class[cls].append(round(statistics.median(samples), 3))
 
     fam_probe_idx: dict[str, int] = {}
     for fam, names in fam_groups.items():
@@ -353,9 +414,13 @@ def main() -> None:
     # of its two bracketing probes, so a mid-run host slowdown (the r6
     # TPC-H 1.3-1.45x mystery) shows up in that family's own probe
     # instead of being smeared across the global scalar.
-    def fam_calib(fam: str) -> float:
+    def fam_probe(cls: str, fam: str) -> float:
         i = fam_probe_idx[fam]
-        return (probes[i] + probes[i + 1]) / 2.0
+        ps = probes_by_class[cls]
+        return (ps[i] + ps[i + 1]) / 2.0
+
+    def fam_calib(fam: str) -> float:
+        return fam_probe("shuffle", fam)
 
     families_normalized = {
         fam: round(sum(timings[n] for n in names) / fam_calib(fam), 3)
@@ -385,6 +450,27 @@ def main() -> None:
         "page_cache_warm_bytes": warm_bytes,
         "calib_probes_sec": probes,
         "calib_probe_samples_sec": probe_samples,
+        # the two extra cost classes (VERDICT r11 task 1); shuffle stays
+        # in the legacy keys above so prior-round tooling keeps parsing
+        "calib_probes_by_class_sec": {
+            c: list(v) for c, v in probes_by_class.items()
+        },
+        "family_probe_sec": {
+            c: {f: round(fam_probe(c, f), 3) for f in fam_groups}
+            for c in PROBE_CLASSES
+        },
+        # each family's bracketing probe vs this run's own global median
+        # of the same class — a mid-run host slowdown (the r11 anomaly
+        # shape: late families uniformly slow) shows here even when no
+        # prev-round baseline exists for the class
+        "family_probe_vs_run_median": {
+            c: {
+                f: round(fam_probe(c, f) / statistics.median(probes_by_class[c]), 3)
+                for f in fam_groups
+            }
+            for c in PROBE_CLASSES
+            if statistics.median(probes_by_class[c]) > 0
+        },
         "family_calib_sec": {f: round(fam_calib(f), 3) for f in fam_groups},
         "families": {f: list(ns) for f, ns in fam_groups.items()},
         "families_normalized": families_normalized,
@@ -454,13 +540,25 @@ def main() -> None:
                 prev = json.load(fh)
             prev_round = _round_of(benches[-1])
             parsed_prev = prev.get("parsed") or {}
+            # cross-sf ratios are meaningless (fixed overheads dominate
+            # small sfs) — emit no families_vs_prev rather than a bogus one
+            cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
+            if parsed_prev.get("sf") != cur_sf:
+                raise ValueError("prev bench is a different sf")
             pf = parsed_prev.get("families_normalized") or {}
             pq = parsed_prev.get("queries") or {}
             pq_source = "bench_file"
             if parsed_prev.get("queries_truncated_to_slowest"):
                 pq_source = "bench_file_truncated"
             # prefer the full per-query medians this harness itself
-            # recorded for that round (last history entry wins)
+            # recorded for that round.  VERDICT r11 task 6: read ALL
+            # same-round same-sf history lines and take the CROSS-RUN
+            # per-query median — r11's committed file was one anomalous
+            # run (1.23×) against three ≈1.00× same-code runs, and a
+            # single-file prev point inherits that outlier; the median
+            # of n_runs does not.  Single-entry rounds degrade to the
+            # old behavior (median of one = that run).
+            hist_runs: list[dict] = []
             try:
                 with open(hist_path) as fh:
                     for ln in fh:
@@ -473,10 +571,35 @@ def main() -> None:
                             and ent.get("queries")
                             and ent.get("sf") == parsed_prev.get("sf")
                         ):
-                            pq = ent["queries"]
-                            pq_source = "history"
+                            hist_runs.append(ent)
             except OSError:
                 pass
+            prev_fam_probes: dict[str, dict[str, float]] = {}
+            if hist_runs:
+                all_names = set().union(
+                    *(e["queries"].keys() for e in hist_runs)
+                )
+                pq = {
+                    n: statistics.median(
+                        [e["queries"][n] for e in hist_runs if n in e["queries"]]
+                    )
+                    for n in all_names
+                }
+                pq_source = f"history_median_of_{len(hist_runs)}_runs"
+                # prev-round per-family probe baselines (by class) —
+                # cross-run medians again; entries written before r12
+                # lack family_probe_sec and contribute nothing
+                for cls in PROBE_CLASSES:
+                    per_fam: dict[str, list[float]] = {}
+                    for e in hist_runs:
+                        cls_map = (e.get("family_probe_sec") or {}).get(cls) or {}
+                        for f, v in cls_map.items():
+                            if v:
+                                per_fam.setdefault(f, []).append(v)
+                    if per_fam:
+                        prev_fam_probes[cls] = {
+                            f: statistics.median(v) for f, v in per_fam.items()
+                        }
             # raw seconds per family over queries BOTH rounds ran
             raw_ratios = {}
             for fam, names in fam_groups.items():
@@ -485,6 +608,41 @@ def main() -> None:
                 if shared and prev_s > 0:
                     cur_s = sum(timings[n] for n in shared)
                     raw_ratios[fam] = round(cur_s / prev_s, 3)
+            # per-family probe ratios (cur ÷ prev median) per cost
+            # class, and an attribution verdict per family (VERDICT r11
+            # task 1): a family move >1.25× must either be matched by a
+            # probe move (environment) or stand out as a suspected real
+            # regression needing a named commit.  Before a prev round
+            # carries direct probe baselines (pre-r12 history), the
+            # shuffle ratio is inferred from raw ÷ normalized — exact
+            # when prev raw and prev normalized come from the same run;
+            # approximate (± run-to-run spread) when prev raw is a
+            # cross-run median while normalized is the committed file's.
+            probe_ratios: dict[str, dict[str, float]] = {}
+            attribution: dict[str, str] = {}
+            for fam in fam_groups:
+                pr: dict[str, float] = {}
+                for cls in PROBE_CLASSES:
+                    prev_v = (prev_fam_probes.get(cls) or {}).get(fam)
+                    if prev_v:
+                        pr[cls] = round(fam_probe(cls, fam) / prev_v, 3)
+                if "shuffle" not in pr and pf.get(fam) and fam in raw_ratios \
+                        and families_normalized.get(fam):
+                    norm_ratio = families_normalized[fam] / pf[fam]
+                    if norm_ratio > 0:
+                        pr["shuffle_inferred"] = round(
+                            raw_ratios[fam] / norm_ratio, 3
+                        )
+                probe_ratios[fam] = pr
+                raw = raw_ratios.get(fam)
+                if raw is None:
+                    continue
+                if raw <= 1.25:
+                    attribution[fam] = "within_band"
+                elif pr and max(pr.values()) * 1.1 >= raw:
+                    attribution[fam] = "probe:" + max(pr, key=pr.get)
+                else:
+                    attribution[fam] = "UNATTRIBUTED_suspect_real_regression"
             common = [n for n in timings if n in pq]
             prev_common = round(sum(pq[n] for n in common), 3)
             prev_age_min = round(
@@ -506,6 +664,9 @@ def main() -> None:
                     if pf.get(f)
                 },
                 "raw_ratios_shared_queries": raw_ratios,
+                "prev_n_runs": len(hist_runs) if hist_runs else 1,
+                "probe_ratios": probe_ratios,
+                "attribution": attribution,
                 # VERDICT r8 task 6: cross-round totals over the
                 # intersection of query sets — the honest 2x-gate input
                 "common_queries": len(common),
@@ -530,6 +691,9 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries": timings,
                 "calib": calib,
+                # per-family probe medians by cost class — next round's
+                # drift block ratios its probes against these (r12+)
+                "family_probe_sec": detail["family_probe_sec"],
             }) + "\n")
     except OSError:
         pass
@@ -544,7 +708,12 @@ def main() -> None:
     except (OSError, ValueError):
         pass
     try:
-        with open("bench_detail.json", "w") as fh:
+        # script-dir path, NOT cwd (ADVICE r11): the auto-extend guard
+        # above reads from the script dir, so write and read must agree
+        # regardless of launch cwd; the file is git-tracked as of r12 so
+        # a fresh checkout still has the previous round's spreads
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json"), "w") as fh:
             json.dump(detail, fh)
     except OSError:
         pass

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_randgen_spark.pinning import pin
+from datafusion_randgen_spark.pinning import pin, unpin
 
 __all__ = ["pagerank", "bfs_distances"]
 
@@ -109,6 +109,16 @@ def bfs_distances(
     incident frontier round — on a 100 TB edge list the per-round cost
     is proportional to the frontier's out-edges, and the visited set
     holds (node, dist) pairs only.
+
+    Pin ownership (ADVICE r11): intermediate frontier pins are released
+    as they are superseded, and the TERMINAL frontier (the empty one
+    that stops the loop, or the last one when ``max_hops`` exhausts) is
+    released here before returning — its rows are already folded into
+    the visited pin.  The RETURNED frame is the final visited pin and
+    stays pinned under the ``persist`` strategy (same contract as
+    ``dedup.connected_components`` / ``dedup.semantic_dedup``):
+    long-running callers own its release via ``pinning.unpin`` — or
+    ``spark.catalog.clearCache()`` — once done with the result.
     """
     frontier = (
         edges.sparkSession.range(1)
@@ -133,4 +143,9 @@ def bfs_distances(
             visited.union(frontier),
             replaces=visited if hop > 1 else None,
         )
+    # terminal frontier: either empty (break) or, with max_hops
+    # exhausted, already folded into the visited pin — under persist it
+    # would otherwise leak one frame per call (ADVICE r11; no-op when
+    # the loop never ran and frontier is the unpinned seed frame)
+    unpin(frontier)
     return visited

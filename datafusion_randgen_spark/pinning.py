@@ -79,8 +79,17 @@ def pin(df: DataFrame, eager: bool = True, replaces: DataFrame | None = None) ->
     not materialized yet, so releasing its predecessor here would
     force the first action to recompute inputs from source; lazy
     callers release the predecessor themselves via :func:`unpin` after
-    their first action (the connected-components pattern).
+    their first action (the connected-components pattern).  Passing
+    both ``eager=False`` and ``replaces`` is therefore a caller bug —
+    silently ignoring it would leak the predecessor frame under
+    ``persist`` — and raises (ADVICE r11).
     """
+    if replaces is not None and not eager:
+        raise ValueError(
+            "pin(eager=False) cannot honor replaces= — the lazy pin has"
+            " not materialized, so the predecessor must stay pinned;"
+            " release it via unpin() after your first action instead"
+        )
     if _strategy == LOCAL_CHECKPOINT:
         return df.localCheckpoint(eager=eager)
     out = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -1143,6 +1143,72 @@ def test_iterative_pins_mode_invariant(spark):
     spark.catalog.clearCache()
 
 
+@pytest.mark.parametrize("pin_mode", ["localCheckpoint", "persist"])
+def test_pin_lazy_replaces_raises(spark, pin_mode):
+    """pin(eager=False, replaces=...) is a caller bug (ADVICE r11):
+    a lazy pin hasn't materialized, so releasing its predecessor would
+    either recompute from source (localCheckpoint) or leak if silently
+    ignored (persist) — it must raise in BOTH modes, not just where
+    the leak manifests."""
+    from datafusion_randgen_spark.pinning import pin, pin_strategy
+
+    a = spark.range(3)
+    b = spark.range(4)
+    with pin_strategy(pin_mode):
+        with pytest.raises(ValueError, match="eager=False"):
+            pin(a, eager=False, replaces=b)
+
+
+@pytest.mark.parametrize("max_hops", [20, 2])
+def test_bfs_terminal_pin_released_under_persist(spark, max_hops):
+    """Under persist, bfs_distances must leave exactly ONE pinned frame
+    — the returned visited set (documented caller-owned) — on both exit
+    paths: empty-frontier break (max_hops=20 on a 3-hop chain) and
+    max_hops exhaustion with a non-empty final frontier (max_hops=2).
+    Before the ADVICE-r11 fix the terminal frontier leaked one extra
+    persisted frame per call."""
+    from datafusion_randgen_spark.operators import graph
+    from datafusion_randgen_spark.pinning import pin_strategy, unpin
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+
+    def _n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = _n_persisted()
+    with pin_strategy("persist"):
+        visited = graph.bfs_distances(edges, 0, max_hops=max_hops)
+        got = {(r.node, r.dist) for r in visited.collect()}
+        assert _n_persisted() - before == 1
+        unpin(visited)
+    assert _n_persisted() == before
+    expect = {(0, 0), (1, 1), (2, 2)} | ({(3, 3)} if max_hops >= 3 else set())
+    assert got == expect
+
+
+def test_semantic_dedup_k_cap(spark):
+    """k_cap semantics (VERDICT r11 task 4): a non-binding cap changes
+    nothing (byte-identical to k_cap=None), and a binding cap is
+    exactly equivalent to calling with k=min(k, k_cap)."""
+    emb = spark.createDataFrame(
+        [(i, [float((i % 4) * 3 + j) for j in range(4)]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def run(**kw):
+        return {
+            tuple(r)
+            for r in dedup.semantic_dedup(
+                emb, threshold=0.99, iterations=2, **kw
+            ).collect()
+        }
+
+    assert run(k=4, k_cap=None) == run(k=4, k_cap=100)  # cap not binding
+    assert run(k=8, k_cap=2) == run(k=2)  # binding cap == smaller k
+
+
 def test_kmeans_exact_quantized_matches_numpy_replay(spark):
     """The quantized Lloyd's trajectory must equal a straight NumPy
     replay of its spec (quantize->argmin-first-min->floor-div update,
