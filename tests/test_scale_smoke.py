@@ -537,6 +537,9 @@ def test_trend_semantic_dedup_kcap(trend_vecs):
             f"capped SemDeDup is not ≈linear: {sec:.1f}s at {n} vs "
             f"{base:.1f}s at 200k (ratio {ratio:.1f})"
         )
+
+
+def test_trend_ivfpq_adc_search(trend_vecs):
     """IVF-PQ train + cell-probed ADC search at scale: per query (a
     corpus vector), within its own cell its own row attains the
     minimum ADC distance (the s_ivfpq_search invariant), and scored
