@@ -682,7 +682,9 @@ def main() -> None:
         pass
     # per-round full-medians history: future drift blocks read THIS for
     # the prev round's per-query map (the stdout BENCH line truncates
-    # past ~1.4 KB); last entry per round wins on read
+    # past ~1.4 KB); the drift block above takes the MEDIAN over every
+    # same-round same-sf line, so appending a line adds a vote — it
+    # does not override earlier entries for the round
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_HISTORY.jsonl"), "a") as fh:

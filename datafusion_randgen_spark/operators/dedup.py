@@ -1014,6 +1014,8 @@ def semantic_dedup(
 
     spark = embeddings.sparkSession
     if k_cap is not None:
+        if k_cap < 1:
+            raise ValueError(f"k_cap must be >= 1, got {k_cap}")
         k = min(k, k_cap)
     centroids, _, _ = clustering.kmeans(
         embeddings, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col

@@ -69,21 +69,25 @@ def main() -> None:
     # same warm-up discipline as bench.py: JIT/codegen + page cache
     spark.range(0, 1_000_000, 1, int(cpus)).selectExpr("sum(id) AS s").collect()
     load_table(spark, sf_dir, "documents").count()
+
+    def _warm(path: str) -> None:
+        # recursive like bench.py's _warm: a *.parquet DIRECTORY may
+        # nest partition subdirectories; a non-recursive walk would
+        # leave those files cold — the exact trap this script avoids
+        if os.path.isdir(path):
+            for sub in sorted(os.listdir(path)):
+                _warm(os.path.join(path, sub))
+            return
+        try:
+            with open(path, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+        except OSError:
+            pass
+
     for fname in sorted(os.listdir(sf_dir)):
-        path = os.path.join(sf_dir, fname)
-        if not fname.endswith(".parquet"):
-            continue
-        paths = (
-            [os.path.join(path, p) for p in sorted(os.listdir(path))]
-            if os.path.isdir(path) else [path]
-        )
-        for p in paths:
-            try:
-                with open(p, "rb") as fh:
-                    while fh.read(1 << 22):
-                        pass
-            except OSError:
-                pass
+        if fname.endswith(".parquet"):
+            _warm(os.path.join(sf_dir, fname))
 
     out: dict[str, dict] = {}
     for name, first in FIRST_RECORDED.items():

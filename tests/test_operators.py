@@ -1174,16 +1174,21 @@ def test_bfs_terminal_pin_released_under_persist(spark, max_hops):
         [(0, 1), (1, 2), (2, 3)], "src long, dst long"
     )
 
-    def _n_persisted():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def _persisted_ids():
+        # id SET, not a count: the shared session's ContextCleaner may
+        # asynchronously drop GC'd pins from EARLIER tests mid-test,
+        # which would skew a count delta; ids newly added by this call
+        # are unaffected by unrelated removals
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
 
-    before = _n_persisted()
+    before = _persisted_ids()
     with pin_strategy("persist"):
         visited = graph.bfs_distances(edges, 0, max_hops=max_hops)
         got = {(r.node, r.dist) for r in visited.collect()}
-        assert _n_persisted() - before == 1
+        assert len(_persisted_ids() - before) == 1
         unpin(visited)
-    assert _n_persisted() == before
+    assert len(_persisted_ids() - before) == 0
     expect = {(0, 0), (1, 1), (2, 2)} | ({(3, 3)} if max_hops >= 3 else set())
     assert got == expect
 

@@ -531,11 +531,25 @@ def test_trend_semantic_dedup_kcap(trend_vecs):
     _record_trend("semantic_dedup_kcap", n, sec)
     base = _SEMDEDUP_UNCAPPED_SEC.get(200_000)
     if base:
+        # bound tight enough to discriminate: the UNCAPPED quadratic
+        # envelope measures ~6.1x at 5x data (r12: 140.1s/23.0s), the
+        # capped run ~4.2x (97.5s) — a 1.1 slack on linear (5.5x) FAILS
+        # a cap that regressed to the uncapped envelope while holding
+        # ~30% headroom over the measured capped ratio
         ratio = sec / base
         _record_trend("semantic_dedup_kcap_ratio_vs_200k", n, ratio)
-        assert ratio <= (n / 200_000) * 1.8, (
+        assert ratio <= (n / 200_000) * 1.1, (
             f"capped SemDeDup is not ≈linear: {sec:.1f}s at {n} vs "
             f"{base:.1f}s at 200k (ratio {ratio:.1f})"
+        )
+    uncapped_same_n = _SEMDEDUP_UNCAPPED_SEC.get(n)
+    if uncapped_same_n:
+        # the cap strictly removes assign flops; a capped run at >=0.9x
+        # of the uncapped SAME-SCALE wall time means the cap stopped
+        # paying for itself (measured r12: 97.5s vs 140.1s = 0.70x)
+        assert sec <= 0.9 * uncapped_same_n, (
+            f"k_cap stopped paying: capped {sec:.1f}s vs uncapped "
+            f"{uncapped_same_n:.1f}s at n={n}"
         )
 
 
