@@ -13,6 +13,17 @@ one-off Janino codegen / JIT costs (measured ~4s on the 64-perm
 minhash agg).  queries_spread carries [min, max] so a noisy rep is
 visible rather than silently folded in.
 
+Rep layout (VERDICT r12 task 1): reps run as PASS-INTERLEAVED full
+passes over the whole query list — pass 1 runs every query once, then
+pass 2, … — NOT as back-to-back reps per query.  Both committed-run
+anomalies (r11 dedup 1.4-1.5×, r12 tpch 1.7×) had the same root
+cause: contiguous per-query reps put all of a family's samples inside
+ONE wall-clock window, so a transient host slowdown lands coherently
+on one family and reads as a regression.  With interleaving each
+query's median samples N different wall-clock windows, and
+bench_detail.json's per_pass_family_sums show a slow interval as one
+slow PASS (every family elevated) instead of one slow FAMILY.
+
 Query set: the generation-heavy flagship (the reference's core purpose),
 one query per operator family (agg/join/window/dedup/similarity/text),
 and a raw-generation throughput probe — so a regression in any family
@@ -21,10 +32,260 @@ moves the headline number.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
+
+PROBE_CLASSES = ("shuffle", "pyworker", "driver_loop")
+
+# Probe classes PLAUSIBLE per family (ADVICE r12: attribution must not
+# credit a family slowdown to a cost class the family never exercises —
+# e.g. a pyworker spike must not environment-attribute a JVM-only tpch
+# regression).  Derived from the entries' actual execution paths:
+#   gen        — Catalyst exprs fast path (shuffle) + the pandas-UDF
+#                parity probe gen_pandas_udf_1m_rows (pyworker)
+#   tpch       — pure spark.sql over parquet; no Python worker, no
+#                driver loop: JVM shuffle/codegen ONLY
+#   events     — SQL/window ops (shuffle) + q_ewma_smoothing's grouped
+#                applyInPandas (pyworker)
+#   dedup      — Catalyst digest/fingerprint folds (shuffle), the
+#                embedding near-dup Arrow kernels via similarity.*
+#                (pyworker), and multi-job entries (snapshot_dedup's
+#                state write/read rounds, skew routing's heavy-key
+#                collect) whose r11 drift demonstrably moved with
+#                many-small-jobs host cost (driver_loop) — see the
+#                README drift block's r12 adjudication
+#   iterative  — driver-iterated rounds of keyed shuffles with Arrow
+#                combiner kernels: all three classes by construction
+#   similarity — Arrow/pandas ANN kernels (pyworker) + shuffled
+#                bucket joins (shuffle) + IVF/kmeans train loops
+#                (driver_loop)
+#   text       — functions/text.py is pure Catalyst (0 pandas_udf):
+#                shuffle ONLY
+FAM_COST_CLASSES = {
+    "gen": ("shuffle", "pyworker"),
+    "tpch": ("shuffle",),
+    "events": ("shuffle", "pyworker"),
+    "dedup": ("shuffle", "pyworker", "driver_loop"),
+    "iterative": ("shuffle", "pyworker", "driver_loop"),
+    "similarity": ("shuffle", "pyworker", "driver_loop"),
+    "text": ("shuffle",),
+}
+
+
+def _round_of(path: str) -> int:
+    m = re.search(r"_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else -1
+
+
+def pick_prev_bench(repo_dir: str, cur_round: int, cur_sf):
+    """Latest strictly-earlier-round BENCH_r*.json whose parsed sf
+    matches cur_sf.
+
+    ADVICE r12: selecting by round number alone let a latest prev bench
+    at a DIFFERENT sf abort the whole drift comparison even when an
+    older same-sf file exists — walk newest→oldest and skip (recording)
+    sf-mismatched files instead.  Returns (parsed_prev, prev_round,
+    prev_path, skipped) with parsed_prev None when no candidate
+    qualifies."""
+    benches = sorted(
+        (p for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+         if 0 <= _round_of(p) < cur_round),
+        key=_round_of,
+    )
+    skipped: list[str] = []
+    for path in reversed(benches):
+        try:
+            with open(path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            skipped.append(os.path.basename(path) + ":unreadable")
+            continue
+        parsed_prev = prev.get("parsed") or {}
+        if parsed_prev.get("sf") != cur_sf:
+            skipped.append(
+                f"{os.path.basename(path)}:sf={parsed_prev.get('sf')}"
+            )
+            continue
+        return parsed_prev, _round_of(path), path, skipped
+    return None, None, None, skipped
+
+
+def load_hist_runs(hist_path: str, prev_round: int, prev_sf) -> list[dict]:
+    """Every same-round same-sf BENCH_HISTORY.jsonl line (cross-run
+    median inputs; one bad line must not kill drift)."""
+    hist_runs: list[dict] = []
+    try:
+        with open(hist_path) as fh:
+            for ln in fh:
+                try:
+                    ent = json.loads(ln)
+                except ValueError:
+                    continue
+                if (
+                    ent.get("round") == prev_round
+                    and ent.get("queries")
+                    and ent.get("sf") == prev_sf
+                ):
+                    hist_runs.append(ent)
+    except OSError:
+        pass
+    return hist_runs
+
+
+def compute_drift(
+    *,
+    fam_groups: dict[str, list[str]],
+    timings: dict[str, float],
+    families_normalized: dict[str, float],
+    fam_probe,  # callable (cls, fam) -> float, THIS run's probes
+    prev_parsed: dict,
+    prev_round: int,
+    cur_round: int,
+    hist_runs: list[dict],
+    fam_cost_classes: dict[str, tuple] = FAM_COST_CLASSES,
+    probe_classes: tuple = PROBE_CLASSES,
+) -> dict:
+    """The families_vs_prev block (round-over-round family drift +
+    probe-based attribution).  Pure function of its inputs so the
+    attribution and fallback rules are unit-testable (VERDICT r12
+    task 3) without a SparkSession or the filesystem.
+
+    Two ratio views per family: normalized (÷ each run's own probe)
+    and RAW seconds over the SHARED query set.  Prev per-query medians
+    come from hist_runs (cross-run MEDIAN over every same-round
+    same-sf history line — VERDICT r11 task 6: one anomalous committed
+    run must not define a round's baseline) when available, else the
+    prev bench file's possibly-truncated queries map.
+
+    Attribution (VERDICT r11 task 1, restricted per ADVICE r12): a
+    family move >1.25× is environment-attributed only when a probe
+    class PLAUSIBLE for that family (fam_cost_classes) moved
+    commensurately (max plausible ratio × 1.1 ≥ raw); an orthogonal
+    class moving keeps UNATTRIBUTED, with the orthogonal match noted
+    in attribution_notes.  Before a prev round carries direct probe
+    baselines (pre-r12 history), the shuffle ratio is inferred from
+    raw ÷ normalized."""
+    pf = prev_parsed.get("families_normalized") or {}
+    pq = prev_parsed.get("queries") or {}
+    pq_source = "bench_file"
+    if prev_parsed.get("queries_truncated_to_slowest"):
+        pq_source = "bench_file_truncated"
+    prev_fam_probes: dict[str, dict[str, float]] = {}
+    if hist_runs:
+        all_names = set().union(*(e["queries"].keys() for e in hist_runs))
+        pq = {
+            n: statistics.median(
+                [e["queries"][n] for e in hist_runs if n in e["queries"]]
+            )
+            for n in all_names
+        }
+        pq_source = f"history_median_of_{len(hist_runs)}_runs"
+        # prev-round per-family probe baselines (by class) — cross-run
+        # medians again; entries written before r12 lack
+        # family_probe_sec and contribute nothing
+        for cls in probe_classes:
+            per_fam: dict[str, list[float]] = {}
+            for e in hist_runs:
+                cls_map = (e.get("family_probe_sec") or {}).get(cls) or {}
+                for f, v in cls_map.items():
+                    if v:
+                        per_fam.setdefault(f, []).append(v)
+            if per_fam:
+                prev_fam_probes[cls] = {
+                    f: statistics.median(v) for f, v in per_fam.items()
+                }
+    # raw seconds per family over queries BOTH rounds ran
+    raw_ratios: dict[str, float] = {}
+    for fam, names in fam_groups.items():
+        shared = [n for n in names if n in pq]
+        prev_s = sum(pq[n] for n in shared)
+        if shared and prev_s > 0:
+            cur_s = sum(timings[n] for n in shared)
+            raw_ratios[fam] = round(cur_s / prev_s, 3)
+    probe_ratios: dict[str, dict[str, float]] = {}
+    attribution: dict[str, str] = {}
+    attribution_notes: dict[str, str] = {}
+    for fam in fam_groups:
+        pr: dict[str, float] = {}
+        for cls in probe_classes:
+            prev_v = (prev_fam_probes.get(cls) or {}).get(fam)
+            if prev_v:
+                pr[cls] = round(fam_probe(cls, fam) / prev_v, 3)
+        if "shuffle" not in pr and pf.get(fam) and fam in raw_ratios \
+                and families_normalized.get(fam):
+            norm_ratio = families_normalized[fam] / pf[fam]
+            if norm_ratio > 0:
+                pr["shuffle_inferred"] = round(
+                    raw_ratios[fam] / norm_ratio, 3
+                )
+        probe_ratios[fam] = pr
+        raw = raw_ratios.get(fam)
+        if raw is None:
+            continue
+        plaus = set(fam_cost_classes.get(fam, probe_classes))
+        plausible_pr = {
+            c: v for c, v in pr.items()
+            if (c[: -len("_inferred")] if c.endswith("_inferred") else c)
+            in plaus
+        }
+        if raw <= 1.25:
+            attribution[fam] = "within_band"
+        elif plausible_pr and max(plausible_pr.values()) * 1.1 >= raw:
+            attribution[fam] = "probe:" + max(
+                plausible_pr, key=plausible_pr.get
+            )
+        else:
+            attribution[fam] = "UNATTRIBUTED_suspect_real_regression"
+            orthogonal = {
+                c: v for c, v in pr.items() if c not in plausible_pr
+            }
+            if orthogonal and max(orthogonal.values()) * 1.1 >= raw:
+                c = max(orthogonal, key=orthogonal.get)
+                attribution_notes[fam] = (
+                    f"orthogonal probe {c} moved {orthogonal[c]}x but the "
+                    f"family never exercises that cost class "
+                    f"(plausible: {sorted(plaus)}) — not credited"
+                )
+    common = [n for n in timings if n in pq]
+    prev_common = round(sum(pq[n] for n in common), 3)
+    out = {
+        "prev_round": prev_round,
+        "this_round": cur_round,
+        "prev_queries_source": pq_source,
+        "ratios": {
+            f: round(v / pf[f], 3)
+            for f, v in families_normalized.items()
+            if pf.get(f)
+        },
+        "raw_ratios_shared_queries": raw_ratios,
+        "prev_n_runs": len(hist_runs) if hist_runs else 1,
+        "probe_ratios": probe_ratios,
+        "attribution": attribution,
+        # which classes each family exercises — the attribution filter
+        # input, emitted so an ignored orthogonal match is auditable
+        "family_cost_classes": {
+            f: list(fam_cost_classes.get(f, probe_classes))
+            for f in fam_groups
+        },
+        # VERDICT r8 task 6: cross-round totals over the intersection
+        # of query sets — the honest 2x-gate input
+        "common_queries": len(common),
+        "common_queries_total": round(
+            sum(timings[n] for n in common), 3
+        ),
+        "common_queries_total_prev": prev_common,
+        "common_total_ratio": round(
+            sum(timings[n] for n in common) / prev_common, 3
+        ) if prev_common else None,
+    }
+    if attribution_notes:
+        out["attribution_notes"] = attribution_notes
+    return out
 
 
 def main() -> None:
@@ -152,8 +413,9 @@ def main() -> None:
 
     # Family assignment for per-family calibration (VERDICT r6 task 3:
     # a single global probe couldn't localize the r6 TPC-H drift).
-    # The probe runs BETWEEN families; each family normalizes against
-    # the mean of its two bracketing probes.
+    # Probes run at family boundaries within every pass; each family
+    # normalizes against the median of its bracketing probe samples
+    # across all passes.
     _FAM = {
         "flagship_randgen_graft": "gen",
         "gen_expr_5m_rows": "gen",
@@ -235,8 +497,6 @@ def main() -> None:
         if fname.endswith(".parquet"):
             warm_bytes += _warm(os.path.join(sf_dir, fname))
     print(f"# page-cache warm-up: {warm_bytes} bytes", file=sys.stderr)
-
-    import statistics
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
@@ -350,7 +610,6 @@ def main() -> None:
     pyworker_probe()
     driver_loop_probe()
 
-    PROBE_CLASSES = ("shuffle", "pyworker", "driver_loop")
     _PROBE_FNS = {
         "shuffle": calib_probe,
         "pyworker": pyworker_probe,
@@ -362,62 +621,92 @@ def main() -> None:
     for name in bench_queries:
         fam_groups.setdefault(_FAM[name], []).append(name)
 
-    timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    all_runs: dict[str, list[float]] = {}
+    # ---- pass-interleaved timing loop (VERDICT r12 task 1) ----
+    # n_passes = the largest per-query rep count; pass p runs each
+    # query once iff p < its rep count, in family order.  ONE probe
+    # sample per class at each family boundary present in the pass
+    # (leading each family + one trailing), so every family collects
+    # 2 bracketing samples per class per pass — ≥6 samples over the
+    # default 3 passes, where the old layout had 2 medians-of-3 from a
+    # single contiguous window.
+    n_passes = max(extra_reps.get(n, reps) for n in bench_queries)
+    all_runs: dict[str, list[float]] = {n: [] for n in bench_queries}
+    rows_of: dict[str, int] = {}
     probes_by_class: dict[str, list[float]] = {c: [] for c in PROBE_CLASSES}
-    probes = probes_by_class["shuffle"]  # legacy alias: fam_calib reads it
-    probe_samples_by_class: dict[str, list[list[float]]] = {
+    probe_samples_by_pass: dict[str, list[list[float]]] = {
         c: [] for c in PROBE_CLASSES
     }
-    probe_samples = probe_samples_by_class["shuffle"]
+    fam_probe_samples: dict[str, dict[str, list[float]]] = {
+        c: {} for c in PROBE_CLASSES
+    }
 
-    def boundary_probe() -> None:
-        # median of 3 per class at each family boundary: a single probe
-        # sample makes families_normalized swing on one noisy run
-        # (ADVICE r7); the raw samples stay in bench_detail so a noisy
-        # bracket is visible when reading family drift
+    def boundary_probe() -> dict[str, float]:
+        out = {}
         for cls in PROBE_CLASSES:
-            samples = [round(_PROBE_FNS[cls](), 3) for _ in range(3)]
-            probe_samples_by_class[cls].append(samples)
-            probes_by_class[cls].append(round(statistics.median(samples), 3))
+            v = round(_PROBE_FNS[cls](), 3)
+            probes_by_class[cls].append(v)
+            probe_samples_by_pass[cls][-1].append(v)
+            out[cls] = v
+        return out
 
-    fam_probe_idx: dict[str, int] = {}
-    for fam, names in fam_groups.items():
-        fam_probe_idx[fam] = len(probes)
-        boundary_probe()
-        for name in names:
-            fn = bench_queries[name]
-            runs: list[float] = []
-            for _ in range(extra_reps.get(name, reps)):
+    for p in range(n_passes):
+        fams_in_pass = [
+            fam for fam, names in fam_groups.items()
+            if any(extra_reps.get(n, reps) > p for n in names)
+        ]
+        if not fams_in_pass:
+            break
+        for cls in PROBE_CLASSES:
+            probe_samples_by_pass[cls].append([])
+        t_pass = time.perf_counter()
+        pass_probes: list[dict[str, float]] = []
+        for fam in fams_in_pass:
+            pass_probes.append(boundary_probe())
+            for name in fam_groups[fam]:
+                if extra_reps.get(name, reps) <= p:
+                    continue
                 # per-query isolation: operators that persist()
                 # intermediates (minhash shingles, LSH codes) must not
-                # ride caches left by an earlier query or rep, nor leak
-                # theirs into the next measurement
+                # ride caches left by an earlier query or pass, nor
+                # leak theirs into the next measurement
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                n = df.count()  # materialize fully
-                runs.append(time.perf_counter() - t0)
-            timings[name] = round(statistics.median(runs), 3)
-            spread[name] = [round(min(runs), 3), round(max(runs), 3)]
-            all_runs[name] = [round(r, 3) for r in runs]
-            print(
-                f"# {name}: median {timings[name]}s of "
-                f"{extra_reps.get(name, reps)} "
-                f"(spread {spread[name][0]}-{spread[name][1]}s, {n} rows)",
-                file=sys.stderr,
-            )
-    boundary_probe()
+                df = bench_queries[name](spark, sf_dir)
+                rows_of[name] = df.count()  # materialize fully
+                all_runs[name].append(round(time.perf_counter() - t0, 3))
+        pass_probes.append(boundary_probe())
+        for i, fam in enumerate(fams_in_pass):
+            for cls in PROBE_CLASSES:
+                fam_probe_samples[cls].setdefault(fam, []).extend(
+                    (pass_probes[i][cls], pass_probes[i + 1][cls])
+                )
+        print(
+            f"# pass {p + 1}/{n_passes}: "
+            f"{round(time.perf_counter() - t_pass, 1)}s over "
+            f"{len(fams_in_pass)} families", file=sys.stderr,
+        )
 
-    # Per-family calibration: each family normalizes against the MEAN
-    # of its two bracketing probes, so a mid-run host slowdown (the r6
-    # TPC-H 1.3-1.45x mystery) shows up in that family's own probe
-    # instead of being smeared across the global scalar.
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in bench_queries:
+        runs = all_runs[name]
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        print(
+            f"# {name}: median {timings[name]}s of {len(runs)} "
+            f"interleaved passes "
+            f"(spread {spread[name][0]}-{spread[name][1]}s, "
+            f"{rows_of[name]} rows)",
+            file=sys.stderr,
+        )
+
+    # Per-family calibration: each family normalizes against the MEDIAN
+    # of its bracketing probe samples across all passes, so a transient
+    # host slowdown (the r6 TPC-H 1.3-1.45x mystery) shows up in that
+    # family's own probe instead of being smeared across the global
+    # scalar.
     def fam_probe(cls: str, fam: str) -> float:
-        i = fam_probe_idx[fam]
-        ps = probes_by_class[cls]
-        return (ps[i] + ps[i + 1]) / 2.0
+        return statistics.median(fam_probe_samples[cls][fam])
 
     def fam_calib(fam: str) -> float:
         return fam_probe("shuffle", fam)
@@ -427,7 +716,29 @@ def main() -> None:
         for fam, names in fam_groups.items()
         if fam_calib(fam) > 0
     }
+    probes = probes_by_class["shuffle"]  # legacy alias for calib
     calib = round(statistics.median(probes), 3)
+
+    # Per-pass family sums over the queries that ran in that pass —
+    # the task-1 demonstration artifact: a transient host slowdown now
+    # reads as ONE elevated pass across every family (a row), where the
+    # old contiguous layout showed it as one elevated family.  Passes
+    # 0..2 cover the full query set (every entry runs ≥3 reps); later
+    # passes cover only the extended-rep entries, so compare rows only
+    # within the same pass index range.
+    per_pass_family_sums = {
+        fam: [
+            round(s, 3) if cnt else None
+            for s, cnt in (
+                (
+                    sum(all_runs[n][p] for n in names if len(all_runs[n]) > p),
+                    sum(1 for n in names if len(all_runs[n]) > p),
+                )
+                for p in range(n_passes)
+            )
+        ]
+        for fam, names in fam_groups.items()
+    }
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the LAST ~2000 chars of stdout, so the
@@ -438,23 +749,28 @@ def main() -> None:
     print(f"# queries_spread: {json.dumps(spread)}", file=sys.stderr)
     detail = {
         "sf": sf,  # which scale factor produced these medians/spreads
+        "bench_rep_layout": "pass_interleaved",  # VERDICT r12 task 1
         "queries_median": dict(timings),  # full map — never truncated
         "queries_spread": spread,
-        # per-rep sequences: first-rep Janino-codegen inflation (e.g.
-        # ~9s on the 64-perm minhash) is visible instead of folded into
-        # an unexplained spread
+        # per-rep sequences: run index == pass index, so a slow pass is
+        # visible as a column across queries instead of an unexplained
+        # per-query spread
         "queries_runs": all_runs,
+        "per_pass_family_sums": per_pass_family_sums,
         "reps": reps,
+        "n_passes": n_passes,
         "extra_reps": extra_reps,
         "auto_extended_reps": auto_extended,
         "page_cache_warm_bytes": warm_bytes,
         "calib_probes_sec": probes,
-        "calib_probe_samples_sec": probe_samples,
         # the two extra cost classes (VERDICT r11 task 1); shuffle stays
         # in the legacy keys above so prior-round tooling keeps parsing
         "calib_probes_by_class_sec": {
             c: list(v) for c, v in probes_by_class.items()
         },
+        # all boundary samples grouped by pass (replaces the pre-r13
+        # calib_probe_samples_sec per-boundary triplets)
+        "probe_samples_by_pass": probe_samples_by_pass,
         "family_probe_sec": {
             c: {f: round(fam_probe(c, f), 3) for f in fam_groups}
             for c in PROBE_CLASSES
@@ -472,6 +788,10 @@ def main() -> None:
             if statistics.median(probes_by_class[c]) > 0
         },
         "family_calib_sec": {f: round(fam_calib(f), 3) for f in fam_groups},
+        "family_cost_classes": {
+            f: list(FAM_COST_CLASSES.get(f, PROBE_CLASSES))
+            for f in fam_groups
+        },
         "families": {f: list(ns) for f, ns in fam_groups.items()},
         "families_normalized": families_normalized,
         # per-query time ÷ the query's own family probe (VERDICT r6
@@ -483,35 +803,22 @@ def main() -> None:
         },
     }
     # round-over-round family drift (VERDICT r7 task 6; reworked r9,
-    # r10): compare against the latest BENCH file from a STRICTLY
-    # EARLIER round.  Round inference (VERDICT r9 item 4 / ADVICE r9):
-    # the driver's wrap-up for round N writes CORRECTNESS_rN first,
-    # THEN records BENCH_rN — so if BENCH for the max correctness round
-    # is absent we ARE that round's official bench run; if present,
-    # that round is fully recorded and this is the next round's
-    # session.  prev candidates are always < this_round, so the pick
-    # can never resolve to the run's own round; the one filesystem-
+    # r10, r12; extracted to compute_drift for unit-testability in
+    # r13).  Round inference (VERDICT r9 item 4 / ADVICE r9): the
+    # driver's wrap-up for round N writes CORRECTNESS_rN first, THEN
+    # records BENCH_rN — so if BENCH for the max correctness round is
+    # absent we ARE that round's official bench run; if present, that
+    # round is fully recorded and this is the next round's session.
+    # prev candidates are always < this_round, so the pick can never
+    # resolve to the run's own round; the one filesystem-
     # indistinguishable case (an immediate re-run after the round's own
     # snapshot landed) is flagged via prev_age_minutes instead of
-    # silently mislabeled.  Two ratio views per family: normalized
-    # (÷ each run's own probe) and RAW seconds over the SHARED query
-    # set.  Prev per-query medians come from BENCH_HISTORY.jsonl (full,
-    # written by every run) when available — the stdout BENCH line may
-    # be truncated to the slowest ~20 queries (ADVICE r9: a truncated
-    # prev map biases shared-query drift toward slow queries).
+    # silently mislabeled.
     # Round inference runs BEFORE the drift block (ADVICE r10): the
     # history append below reads detail["this_round"], so a drift-block
     # failure must not leave the history entry with round: null.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        import glob
-        import re as _re
-
-        repo_dir = os.path.dirname(os.path.abspath(__file__))
-
-        def _round_of(path: str) -> int:
-            m = _re.search(r"_r(\d+)\.json$", path)
-            return int(m.group(1)) if m else -1
-
         max_corr = max(
             [_round_of(p) for p in
              glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))] or [0]
@@ -529,155 +836,39 @@ def main() -> None:
     try:
         if cur_round is None:
             raise ValueError("round inference failed")
-        hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
-        benches = sorted(
-            (p for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
-             if 0 <= _round_of(p) < cur_round),
-            key=_round_of,
+        cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
+        prev_parsed, prev_round, prev_path, skipped = pick_prev_bench(
+            repo_dir, cur_round, cur_sf
         )
-        if benches:
-            with open(benches[-1]) as fh:
-                prev = json.load(fh)
-            prev_round = _round_of(benches[-1])
-            parsed_prev = prev.get("parsed") or {}
-            # cross-sf ratios are meaningless (fixed overheads dominate
-            # small sfs) — emit no families_vs_prev rather than a bogus one
-            cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
-            if parsed_prev.get("sf") != cur_sf:
-                raise ValueError("prev bench is a different sf")
-            pf = parsed_prev.get("families_normalized") or {}
-            pq = parsed_prev.get("queries") or {}
-            pq_source = "bench_file"
-            if parsed_prev.get("queries_truncated_to_slowest"):
-                pq_source = "bench_file_truncated"
-            # prefer the full per-query medians this harness itself
-            # recorded for that round.  VERDICT r11 task 6: read ALL
-            # same-round same-sf history lines and take the CROSS-RUN
-            # per-query median — r11's committed file was one anomalous
-            # run (1.23×) against three ≈1.00× same-code runs, and a
-            # single-file prev point inherits that outlier; the median
-            # of n_runs does not.  Single-entry rounds degrade to the
-            # old behavior (median of one = that run).
-            hist_runs: list[dict] = []
-            try:
-                with open(hist_path) as fh:
-                    for ln in fh:
-                        try:
-                            ent = json.loads(ln)
-                        except ValueError:
-                            continue  # one bad line must not kill drift
-                        if (
-                            ent.get("round") == prev_round
-                            and ent.get("queries")
-                            and ent.get("sf") == parsed_prev.get("sf")
-                        ):
-                            hist_runs.append(ent)
-            except OSError:
-                pass
-            prev_fam_probes: dict[str, dict[str, float]] = {}
-            if hist_runs:
-                all_names = set().union(
-                    *(e["queries"].keys() for e in hist_runs)
-                )
-                pq = {
-                    n: statistics.median(
-                        [e["queries"][n] for e in hist_runs if n in e["queries"]]
-                    )
-                    for n in all_names
-                }
-                pq_source = f"history_median_of_{len(hist_runs)}_runs"
-                # prev-round per-family probe baselines (by class) —
-                # cross-run medians again; entries written before r12
-                # lack family_probe_sec and contribute nothing
-                for cls in PROBE_CLASSES:
-                    per_fam: dict[str, list[float]] = {}
-                    for e in hist_runs:
-                        cls_map = (e.get("family_probe_sec") or {}).get(cls) or {}
-                        for f, v in cls_map.items():
-                            if v:
-                                per_fam.setdefault(f, []).append(v)
-                    if per_fam:
-                        prev_fam_probes[cls] = {
-                            f: statistics.median(v) for f, v in per_fam.items()
-                        }
-            # raw seconds per family over queries BOTH rounds ran
-            raw_ratios = {}
-            for fam, names in fam_groups.items():
-                shared = [n for n in names if n in pq]
-                prev_s = sum(pq[n] for n in shared)
-                if shared and prev_s > 0:
-                    cur_s = sum(timings[n] for n in shared)
-                    raw_ratios[fam] = round(cur_s / prev_s, 3)
-            # per-family probe ratios (cur ÷ prev median) per cost
-            # class, and an attribution verdict per family (VERDICT r11
-            # task 1): a family move >1.25× must either be matched by a
-            # probe move (environment) or stand out as a suspected real
-            # regression needing a named commit.  Before a prev round
-            # carries direct probe baselines (pre-r12 history), the
-            # shuffle ratio is inferred from raw ÷ normalized — exact
-            # when prev raw and prev normalized come from the same run;
-            # approximate (± run-to-run spread) when prev raw is a
-            # cross-run median while normalized is the committed file's.
-            probe_ratios: dict[str, dict[str, float]] = {}
-            attribution: dict[str, str] = {}
-            for fam in fam_groups:
-                pr: dict[str, float] = {}
-                for cls in PROBE_CLASSES:
-                    prev_v = (prev_fam_probes.get(cls) or {}).get(fam)
-                    if prev_v:
-                        pr[cls] = round(fam_probe(cls, fam) / prev_v, 3)
-                if "shuffle" not in pr and pf.get(fam) and fam in raw_ratios \
-                        and families_normalized.get(fam):
-                    norm_ratio = families_normalized[fam] / pf[fam]
-                    if norm_ratio > 0:
-                        pr["shuffle_inferred"] = round(
-                            raw_ratios[fam] / norm_ratio, 3
-                        )
-                probe_ratios[fam] = pr
-                raw = raw_ratios.get(fam)
-                if raw is None:
-                    continue
-                if raw <= 1.25:
-                    attribution[fam] = "within_band"
-                elif pr and max(pr.values()) * 1.1 >= raw:
-                    attribution[fam] = "probe:" + max(pr, key=pr.get)
-                else:
-                    attribution[fam] = "UNATTRIBUTED_suspect_real_regression"
-            common = [n for n in timings if n in pq]
-            prev_common = round(sum(pq[n] for n in common), 3)
-            prev_age_min = round(
-                (time.time() - os.path.getmtime(benches[-1])) / 60.0, 1
+        if prev_parsed is not None:
+            hist_runs = load_hist_runs(
+                os.path.join(repo_dir, "BENCH_HISTORY.jsonl"),
+                prev_round, prev_parsed.get("sf"),
             )
-            detail["families_vs_prev"] = {
-                "prev_file": os.path.basename(benches[-1]),
-                "prev_round": prev_round,
-                "this_round": cur_round,
-                "prev_queries_source": pq_source,
-                # a freshly-written prev snapshot (< ~60 min) means this
-                # is almost certainly a same-session re-run — the ratios
-                # below then compare a run against its own round
-                "prev_age_minutes": prev_age_min,
-                "self_compare_risk": prev_age_min < 60.0,
-                "ratios": {
-                    f: round(v / pf[f], 3)
-                    for f, v in families_normalized.items()
-                    if pf.get(f)
-                },
-                "raw_ratios_shared_queries": raw_ratios,
-                "prev_n_runs": len(hist_runs) if hist_runs else 1,
-                "probe_ratios": probe_ratios,
-                "attribution": attribution,
-                # VERDICT r8 task 6: cross-round totals over the
-                # intersection of query sets — the honest 2x-gate input
-                "common_queries": len(common),
-                "common_queries_total": round(
-                    sum(timings[n] for n in common), 3
-                ),
-                "common_queries_total_prev": prev_common,
-                "common_total_ratio": round(
-                    sum(timings[n] for n in common) / prev_common, 3
-                ) if prev_common else None,
-            }
+            fvp = compute_drift(
+                fam_groups=fam_groups,
+                timings=timings,
+                families_normalized=families_normalized,
+                fam_probe=fam_probe,
+                prev_parsed=prev_parsed,
+                prev_round=prev_round,
+                cur_round=cur_round,
+                hist_runs=hist_runs,
+            )
+            prev_age_min = round(
+                (time.time() - os.path.getmtime(prev_path)) / 60.0, 1
+            )
+            fvp["prev_file"] = os.path.basename(prev_path)
+            # a freshly-written prev snapshot (< ~60 min) means this is
+            # almost certainly a same-session re-run — the ratios then
+            # compare a run against its own round
+            fvp["prev_age_minutes"] = prev_age_min
+            fvp["self_compare_risk"] = prev_age_min < 60.0
+            if skipped:
+                # ADVICE r12: files passed over for sf mismatch (or
+                # unreadability) on the way to the same-sf prev pick
+                fvp["prev_skipped"] = skipped
+            detail["families_vs_prev"] = fvp
     except (OSError, ValueError, ZeroDivisionError):
         pass
     # per-round full-medians history: future drift blocks read THIS for

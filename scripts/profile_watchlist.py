@@ -1,18 +1,26 @@
 #!/usr/bin/env python
-"""Isolated profiling for the r11 dedup watch-list (VERDICT r11 task 2).
+"""Isolated profiling for bench watch-list entries (VERDICT r11 task 2,
+generalized to CLI in r13 per VERDICT r12 task 2).
 
-Four entries drifted toward the 2x-vs-first-recorded gate on driver
-runs (committed r11: d_exact_substring_spans 1.75x, d_winnowing_
-fingerprints 1.67x, d_snapshot_dedup 1.63x, t_dup_span_coverage 1.61x)
-while the builder's same-code runs sat at ~1.1-1.2x.  This script runs
-EXACTLY those entries, in isolation, >=8 reps each at sf0.1 with the
-same session config + warm-up as bench.py, and prints one JSON line:
-per-entry median / min / max / per-rep times and the ratio against the
-FIRST-RECORDED bench value.  Verdict rule: steady state <= 1.3x of
-first-recorded => environment-attributed (recorded in the README bench
-drift block); above => bisect r6..r11 for a real cause.
+When a driver bench run pushes entries toward the 2x-vs-first-recorded
+gate while same-code builder runs sit much lower, this script
+adjudicates: it runs EXACTLY the named entries, in isolation, >=8 reps
+each at sf0.1 with the same session config + warm-up as bench.py, and
+prints one JSON line: per-entry median / min / max / per-rep times and
+the ratio against the FIRST-RECORDED bench value.  Verdict rule:
+steady state <= 1.3x of first-recorded => environment-attributed
+(recorded in the README bench drift block); above => bisect for a real
+cause (the r12 precedent: run the first-recorded round's code on the
+same host as a control — see the README drift block).
 
-Usage:  python scripts/profile_watchlist.py   (one Spark JVM at a time)
+Usage:
+  python scripts/profile_watchlist.py [entry=first_recorded ...]
+
+e.g.  python scripts/profile_watchlist.py q3_topk_revenue=1.343 \
+          q_window_topk_per_group=0.959
+With no arguments it runs the r12-verdict tpch watch-list (the four
+entries the r12 driver run measured at 1.75-1.95x of first-recorded,
+all inside one slow wall-clock window).  One Spark JVM at a time.
 """
 
 from __future__ import annotations
@@ -31,17 +39,38 @@ if HERE not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
         HERE + os.pathsep + os.environ.get("PYTHONPATH", "")
     ).rstrip(os.pathsep)
 
-# first value each entry ever recorded in a committed BENCH_r*.json —
-# the denominator of the driver's 2x gate
-FIRST_RECORDED = {
-    "d_winnowing_fingerprints": 1.731,  # BENCH_r05
-    "t_dup_span_coverage": 0.750,       # BENCH_r05
-    "d_exact_substring_spans": 2.007,   # BENCH_r06
-    "d_snapshot_dedup": 1.347,          # BENCH_r06
+# Default watch-list (VERDICT r12 task 2): the tpch-family entries the
+# r12 driver run measured at 1.75-1.95x of first-recorded while the
+# builder's four same-code r12 runs put them at ~1.03-1.14x.  First
+# values: each entry's first committed BENCH_r*.json appearance — the
+# denominator of the driver's 2x gate (all four from BENCH_r01).
+DEFAULT_WATCHLIST = {
+    "q3_topk_revenue": 1.343,          # BENCH_r01
+    "q_window_topk_per_group": 0.959,  # BENCH_r01
+    "q5_regional_revenue": 1.507,      # BENCH_r01
+    "q1_pricing_summary": 1.030,       # BENCH_r01
 }
+# r11 dedup watch-list values kept for reruns of that adjudication:
+#   d_winnowing_fingerprints=1.731 t_dup_span_coverage=0.750   (r05)
+#   d_exact_substring_spans=2.007  d_snapshot_dedup=1.347      (r06)
+
+
+def parse_watchlist(argv: list[str]) -> dict[str, float]:
+    if not argv:
+        return dict(DEFAULT_WATCHLIST)
+    out: dict[str, float] = {}
+    for arg in argv:
+        name, _, first = arg.partition("=")
+        if not _ or not name:
+            raise SystemExit(
+                f"bad argument {arg!r}: expected entry=first_recorded_sec"
+            )
+        out[name] = float(first)
+    return out
 
 
 def main() -> None:
+    watchlist = parse_watchlist(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = max(8, int(os.environ.get("SPARK_GRAFT_PROFILE_REPS", "8")))
@@ -66,9 +95,14 @@ def main() -> None:
     from datafusion_randgen_spark import queries as cat
     from datafusion_randgen_spark.sources import load_table
 
+    unknown = sorted(n for n in watchlist if n not in cat.QUERIES)
+    if unknown:
+        raise SystemExit(f"unknown catalog entries: {unknown}")
+
     # same warm-up discipline as bench.py: JIT/codegen + page cache
     spark.range(0, 1_000_000, 1, int(cpus)).selectExpr("sum(id) AS s").collect()
     load_table(spark, sf_dir, "documents").count()
+    load_table(spark, sf_dir, "lineitem").count()
 
     def _warm(path: str) -> None:
         # recursive like bench.py's _warm: a *.parquet DIRECTORY may
@@ -90,7 +124,7 @@ def main() -> None:
             _warm(os.path.join(sf_dir, fname))
 
     out: dict[str, dict] = {}
-    for name, first in FIRST_RECORDED.items():
+    for name, first in watchlist.items():
         fn = cat.QUERIES[name]
         runs: list[float] = []
         for _ in range(reps):

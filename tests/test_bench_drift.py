@@ -1,0 +1,218 @@
+"""Unit tests for bench.py's drift/attribution block (VERDICT r12
+task 3 + ADVICE r12 items 1 and 4).
+
+``compute_drift`` was extracted from bench.main() precisely so these
+rules are testable without a SparkSession or real bench files:
+
+- with prev-round history lines carrying per-class family probe
+  baselines (the r12+ shape), probe_ratios use DIRECT per-class
+  ratios and the ``shuffle_inferred`` fallback path is never taken;
+- attribution only credits probe classes PLAUSIBLE for the family
+  (FAM_COST_CLASSES) — an orthogonal-class spike (e.g. pyworker on
+  the JVM-only tpch family) keeps UNATTRIBUTED with a note;
+- ``pick_prev_bench`` falls back to the most recent SAME-SF prev
+  bench instead of aborting on a latest-file sf mismatch.
+
+No Spark fixtures on purpose: bench.py's module level imports are
+stdlib-only, so this file stays runnable in isolation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+FAM_GROUPS = {"tpch": ["q1", "q3"], "dedup": ["d1"]}
+
+
+def _fam_probe_from(cur: dict):
+    return lambda cls, fam: cur[cls][fam]
+
+
+def _hist_line(queries, probes, rnd=12, sf=0.1):
+    return {
+        "round": rnd,
+        "sf": sf,
+        "queries": queries,
+        "calib": 0.6,
+        "family_probe_sec": probes,
+    }
+
+
+_FLAT_PROBES = {
+    "shuffle": {"tpch": 0.6, "dedup": 0.6},
+    "pyworker": {"tpch": 0.3, "dedup": 0.3},
+    "driver_loop": {"tpch": 0.6, "dedup": 0.6},
+}
+
+
+def _drift(timings, cur_probes, hist_runs, prev_parsed=None):
+    prev_parsed = prev_parsed or {
+        "sf": 0.1,
+        "families_normalized": {"tpch": 2.0, "dedup": 1.0},
+        "queries": {"q1": 1.0, "q3": 1.0, "d1": 1.0},
+    }
+    families_normalized = {
+        f: round(sum(timings[n] for n in ns) / cur_probes["shuffle"][f], 3)
+        for f, ns in FAM_GROUPS.items()
+    }
+    return bench.compute_drift(
+        fam_groups=FAM_GROUPS,
+        timings=timings,
+        families_normalized=families_normalized,
+        fam_probe=_fam_probe_from(cur_probes),
+        prev_parsed=prev_parsed,
+        prev_round=12,
+        cur_round=13,
+        hist_runs=hist_runs,
+    )
+
+
+def test_direct_probe_ratios_no_inferred_fallback():
+    """VERDICT r12 task 3: prev history carries per-class family probe
+    baselines ⇒ every family gets DIRECT ratios for all three classes
+    and no probe_ratios entry uses the shuffle_inferred fallback."""
+    hist = [
+        _hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES),
+        _hist_line({"q1": 1.2, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES),
+    ]
+    out = _drift(
+        {"q1": 1.0, "q3": 1.0, "d1": 1.0},
+        {
+            "shuffle": {"tpch": 0.66, "dedup": 0.6},
+            "pyworker": {"tpch": 0.3, "dedup": 0.33},
+            "driver_loop": {"tpch": 0.6, "dedup": 0.6},
+        },
+        hist,
+    )
+    assert out["prev_queries_source"] == "history_median_of_2_runs"
+    for fam in FAM_GROUPS:
+        pr = out["probe_ratios"][fam]
+        assert set(pr) == set(bench.PROBE_CLASSES)
+        assert "shuffle_inferred" not in pr
+    assert out["probe_ratios"]["tpch"]["shuffle"] == 1.1
+    assert out["probe_ratios"]["dedup"]["pyworker"] == 1.1
+    # cross-run median: q1 baseline is median(1.0, 1.2) = 1.1
+    assert out["raw_ratios_shared_queries"]["tpch"] == round(2.0 / 2.1, 3)
+
+
+def test_inferred_fallback_only_without_probe_baselines():
+    """Pre-r12 history shape (no family_probe_sec) still degrades to
+    the raw÷normalized shuffle inference — the fallback exists, it is
+    just never taken when direct baselines are present."""
+    hist = [_hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, None)]
+    out = _drift(
+        {"q1": 1.0, "q3": 1.0, "d1": 1.0},
+        _FLAT_PROBES,
+        hist,
+    )
+    for fam in FAM_GROUPS:
+        assert list(out["probe_ratios"][fam]) == ["shuffle_inferred"]
+
+
+def test_attribution_plausible_class_credits():
+    """A dedup move matched by a pyworker probe move IS environment-
+    attributed — pyworker is in dedup's plausible class set."""
+    hist = [_hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES)]
+    out = _drift(
+        {"q1": 1.0, "q3": 1.0, "d1": 1.4},
+        {
+            "shuffle": {"tpch": 0.6, "dedup": 0.6},
+            "pyworker": {"tpch": 0.3, "dedup": 0.42},  # 1.4x
+            "driver_loop": {"tpch": 0.6, "dedup": 0.6},
+        },
+        hist,
+    )
+    assert out["attribution"]["dedup"] == "probe:pyworker"
+    assert out["attribution"]["tpch"] == "within_band"
+
+
+def test_attribution_orthogonal_class_not_credited():
+    """ADVICE r12: a pyworker spike must NOT environment-attribute the
+    JVM-only tpch family — the move stays UNATTRIBUTED with a note
+    naming the ignored orthogonal match."""
+    hist = [_hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES)]
+    out = _drift(
+        {"q1": 1.7, "q3": 1.7, "d1": 1.0},
+        {
+            "shuffle": {"tpch": 0.6, "dedup": 0.6},     # flat
+            "pyworker": {"tpch": 0.51, "dedup": 0.3},   # 1.7x on tpch
+            "driver_loop": {"tpch": 0.6, "dedup": 0.6},
+        },
+        hist,
+    )
+    assert out["attribution"]["tpch"] == (
+        "UNATTRIBUTED_suspect_real_regression"
+    )
+    assert "pyworker" in out["attribution_notes"]["tpch"]
+    assert out["family_cost_classes"]["tpch"] == ["shuffle"]
+
+
+def test_attribution_shuffle_still_credits_tpch():
+    """The restriction must not break the legitimate case: a tpch move
+    matched by the SHUFFLE probe is still environment-attributed."""
+    hist = [_hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES)]
+    out = _drift(
+        {"q1": 1.5, "q3": 1.5, "d1": 1.0},
+        {
+            "shuffle": {"tpch": 0.9, "dedup": 0.6},  # 1.5x on tpch
+            "pyworker": {"tpch": 0.3, "dedup": 0.3},
+            "driver_loop": {"tpch": 0.6, "dedup": 0.6},
+        },
+        hist,
+    )
+    assert out["attribution"]["tpch"] == "probe:shuffle"
+
+
+def test_fam_cost_classes_cover_all_bench_families():
+    """Every family the harness times has an explicit plausible-class
+    declaration, and each declares at least shuffle (all families run
+    JVM jobs)."""
+    for fam in ("gen", "tpch", "events", "dedup", "iterative",
+                "similarity", "text"):
+        classes = bench.FAM_COST_CLASSES[fam]
+        assert "shuffle" in classes
+        assert set(classes) <= set(bench.PROBE_CLASSES)
+
+
+def _write_bench(path, sf):
+    with open(path, "w") as fh:
+        json.dump({"parsed": {"sf": sf, "queries": {"q1": 1.0}}}, fh)
+
+
+def test_pick_prev_bench_falls_back_to_same_sf(tmp_path):
+    """ADVICE r12: when the latest prev-round bench is a different sf,
+    the pick walks back to the most recent SAME-SF file instead of
+    disabling the drift comparison."""
+    _write_bench(tmp_path / "BENCH_r10.json", 0.1)
+    _write_bench(tmp_path / "BENCH_r11.json", 0.01)
+    parsed, rnd, path, skipped = bench.pick_prev_bench(
+        str(tmp_path), 12, 0.1
+    )
+    assert rnd == 10
+    assert parsed["sf"] == 0.1
+    assert os.path.basename(path) == "BENCH_r10.json"
+    assert skipped == ["BENCH_r11.json:sf=0.01"]
+
+
+def test_pick_prev_bench_no_same_sf(tmp_path):
+    _write_bench(tmp_path / "BENCH_r11.json", 0.01)
+    parsed, rnd, path, skipped = bench.pick_prev_bench(
+        str(tmp_path), 12, 0.1
+    )
+    assert parsed is None and rnd is None and path is None
+    assert skipped == ["BENCH_r11.json:sf=0.01"]
+
+
+def test_pick_prev_bench_ignores_current_and_future_rounds(tmp_path):
+    _write_bench(tmp_path / "BENCH_r11.json", 0.1)
+    _write_bench(tmp_path / "BENCH_r12.json", 0.1)
+    _write_bench(tmp_path / "BENCH_r13.json", 0.1)
+    parsed, rnd, _path, _ = bench.pick_prev_bench(str(tmp_path), 12, 0.1)
+    assert rnd == 11

@@ -493,8 +493,9 @@ def test_trend_semantic_dedup_kcap(trend_vecs):
     (n/50 = 4_000 < 10_000), making the uncapped 200k run this exact
     configuration — it IS the baseline point, so the capped variant
     only executes at 1m and asserts its wall time against that shared
-    baseline: ratio ≤ 5× data × 1.8 slack (the uncapped flop model
-    predicts ~16× unslacked; a quadratic blowup cannot pass).  The
+    baseline: ratio ≤ (n/200k) × 1.1 slack — a 5.5× bound at the 1m
+    point, deliberately below the measured 6.1× uncapped envelope, so
+    a cap regressed to the quadratic path cannot pass.  The
     correctness invariants are k-independent — exact-twin vectors
     share an argmin at ANY k, so every planted twin is still pruned
     and every cluster keeps its lowest-id exemplar."""
@@ -530,6 +531,7 @@ def test_trend_semantic_dedup_kcap(trend_vecs):
     out.unpersist()
     _record_trend("semantic_dedup_kcap", n, sec)
     base = _SEMDEDUP_UNCAPPED_SEC.get(200_000)
+    uncapped_same_n = _SEMDEDUP_UNCAPPED_SEC.get(n)
     if base:
         # bound tight enough to discriminate: the UNCAPPED quadratic
         # envelope measures ~6.1x at 5x data (r12: 140.1s/23.0s), the
@@ -542,7 +544,6 @@ def test_trend_semantic_dedup_kcap(trend_vecs):
             f"capped SemDeDup is not ≈linear: {sec:.1f}s at {n} vs "
             f"{base:.1f}s at 200k (ratio {ratio:.1f})"
         )
-    uncapped_same_n = _SEMDEDUP_UNCAPPED_SEC.get(n)
     if uncapped_same_n:
         # the cap strictly removes assign flops; a capped run at >=0.9x
         # of the uncapped SAME-SCALE wall time means the cap stopped
@@ -550,6 +551,27 @@ def test_trend_semantic_dedup_kcap(trend_vecs):
         assert sec <= 0.9 * uncapped_same_n, (
             f"k_cap stopped paying: capped {sec:.1f}s vs uncapped "
             f"{uncapped_same_n:.1f}s at n={n}"
+        )
+    if not base or not uncapped_same_n:
+        # ADVICE r12: the module-global baselines come from the
+        # UNCAPPED test's run in this same process; under single-test
+        # selection, random ordering, or xdist they may be absent and
+        # the scaling asserts above silently vanish — skip VISIBLY so
+        # a vacuous run shows in the report (the correctness asserts
+        # above did execute either way)
+        missing = [
+            lbl
+            for lbl, v in (
+                ("uncapped-200k baseline (≈linear ratio assert)", base),
+                (f"uncapped-{n} same-scale time (cap-pays assert)",
+                 uncapped_same_n),
+            )
+            if not v
+        ]
+        pytest.skip(
+            "k_cap scaling asserts skipped — shared uncapped baselines "
+            f"absent in this process: {'; '.join(missing)} (run the "
+            "full scale-smoke module in one process for the gate)"
         )
 
 
