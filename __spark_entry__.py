@@ -91,14 +91,15 @@ _NAMED_WEIGHT = {
 # mathematically monotone candidate-set hit count (ADVICE r8); the
 # SimHash fingerprint became a row-local zero-shuffle fold, so every
 # fingerprint consumer re-earns its row.
-# r12: EMPTY (VERDICT r11 task 3 — keep the window entirely on the
-# stalest-first rotation so the 34 r7-vintage greens plus the oldest
-# r8s fill all 50 slots).  This round's code changes are behavior-
-# neutral for every catalog entry: bench.py probe classes (harness
-# only), pin-leak releases + a pin(eager=False, replaces=) guard
-# (default-mode no-ops, covered by both-modes unit tests), docstring
-# cost models, and semantic_dedup's k_cap knob whose default None
-# leaves the entry's k untouched (unit-tested identical).
+# r13: EMPTY (VERDICT r12 task 4 — the stalest-first rotation fills
+# the 50-slot window with the 30 r8-vintage greens plus the 20 oldest
+# r9s, so no entry's latest green is older than r9 after r13).  This
+# round's code changes are behavior-neutral for every catalog entry:
+# bench.py rep interleaving + drift-attribution restriction (harness
+# only, unit-tested without Spark), the CLI-generalized watch-list
+# profiler (script), scale-smoke docstring/skip fixes (tests), README/
+# SURVEY drift adjudications (docs), and env-gate date bumps
+# (docstrings).  No operator, oracle, or query function changed.
 _REVERIFY: set[str] = set()
 
 
