@@ -91,15 +91,17 @@ _NAMED_WEIGHT = {
 # mathematically monotone candidate-set hit count (ADVICE r8); the
 # SimHash fingerprint became a row-local zero-shuffle fold, so every
 # fingerprint consumer re-earns its row.
-# r13: EMPTY (VERDICT r12 task 4 — the stalest-first rotation fills
-# the 50-slot window with the 30 r8-vintage greens plus the 20 oldest
-# r9s, so no entry's latest green is older than r9 after r13).  This
-# round's code changes are behavior-neutral for every catalog entry:
-# bench.py rep interleaving + drift-attribution restriction (harness
-# only, unit-tested without Spark), the CLI-generalized watch-list
-# profiler (script), scale-smoke docstring/skip fixes (tests), README/
-# SURVEY drift adjudications (docs), and env-gate date bumps
-# (docstrings).  No operator, oracle, or query function changed.
+# r14: EMPTY (VERDICT r13 task 3 — the stalest-first rotation fills
+# the 50-slot window with the 29 r9-vintage greens plus the 21 oldest
+# r10s, so no entry's latest green is older than r10 after r14;
+# verified by computing the window: Counter({9: 29, 10: 21})).  This
+# round's code changes are again behavior-neutral for every catalog
+# entry: bench.py base-vs-extension window split + inferred-attribution
+# (approx) marker + low-pass boundary-probe sampling (harness only,
+# unit-tested without Spark), the watch-list profiler's arg validation
+# (script), the scale-smoke partial-skip fix (tests), and README/
+# SURVEY drift adjudications + env-gate date bumps (docs).  No
+# operator, oracle, or query function changed.
 _REVERIFY: set[str] = set()
 
 

@@ -169,7 +169,13 @@ def compute_drift(
     class moving keeps UNATTRIBUTED, with the orthogonal match noted
     in attribution_notes.  Before a prev round carries direct probe
     baselines (pre-r12 history), the shuffle ratio is inferred from
-    raw ÷ normalized."""
+    raw ÷ normalized.  CAVEAT on that inference (ADVICE r13, restoring
+    the pre-extraction comment): it mixes a cross-run-median raw_ratio
+    numerator with the single committed prev file's
+    families_normalized denominator, so it carries ± one run-to-run
+    spread of approximation error — attributions that rest on it are
+    labeled ``probe:shuffle_inferred(approx)`` to keep them visually
+    distinct from direct-baseline attributions."""
     pf = prev_parsed.get("families_normalized") or {}
     pq = prev_parsed.get("queries") or {}
     pq_source = "bench_file"
@@ -236,8 +242,11 @@ def compute_drift(
         if raw <= 1.25:
             attribution[fam] = "within_band"
         elif plausible_pr and max(plausible_pr.values()) * 1.1 >= raw:
-            attribution[fam] = "probe:" + max(
-                plausible_pr, key=plausible_pr.get
+            best = max(plausible_pr, key=plausible_pr.get)
+            # the inferred ratio is an approximation (see docstring) —
+            # mark attributions that rest on it (ADVICE r13)
+            attribution[fam] = "probe:" + best + (
+                "(approx)" if best.endswith("_inferred") else ""
             )
         else:
             attribution[fam] = "UNATTRIBUTED_suspect_real_regression"
@@ -285,6 +294,102 @@ def compute_drift(
     }
     if attribution_notes:
         out["attribution_notes"] = attribution_notes
+    return out
+
+
+def split_base_extension(
+    *,
+    all_runs: dict[str, list[float]],
+    base_reps: int,
+    probe_samples_by_pass: dict[str, list[list[float]]],
+    fam_of: dict[str, str],
+    fam_cost_classes: dict[str, tuple] = FAM_COST_CLASSES,
+    probe_classes: tuple = PROBE_CLASSES,
+    band: float = 1.25,
+) -> dict[str, dict]:
+    """Per-entry base-window vs extension-window medians + window
+    attribution (VERDICT r13 task 2).
+
+    Extension passes (index >= base_reps) run only the extended-rep
+    entries, so they are contiguous over a small entry set and short in
+    wall-clock: a transient host slowdown during (or just before) them
+    lands coherently on exactly the noisiest entries, and the combined
+    median silently mixes base-window and extension-window samples —
+    the mechanism that manufactured r13's d_minhash_lsh_pairs 1.74×
+    flag (its base passes sampled a slow window; its extension passes
+    sat at the r12 level; the median landed between).
+
+    This makes the mix VISIBLE instead of changing median semantics
+    (the reported median stays the all-samples median for cross-round
+    comparability).  For every entry that ran extension passes it
+    reports both window medians and, when they diverge >``band`` in
+    either direction, attributes the slow window against the per-pass
+    medians of the entry's PLAUSIBLE probe classes (same restriction
+    rule as compute_drift): a probe class whose slow-window/fast-window
+    ratio × 1.1 covers the entry's divergence environment-attributes
+    it; otherwise the skew is flagged UNATTRIBUTED for the isolated
+    profiler (scripts/profile_watchlist.py) to adjudicate.
+
+    Pure function of its inputs (run index == pass index by the timing
+    loop's construction) so the rule is unit-testable without Spark."""
+    pass_med = {
+        cls: [
+            (statistics.median(s) if s else None) for s in passes
+        ]
+        for cls, passes in probe_samples_by_pass.items()
+    }
+    out: dict[str, dict] = {}
+    for name, runs in all_runs.items():
+        if len(runs) <= base_reps:
+            continue
+        base, ext = runs[:base_reps], runs[base_reps:]
+        bm = statistics.median(base)
+        em = statistics.median(ext)
+        if not bm or not em:
+            continue
+        ratio = em / bm
+        row: dict = {
+            "base_median": round(bm, 3),
+            "extension_median": round(em, 3),
+            "extension_over_base": round(ratio, 3),
+        }
+        if max(ratio, 1.0 / ratio) <= band:
+            row["window_attribution"] = "within_band"
+        else:
+            slow_is_ext = ratio > 1.0
+            move = ratio if slow_is_ext else 1.0 / ratio
+            side = "extension" if slow_is_ext else "base"
+            plaus = set(
+                fam_cost_classes.get(fam_of.get(name, ""), probe_classes)
+            )
+            best_cls, best = None, 0.0
+            for cls in probe_classes:
+                if cls not in plaus:
+                    continue
+                meds = pass_med.get(cls) or []
+                bvals = [v for v in meds[:base_reps] if v]
+                evals = [v for v in meds[base_reps:len(runs)] if v]
+                if not bvals or not evals:
+                    continue
+                pb = statistics.median(bvals)
+                pe = statistics.median(evals)
+                if not pb or not pe:
+                    continue
+                cr = (pe / pb) if slow_is_ext else (pb / pe)
+                if cr > best:
+                    best_cls, best = cls, cr
+            row["slow_window"] = side
+            if best_cls is not None:
+                row["probe_window_ratio"] = {best_cls: round(best, 3)}
+            if best_cls is not None and best * 1.1 >= move:
+                row["window_attribution"] = (
+                    f"probe:{best_cls}_{side}_window"
+                )
+            else:
+                row["window_attribution"] = (
+                    f"UNATTRIBUTED_{side}_window_skew"
+                )
+        out[name] = row
     return out
 
 
@@ -640,10 +745,21 @@ def main() -> None:
         c: {} for c in PROBE_CLASSES
     }
 
+    # ADVICE r13: at n_passes==1 a family's probe would be the median
+    # of just 2 single raw samples — noisier than the pre-r13 layout's
+    # 2 medians-of-3.  Below 3 passes each boundary takes 3 raw samples
+    # per class and records their MEDIAN as the boundary sample (same
+    # data shape downstream); at >=3 passes the cross-pass bracketing
+    # already yields >=6 samples per family per class, so one raw
+    # sample per boundary suffices.
+    samples_per_boundary = 3 if n_passes < 3 else 1
+
     def boundary_probe() -> dict[str, float]:
         out = {}
         for cls in PROBE_CLASSES:
-            v = round(_PROBE_FNS[cls](), 3)
+            v = round(statistics.median(
+                _PROBE_FNS[cls]() for _ in range(samples_per_boundary)
+            ), 3)
             probes_by_class[cls].append(v)
             probe_samples_by_pass[cls][-1].append(v)
             out[cls] = v
@@ -740,6 +856,24 @@ def main() -> None:
         for fam, names in fam_groups.items()
     }
 
+    # VERDICT r13 task 2: per-entry base-vs-extension window split —
+    # extension passes cover only the extended-rep entries, so a slow
+    # window there (or in the base window, the r13 minhash shape)
+    # skews the all-samples median; this surfaces and attributes it.
+    median_base_vs_extension = split_base_extension(
+        all_runs=all_runs,
+        base_reps=reps,
+        probe_samples_by_pass=probe_samples_by_pass,
+        fam_of=_FAM,
+    )
+    for _n, _row in median_base_vs_extension.items():
+        if _row["window_attribution"] != "within_band":
+            print(
+                f"# window skew {_n}: base {_row['base_median']}s vs "
+                f"extension {_row['extension_median']}s -> "
+                f"{_row['window_attribution']}", file=sys.stderr,
+            )
+
     total = round(sum(timings.values()), 3)
     # The driver captures only the LAST ~2000 chars of stdout, so the
     # one JSON line must stay well under that (round-4's 2.6 KB line
@@ -757,6 +891,9 @@ def main() -> None:
         # per-query spread
         "queries_runs": all_runs,
         "per_pass_family_sums": per_pass_family_sums,
+        # base-window vs extension-window medians + skew attribution
+        # (VERDICT r13 task 2); the headline median stays all-samples
+        "median_base_vs_extension": median_base_vs_extension,
         "reps": reps,
         "n_passes": n_passes,
         "extra_reps": extra_reps,

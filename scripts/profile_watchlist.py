@@ -65,7 +65,14 @@ def parse_watchlist(argv: list[str]) -> dict[str, float]:
             raise SystemExit(
                 f"bad argument {arg!r}: expected entry=first_recorded_sec"
             )
-        out[name] = float(first)
+        try:
+            out[name] = float(first)
+        except ValueError:
+            # ADVICE r13: a non-numeric value must fail with the same
+            # clean usage message, not a float() traceback
+            raise SystemExit(
+                f"bad argument {arg!r}: expected entry=first_recorded_sec"
+            ) from None
     return out
 
 

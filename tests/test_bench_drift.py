@@ -216,3 +216,118 @@ def test_pick_prev_bench_ignores_current_and_future_rounds(tmp_path):
     _write_bench(tmp_path / "BENCH_r13.json", 0.1)
     parsed, rnd, _path, _ = bench.pick_prev_bench(str(tmp_path), 12, 0.1)
     assert rnd == 11
+
+
+def test_inferred_attribution_is_marked_approx():
+    """ADVICE r13: an attribution that rests on the shuffle_inferred
+    fallback (pre-r12 history, no direct probe baselines) is labeled
+    distinctly — the inference mixes a cross-run-median numerator with
+    a single committed file's normalized denominator."""
+    hist = [_hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, None)]
+    # dedup runs 1.4x raw; its cur shuffle probe ALSO sits 1.4x so the
+    # normalized ratio stays flat and the inferred shuffle ratio = 1.4
+    out = _drift(
+        {"q1": 1.0, "q3": 1.0, "d1": 1.4},
+        {
+            "shuffle": {"tpch": 0.6, "dedup": 1.4},
+            "pyworker": {"tpch": 0.3, "dedup": 0.3},
+            "driver_loop": {"tpch": 0.6, "dedup": 0.6},
+        },
+        hist,
+    )
+    assert out["probe_ratios"]["dedup"] == {"shuffle_inferred": 1.4}
+    assert out["attribution"]["dedup"] == "probe:shuffle_inferred(approx)"
+
+
+# ---- split_base_extension (VERDICT r13 task 2) ----
+# run index == pass index; base passes are 0..base_reps-1, extension
+# passes run only the extended-rep entries.
+
+def _probes(shuffle_by_pass, n_passes):
+    """probe_samples_by_pass with the given per-pass shuffle samples
+    and flat pyworker/driver_loop."""
+    return {
+        "shuffle": [[v] for v in shuffle_by_pass],
+        "pyworker": [[0.3] for _ in range(n_passes)],
+        "driver_loop": [[0.6] for _ in range(n_passes)],
+    }
+
+
+def test_split_slow_extension_window_attributed():
+    """A slow extension window matched by the family's own probe class
+    is environment-attributed, not silently medianed."""
+    out = bench.split_base_extension(
+        all_runs={"d1": [3.0, 3.1, 3.2, 6.0, 6.2]},
+        base_reps=3,
+        probe_samples_by_pass=_probes([0.6, 0.6, 0.6, 1.2, 1.2], 5),
+        fam_of={"d1": "dedup"},
+    )
+    row = out["d1"]
+    assert row["base_median"] == 3.1
+    assert row["extension_median"] == 6.1
+    assert row["slow_window"] == "extension"
+    assert row["window_attribution"] == "probe:shuffle_extension_window"
+
+
+def test_split_slow_extension_window_unattributed_when_probes_flat():
+    """Flat probes + a divergent extension window => the skew is
+    flagged UNATTRIBUTED (needs the isolated profiler), never hidden."""
+    out = bench.split_base_extension(
+        all_runs={"d1": [3.0, 3.1, 3.2, 6.0, 6.2]},
+        base_reps=3,
+        probe_samples_by_pass=_probes([0.6] * 5, 5),
+        fam_of={"d1": "dedup"},
+    )
+    assert out["d1"]["window_attribution"] == (
+        "UNATTRIBUTED_extension_window_skew"
+    )
+
+
+def test_split_slow_base_window_r13_minhash_shape():
+    """The r13 d_minhash_lsh_pairs shape: BASE passes sampled the slow
+    window, extension passes sat at steady state — the split reports
+    the base side as slow and attributes it when the probe moved
+    commensurately in the base window."""
+    out = bench.split_base_extension(
+        all_runs={"d_mh": [6.0, 6.4, 6.2, 3.0, 3.1, 3.1, 3.0]},
+        base_reps=3,
+        probe_samples_by_pass=_probes(
+            [1.2, 1.2, 1.2, 0.6, 0.6, 0.6, 0.6], 7
+        ),
+        fam_of={"d_mh": "dedup"},
+    )
+    row = out["d_mh"]
+    assert row["slow_window"] == "base"
+    assert row["window_attribution"] == "probe:shuffle_base_window"
+
+
+def test_split_orthogonal_class_not_credited():
+    """The plausible-class restriction applies to window attribution
+    too: a pyworker window move cannot credit a shuffle-only family."""
+    probes = _probes([0.6] * 5, 5)
+    probes["pyworker"] = [[0.3], [0.3], [0.3], [0.6], [0.6]]  # 2x in ext
+    out = bench.split_base_extension(
+        all_runs={"t1": [1.0, 1.0, 1.0, 2.0, 2.0]},
+        base_reps=3,
+        probe_samples_by_pass=probes,
+        fam_of={"t1": "text"},  # plausible: shuffle ONLY
+    )
+    assert out["t1"]["window_attribution"] == (
+        "UNATTRIBUTED_extension_window_skew"
+    )
+
+
+def test_split_within_band_and_base_only_entries():
+    """Entries without extension passes are omitted; a <=1.25x window
+    divergence is within_band."""
+    out = bench.split_base_extension(
+        all_runs={
+            "base_only": [1.0, 1.0, 1.0],
+            "steady": [1.0, 1.0, 1.0, 1.1, 1.2],
+        },
+        base_reps=3,
+        probe_samples_by_pass=_probes([0.6] * 5, 5),
+        fam_of={"base_only": "tpch", "steady": "dedup"},
+    )
+    assert "base_only" not in out
+    assert out["steady"]["window_attribution"] == "within_band"

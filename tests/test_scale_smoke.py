@@ -15,6 +15,7 @@ all surface.
 from __future__ import annotations
 
 import os
+import warnings
 
 import pytest
 from pyspark.sql import functions as F
@@ -556,9 +557,12 @@ def test_trend_semantic_dedup_kcap(trend_vecs):
         # ADVICE r12: the module-global baselines come from the
         # UNCAPPED test's run in this same process; under single-test
         # selection, random ordering, or xdist they may be absent and
-        # the scaling asserts above silently vanish — skip VISIBLY so
-        # a vacuous run shows in the report (the correctness asserts
-        # above did execute either way)
+        # the scaling asserts above silently vanish.  ADVICE r13
+        # refinement: skip the TEST only when BOTH baselines are absent
+        # (no scaling assert executed at all) — when exactly one is
+        # missing, the other assert DID run and pass, and demoting the
+        # whole test to SKIPPED would misreport an executed gate as
+        # not-run; partial coverage surfaces as a warning instead.
         missing = [
             lbl
             for lbl, v in (
@@ -568,11 +572,15 @@ def test_trend_semantic_dedup_kcap(trend_vecs):
             )
             if not v
         ]
-        pytest.skip(
-            "k_cap scaling asserts skipped — shared uncapped baselines "
-            f"absent in this process: {'; '.join(missing)} (run the "
-            "full scale-smoke module in one process for the gate)"
+        msg = (
+            "k_cap scaling asserts partially covered — shared uncapped "
+            f"baselines absent in this process: {'; '.join(missing)} "
+            "(run the full scale-smoke module in one process for the "
+            "full gate)"
         )
+        if not base and not uncapped_same_n:
+            pytest.skip(msg)
+        warnings.warn(msg, stacklevel=1)
 
 
 def test_trend_ivfpq_adc_search(trend_vecs):
