@@ -53,6 +53,8 @@ DEFAULT_WATCHLIST = {
 # r11 dedup watch-list values kept for reruns of that adjudication:
 #   d_winnowing_fingerprints=1.731 t_dup_span_coverage=0.750   (r05)
 #   d_exact_substring_spans=2.007  d_snapshot_dedup=1.347      (r06)
+# r13 minhash flag (adjudicated r14 — README drift block):
+#   d_minhash_lsh_pairs=3.306                (r12 cross-run median)
 
 
 def parse_watchlist(argv: list[str]) -> dict[str, float]:
