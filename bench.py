@@ -603,6 +603,43 @@ def main() -> None:
             warm_bytes += _warm(os.path.join(sf_dir, fname))
     print(f"# page-cache warm-up: {warm_bytes} bytes", file=sys.stderr)
 
+    # Codegen warm pass (r14): run every bench entry ONCE, untimed, at
+    # a tiny sf so each entry's Janino/whole-stage-codegen compile is a
+    # sunk per-JVM cost before timing starts.  The r14 vote-3 evidence:
+    # pass-1 cold reps (kmeans 15.6s vs 5.9s steady, connected
+    # -components 11.1s vs 3.9s, the minhash 64-perm compile ~7s of its
+    # 10.6s isolated first rep) drag a 5-rep median one slot and
+    # manufactured an UNATTRIBUTED iterative flag that three same-code
+    # votes then had to absorb.  Codegen source depends on plan shape,
+    # not data volume, so the sf0.001 compile serves the sf0.1 timed
+    # run (AQE may re-plan some stages at the larger sf — partially
+    # effective there, fully effective on the plan-shape-stable heavy
+    # constants).  Same principle as the untimed page-cache/JIT warm
+    # -ups above; on a real cluster these compiles amortize to zero.
+    # Opt out with SPARK_GRAFT_BENCH_WARMPASS=0.
+    warm_sf_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001"
+    )
+    warm_pass_sec = None
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_WARMPASS", "1") != "0"
+        and os.path.isdir(warm_sf_dir)
+        and os.path.abspath(warm_sf_dir) != os.path.abspath(sf_dir)
+    ):
+        t_wp = time.perf_counter()
+        for _name, _fn in bench_queries.items():
+            try:
+                _fn(spark, warm_sf_dir).count()
+            except Exception as exc:  # never fail the bench over warm-up
+                print(f"# warm pass {_name} skipped: {exc!r}",
+                      file=sys.stderr)
+        spark.catalog.clearCache()
+        warm_pass_sec = round(time.perf_counter() - t_wp, 1)
+        print(
+            f"# codegen warm pass at {warm_sf_dir}: {warm_pass_sec}s",
+            file=sys.stderr,
+        )
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     # Iterative driver-loop entries (many small jobs) carry 2x
@@ -899,6 +936,9 @@ def main() -> None:
         "extra_reps": extra_reps,
         "auto_extended_reps": auto_extended,
         "page_cache_warm_bytes": warm_bytes,
+        # untimed tiny-sf codegen warm pass (r14) — null when disabled
+        "codegen_warm_pass_sec": warm_pass_sec,
+        "codegen_warm_sf_dir": warm_sf_dir,
         "calib_probes_sec": probes,
         # the two extra cost classes (VERDICT r11 task 1); shuffle stays
         # in the legacy keys above so prior-round tooling keeps parsing

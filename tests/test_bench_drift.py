@@ -317,6 +317,28 @@ def test_split_orthogonal_class_not_credited():
     )
 
 
+def test_parse_watchlist_rejects_non_numeric_value():
+    """ADVICE r13: profile_watchlist must fail a non-numeric value with
+    the clean usage SystemExit, not a float() traceback."""
+    import importlib.util
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "profile_watchlist",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "profile_watchlist.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.parse_watchlist(["q3=1.25"]) == {"q3": 1.25}
+    for bad in (["q3=abc"], ["q3"], ["=1.0"]):
+        with pytest.raises(SystemExit, match="expected entry="):
+            mod.parse_watchlist(bad)
+
+
 def test_split_within_band_and_base_only_entries():
     """Entries without extension passes are omitted; a <=1.25x window
     divergence is within_band."""
