@@ -1064,6 +1064,10 @@ def main() -> None:
                 # per-family probe medians by cost class — next round's
                 # drift block ratios its probes against these (r12+)
                 "family_probe_sec": detail["family_probe_sec"],
+                # era marker (r14): lines with the tiny-sf codegen warm
+                # pass have first reps free of per-JVM compile cost;
+                # r14 mixes both eras, r15+ is warm-pass-only
+                "warm_pass": warm_pass_sec is not None,
             }) + "\n")
     except OSError:
         pass
