@@ -149,6 +149,7 @@ def compute_drift(
     hist_runs: list[dict],
     fam_cost_classes: dict[str, tuple] = FAM_COST_CLASSES,
     probe_classes: tuple = PROBE_CLASSES,
+    cur_warm_pass: bool | None = None,
 ) -> dict:
     """The families_vs_prev block (round-over-round family drift +
     probe-based attribution).  Pure function of its inputs so the
@@ -182,6 +183,27 @@ def compute_drift(
     if prev_parsed.get("queries_truncated_to_slowest"):
         pq_source = "bench_file_truncated"
     prev_fam_probes: dict[str, dict[str, float]] = {}
+    # Era filter (ADVICE r14): warm-pass-era lines have systematically
+    # lower first-rep medians on heavy-codegen entries, so a cross-run
+    # median over a MIXED-era round can mask a modest real regression
+    # in a warm-pass current run (or manufacture one in a cold run).
+    # When the prev round's lines span both eras, keep only the lines
+    # matching the current run's era and say so (a mixed-era set always
+    # has at least one line of each era, so the filtered set is never
+    # empty).
+    hist_era_note = None
+    if cur_warm_pass is not None and hist_runs:
+        eras = {bool(e.get("warm_pass")) for e in hist_runs}
+        if len(eras) > 1:
+            matching = [
+                e for e in hist_runs
+                if bool(e.get("warm_pass")) == cur_warm_pass
+            ]
+            hist_era_note = (
+                f"hist_runs era-filtered to warm_pass={cur_warm_pass}: "
+                f"kept {len(matching)}/{len(hist_runs)} lines"
+            )
+            hist_runs = matching
     if hist_runs:
         all_names = set().union(*(e["queries"].keys() for e in hist_runs))
         pq = {
@@ -292,9 +314,51 @@ def compute_drift(
             sum(timings[n] for n in common) / prev_common, 3
         ) if prev_common else None,
     }
+    if hist_era_note:
+        out["hist_era_note"] = hist_era_note
+        attribution_notes.setdefault("_hist_era", hist_era_note)
     if attribution_notes:
         out["attribution_notes"] = attribution_notes
     return out
+
+
+def select_committed_vote(
+    *, votes: list[dict], current: dict
+) -> tuple[dict, dict]:
+    """VERDICT r14 task 2: the committed BENCH_r{N}.json must be the
+    round's REPRESENTATIVE vote, not whichever run happened last —
+    r14 committed a degraded-evening 83.9s last vote while four clean
+    same-code votes sat in history at a 71.2s cross-run median, and
+    the next round's drift math reads the committed file.
+
+    Rule: among this round's same-sf, same-era, same-query-set
+    BENCH_HISTORY votes (current run included), commit the vote whose
+    normalized total (sum of per-query medians ÷ the vote's own
+    shuffle calibration probe) is the median — lower-middle on even
+    counts, first-in-file on exact ties, so re-runs are deterministic.
+    Normalized, not raw: raw seconds conflate host speed with code
+    speed (the very failure mode this guards against).
+
+    Pure function of its inputs so the rule is unit-testable.
+    Returns ``(selected_vote, selection_metadata)``; the metadata is
+    embedded in the committed artifact itself (``selection`` key)."""
+    norm = [
+        round(sum(v["queries"].values()) / v["calib"], 3) for v in votes
+    ]
+    order = sorted(range(len(votes)), key=lambda i: (norm[i], i))
+    sel = order[(len(votes) - 1) // 2]
+    meta = {
+        "rule": "median_normalized_total_over_round_votes",
+        "votes_considered": len(votes),
+        "vote_normalized_totals": norm,
+        "selected_vote_index": sel,
+        "selected_normalized_total": norm[sel],
+        "selected_is_current_run": (
+            votes[sel]["queries"] == current["queries"]
+            and votes[sel]["calib"] == current["calib"]
+        ),
+    }
+    return votes[sel], meta
 
 
 def split_base_extension(
@@ -617,26 +681,62 @@ def main() -> None:
     # constants).  Same principle as the untimed page-cache/JIT warm
     # -ups above; on a real cluster these compiles amortize to zero.
     # Opt out with SPARK_GRAFT_BENCH_WARMPASS=0.
+    # Default warm dir is the sf0.001 SIBLING of sf_dir (ADVICE r14:
+    # the old hardcoded /root/testdata/sf0.001 silently disabled the
+    # warm pass on any other host layout, reintroducing the first-rep
+    # codegen outliers the marker exists to prevent).
     warm_sf_dir = os.environ.get(
-        "SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001"
+        "SPARK_GRAFT_WARM_SF_DIR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))), "sf0.001"
+        ),
     )
     warm_pass_sec = None
-    if (
-        os.environ.get("SPARK_GRAFT_BENCH_WARMPASS", "1") != "0"
-        and os.path.isdir(warm_sf_dir)
-        and os.path.abspath(warm_sf_dir) != os.path.abspath(sf_dir)
-    ):
+    warm_ok = warm_fail = 0
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMPASS", "1") == "0":
+        print("# codegen warm pass disabled by SPARK_GRAFT_BENCH_WARMPASS=0",
+              file=sys.stderr)
+    elif not os.path.isdir(warm_sf_dir):
+        # explicit, not silent (ADVICE r14): a missing warm dir means
+        # the timed first reps carry per-JVM compile cost
+        print(
+            f"# codegen warm pass SKIPPED: warm dir {warm_sf_dir} missing "
+            "(set SPARK_GRAFT_WARM_SF_DIR); first reps will be codegen-cold",
+            file=sys.stderr,
+        )
+    elif os.path.abspath(warm_sf_dir) == os.path.abspath(sf_dir):
+        print(
+            f"# codegen warm pass SKIPPED: warm dir equals timed sf_dir "
+            f"({sf_dir}); first reps will be codegen-cold",
+            file=sys.stderr,
+        )
+    else:
         t_wp = time.perf_counter()
         for _name, _fn in bench_queries.items():
             try:
                 _fn(spark, warm_sf_dir).count()
+                warm_ok += 1
             except Exception as exc:  # never fail the bench over warm-up
+                warm_fail += 1
                 print(f"# warm pass {_name} skipped: {exc!r}",
                       file=sys.stderr)
         spark.catalog.clearCache()
-        warm_pass_sec = round(time.perf_counter() - t_wp, 1)
+        # the era marker must reflect compiles actually sunk (ADVICE
+        # r14): if most entries raised (e.g. warm_sf_dir exists but
+        # holds no usable parquet) the first reps ARE cold and a true
+        # marker would lie to era-aware drift analysis
+        if warm_ok >= max(1, (warm_ok + warm_fail) // 2):
+            warm_pass_sec = round(time.perf_counter() - t_wp, 1)
+        else:
+            print(
+                f"# codegen warm pass INEFFECTIVE ({warm_ok} ok / "
+                f"{warm_fail} failed) — recording warm_pass=false",
+                file=sys.stderr,
+            )
         print(
-            f"# codegen warm pass at {warm_sf_dir}: {warm_pass_sec}s",
+            f"# codegen warm pass at {warm_sf_dir}: "
+            f"{round(time.perf_counter() - t_wp, 1)}s "
+            f"({warm_ok} ok / {warm_fail} failed)",
             file=sys.stderr,
         )
 
@@ -911,7 +1011,6 @@ def main() -> None:
                 f"{_row['window_attribution']}", file=sys.stderr,
             )
 
-    total = round(sum(timings.values()), 3)
     # The driver captures only the LAST ~2000 chars of stdout, so the
     # one JSON line must stay well under that (round-4's 2.6 KB line
     # made BENCH_r04.json unparseable).  Per-query spreads go to stderr
@@ -938,6 +1037,10 @@ def main() -> None:
         "page_cache_warm_bytes": warm_bytes,
         # untimed tiny-sf codegen warm pass (r14) — null when disabled
         "codegen_warm_pass_sec": warm_pass_sec,
+        # per-entry warm success counts (ADVICE r14): warm_pass_sec
+        # (and the history era marker) is withheld when a majority of
+        # warm-ups raised, so the marker tracks compiles actually sunk
+        "codegen_warm_pass_entries": {"ok": warm_ok, "failed": warm_fail},
         "codegen_warm_sf_dir": warm_sf_dir,
         "calib_probes_sec": probes,
         # the two extra cost classes (VERDICT r11 task 1); shuffle stays
@@ -1010,6 +1113,94 @@ def main() -> None:
         detail["this_round"] = cur_round
     except (OSError, ValueError):
         cur_round = None
+    # per-round full-medians history: future drift blocks read THIS for
+    # the prev round's per-query map (the stdout BENCH line truncates
+    # past ~1.4 KB); the drift block below takes the MEDIAN over every
+    # same-round same-sf line, so appending a line adds a vote — it
+    # does not override earlier entries for the round.  Appended BEFORE
+    # vote selection (VERDICT r14 task 2) so the current run is itself
+    # a candidate vote.
+    hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
+    cur_vote = {
+        "round": detail.get("this_round"),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": timings,
+        "calib": calib,
+        # per-family probe medians by cost class — next round's
+        # drift block ratios its probes against these (r12+)
+        "family_probe_sec": detail["family_probe_sec"],
+        # era marker (r14): lines with the tiny-sf codegen warm
+        # pass have first reps free of per-JVM compile cost;
+        # r14 mixes both eras, r15+ is warm-pass-only
+        "warm_pass": warm_pass_sec is not None,
+    }
+    try:
+        with open(hist_path, "a") as fh:
+            fh.write(json.dumps(cur_vote) + "\n")
+    except OSError:
+        pass
+    # Committed-vote selection (VERDICT r14 task 2): the artifact this
+    # run prints is the round's MEDIAN-normalized-total vote, which may
+    # be an earlier same-round history vote rather than this run.  The
+    # current run's full execution detail still goes to
+    # bench_detail.json either way.
+    commit_timings, commit_calib = timings, calib
+    commit_fam_norm = families_normalized
+    commit_fam_probe_map = detail["family_probe_sec"]
+    sel_meta = {
+        "rule": "current_run_fallback",
+        "note": "vote selection failed or no votes; committing current run",
+    }
+    try:
+        votes, mismatched = [], 0
+        with open(hist_path) as fh:
+            for ln in fh:
+                try:
+                    ent = json.loads(ln)
+                except ValueError:
+                    continue
+                if (
+                    ent.get("round") == cur_vote["round"]
+                    and ent.get("sf") == cur_vote["sf"]
+                    and ent.get("queries")
+                    and ent.get("calib")
+                    and bool(ent.get("warm_pass")) == cur_vote["warm_pass"]
+                ):
+                    # a vote with a different entry set ran different
+                    # code mid-round — its total is not comparable
+                    if set(ent["queries"]) == set(timings):
+                        votes.append(ent)
+                    else:
+                        mismatched += 1
+        if not votes or votes[-1]["queries"] != timings:
+            votes.append(cur_vote)  # history append failed above
+        sel_vote, sel_meta = select_committed_vote(
+            votes=votes, current=cur_vote
+        )
+        if mismatched:
+            sel_meta["votes_excluded_query_set_mismatch"] = mismatched
+        if not sel_meta["selected_is_current_run"]:
+            commit_timings = sel_vote["queries"]
+            commit_calib = sel_vote["calib"]
+            commit_fam_probe_map = sel_vote.get("family_probe_sec") or {}
+            shuf = commit_fam_probe_map.get("shuffle") or {}
+            commit_fam_norm = {
+                fam: round(
+                    sum(commit_timings[n] for n in names
+                        if n in commit_timings) / shuf[fam], 3)
+                for fam, names in fam_groups.items()
+                if shuf.get(fam)
+            }
+            print(
+                f"# committed vote: history vote "
+                f"{sel_meta['selected_vote_index']} of "
+                f"{sel_meta['votes_considered']} (normalized total "
+                f"{sel_meta['selected_normalized_total']}), not this run",
+                file=sys.stderr,
+            )
+    except (OSError, ValueError, ZeroDivisionError):
+        pass
+    detail["committed_vote_selection"] = sel_meta
     try:
         if cur_round is None:
             raise ValueError("round inference failed")
@@ -1022,15 +1213,26 @@ def main() -> None:
                 os.path.join(repo_dir, "BENCH_HISTORY.jsonl"),
                 prev_round, prev_parsed.get("sf"),
             )
+            # drift describes the COMMITTED artifact (the file the next
+            # round's math reads), which selection may have made an
+            # earlier same-round vote rather than this run
             fvp = compute_drift(
                 fam_groups=fam_groups,
-                timings=timings,
-                families_normalized=families_normalized,
-                fam_probe=fam_probe,
+                timings=commit_timings,
+                families_normalized=commit_fam_norm,
+                fam_probe=lambda cls, f: (
+                    (commit_fam_probe_map.get(cls) or {}).get(f, 0.0)
+                ),
                 prev_parsed=prev_parsed,
                 prev_round=prev_round,
                 cur_round=cur_round,
                 hist_runs=hist_runs,
+                cur_warm_pass=warm_pass_sec is not None,
+            )
+            fvp["computed_on"] = (
+                "current_run"
+                if sel_meta.get("selected_is_current_run", True)
+                else "committed_vote"
             )
             prev_age_min = round(
                 (time.time() - os.path.getmtime(prev_path)) / 60.0, 1
@@ -1047,29 +1249,6 @@ def main() -> None:
                 fvp["prev_skipped"] = skipped
             detail["families_vs_prev"] = fvp
     except (OSError, ValueError, ZeroDivisionError):
-        pass
-    # per-round full-medians history: future drift blocks read THIS for
-    # the prev round's per-query map (the stdout BENCH line truncates
-    # past ~1.4 KB); the drift block above takes the MEDIAN over every
-    # same-round same-sf line, so appending a line adds a vote — it
-    # does not override earlier entries for the round
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_HISTORY.jsonl"), "a") as fh:
-            fh.write(json.dumps({
-                "round": detail.get("this_round"),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": timings,
-                "calib": calib,
-                # per-family probe medians by cost class — next round's
-                # drift block ratios its probes against these (r12+)
-                "family_probe_sec": detail["family_probe_sec"],
-                # era marker (r14): lines with the tiny-sf codegen warm
-                # pass have first reps free of per-JVM compile cost;
-                # r14 mixes both eras, r15+ is warm-pass-only
-                "warm_pass": warm_pass_sec is not None,
-            }) + "\n")
-    except OSError:
         pass
     # opt-in scale-smoke trend line (VERDICT r6 task 6): a side script
     # (scripts/record_scale_smoke.py) runs tests/test_scale_smoke.py
@@ -1091,33 +1270,53 @@ def main() -> None:
             json.dump(detail, fh)
     except OSError:
         pass
+    # the committed artifact carries the SELECTED vote's numbers
+    # (VERDICT r14 task 2) plus the selection metadata itself, so the
+    # judge and the next round's drift math can audit the pick
+    commit_total = round(sum(commit_timings.values()), 3)
     payload = {
         "metric": "headline_queries_total_runtime",
-        "value": total,
+        "value": commit_total,
         "unit": "sec",
-        "queries": timings,
+        "queries": commit_timings,
         "reps": reps,
-        "calib_shuffle_probe_sec": calib,
+        "calib_shuffle_probe_sec": commit_calib,
         # machine-speed-normalized headline: cross-round comparisons
         # should read THIS (total ÷ the fixed calibration probe) — VM
         # boots differ ~1.7×, and r5 was judged on a 1.56×-slower host
-        "value_per_calib": round(total / calib, 3) if calib else None,
+        "value_per_calib": round(commit_total / commit_calib, 3)
+        if commit_calib else None,
         # per-family normalized totals (family time ÷ that family's
         # bracketing probes) — localizes cross-round drift
-        "families_normalized": families_normalized,
+        "families_normalized": commit_fam_norm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "selection": sel_meta,
     }
     line = json.dumps(payload)
     if len(line) > 1400:
         # keep the slowest queries only; full map already on stderr
-        print(f"# queries_full: {json.dumps(timings)}", file=sys.stderr)
+        print(f"# queries_full: {json.dumps(commit_timings)}",
+              file=sys.stderr)
         keep = 20
         while len(line) > 1400 and keep > 0:
-            top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:keep])
+            top = dict(
+                sorted(commit_timings.items(), key=lambda kv: -kv[1])[:keep]
+            )
             payload["queries"] = top
             payload["queries_truncated_to_slowest"] = len(top)
             line = json.dumps(payload)
             keep -= 5
+    if len(line) > 1400:
+        # the per-vote normalized-totals list grows with the round's
+        # vote count — drop it before dropping queries; the full
+        # selection metadata survives in bench_detail.json
+        payload["selection"] = {
+            k: sel_meta[k]
+            for k in ("rule", "votes_considered", "selected_vote_index",
+                      "selected_normalized_total", "selected_is_current_run")
+            if k in sel_meta
+        }
+        line = json.dumps(payload)
     if len(line) >= 1500:
         # last resort: a valid headline line always prints (r5 advice —
         # never discard a completed run over a formatting cap)

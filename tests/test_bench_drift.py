@@ -353,3 +353,142 @@ def test_split_within_band_and_base_only_entries():
     )
     assert "base_only" not in out
     assert out["steady"]["window_attribution"] == "within_band"
+
+
+# --- committed-vote selection (VERDICT r14 task 2) -------------------
+# r14 committed the last vote of an 8-vote series, taken on a degraded
+# evening host, while four clean same-code votes sat in history; the
+# committed file is what the 2x gate and the next round's drift math
+# read, so bench.main now commits the round's median-normalized vote.
+
+
+def _vote(queries, calib):
+    return {"queries": queries, "calib": calib}
+
+
+def test_select_committed_vote_picks_median_of_odd():
+    votes = [
+        _vote({"q1": 1.0}, 1.0),   # normalized 1.0
+        _vote({"q1": 3.0}, 1.0),   # normalized 3.0
+        _vote({"q1": 2.0}, 1.0),   # normalized 2.0  <- median
+    ]
+    sel, meta = bench.select_committed_vote(votes=votes, current=votes[-1])
+    assert meta["selected_vote_index"] == 2
+    assert meta["selected_normalized_total"] == 2.0
+    assert meta["votes_considered"] == 3
+    assert meta["vote_normalized_totals"] == [1.0, 3.0, 2.0]
+    assert sel is votes[2]
+
+
+def test_select_committed_vote_even_count_lower_middle():
+    votes = [
+        _vote({"q1": 4.0}, 1.0),
+        _vote({"q1": 1.0}, 1.0),
+        _vote({"q1": 3.0}, 1.0),
+        _vote({"q1": 2.0}, 1.0),
+    ]
+    sel, meta = bench.select_committed_vote(votes=votes, current=votes[-1])
+    # sorted normalized totals: 1,2,3,4 -> lower-middle = 2.0 (index 3)
+    assert meta["selected_normalized_total"] == 2.0
+    assert meta["selected_vote_index"] == 3
+    assert meta["selected_is_current_run"] is True
+
+
+def test_select_committed_vote_normalizes_by_own_calib():
+    # raw totals say vote 0 is slowest, but its host was 2x slower
+    # (calib 2.0); normalized it is the FASTEST — the selection must
+    # divide each vote by its own probe, not compare raw seconds
+    votes = [
+        _vote({"q1": 4.0}, 2.0),   # normalized 2.0
+        _vote({"q1": 2.5}, 1.0),   # normalized 2.5  <- median
+        _vote({"q1": 3.0}, 1.0),   # normalized 3.0
+    ]
+    sel, meta = bench.select_committed_vote(votes=votes, current=votes[-1])
+    assert meta["selected_vote_index"] == 1
+    assert meta["selected_is_current_run"] is False
+
+
+def test_select_committed_vote_tie_prefers_first_in_file():
+    votes = [
+        _vote({"q1": 2.0}, 1.0),
+        _vote({"q1": 2.0}, 1.0),
+        _vote({"q1": 2.0}, 1.0),
+    ]
+    sel, meta = bench.select_committed_vote(votes=votes, current=votes[-1])
+    # all tied at 2.0: deterministic lower-middle over (value, index)
+    # order -> index 1; equality-based current-run detection still
+    # fires because the selected vote's numbers match the current run's
+    assert meta["selected_vote_index"] == 1
+    assert meta["selected_is_current_run"] is True
+
+
+def test_select_committed_vote_single_vote_is_current():
+    votes = [_vote({"q1": 5.0}, 0.5)]
+    sel, meta = bench.select_committed_vote(votes=votes, current=votes[0])
+    assert meta["selected_vote_index"] == 0
+    assert meta["selected_normalized_total"] == 10.0
+    assert meta["selected_is_current_run"] is True
+
+
+# --- warm-pass era filtering in drift baselines (ADVICE r14) ---------
+# warm-pass-era history lines have systematically lower first-rep
+# medians on heavy-codegen entries; a cross-run median over a
+# mixed-era round can mask a real regression, so compute_drift filters
+# hist_runs to the current run's era and notes it.
+
+
+def _era_drift(hist_runs, cur_warm_pass):
+    timings = {"q1": 1.0, "q3": 1.0, "d1": 1.0}
+    families_normalized = {
+        f: round(sum(timings[n] for n in ns) / _FLAT_PROBES["shuffle"][f], 3)
+        for f, ns in FAM_GROUPS.items()
+    }
+    return bench.compute_drift(
+        fam_groups=FAM_GROUPS,
+        timings=timings,
+        families_normalized=families_normalized,
+        fam_probe=_fam_probe_from(_FLAT_PROBES),
+        prev_parsed={
+            "sf": 0.1,
+            "families_normalized": {"tpch": 2.0, "dedup": 1.0},
+            "queries": {"q1": 1.0, "q3": 1.0, "d1": 1.0},
+        },
+        prev_round=12,
+        cur_round=13,
+        hist_runs=hist_runs,
+        cur_warm_pass=cur_warm_pass,
+    )
+
+
+def test_mixed_era_hist_filtered_to_current_era():
+    warm = _hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES)
+    warm["warm_pass"] = True
+    cold = _hist_line({"q1": 100.0, "q3": 100.0, "d1": 100.0}, _FLAT_PROBES)
+    # (no warm_pass key == pre-warm-pass era)
+    out = _era_drift([cold, warm], cur_warm_pass=True)
+    # only the warm line feeds the baseline: prev q1+q3 = 2.0, not the
+    # mixed-era median of (1,100)
+    assert out["raw_ratios_shared_queries"]["tpch"] == 1.0
+    assert out["prev_n_runs"] == 1
+    assert out["hist_era_note"].startswith("hist_runs era-filtered")
+    assert out["attribution_notes"]["_hist_era"] == out["hist_era_note"]
+
+
+def test_single_era_hist_not_filtered_no_note():
+    warm1 = _hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES)
+    warm1["warm_pass"] = True
+    warm2 = _hist_line({"q1": 2.0, "q3": 2.0, "d1": 2.0}, _FLAT_PROBES)
+    warm2["warm_pass"] = True
+    out = _era_drift([warm1, warm2], cur_warm_pass=True)
+    assert out["prev_n_runs"] == 2
+    assert "hist_era_note" not in out
+
+
+def test_era_filter_off_when_current_era_unknown():
+    warm = _hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES)
+    warm["warm_pass"] = True
+    cold = _hist_line({"q1": 3.0, "q3": 3.0, "d1": 3.0}, _FLAT_PROBES)
+    out = _era_drift([cold, warm], cur_warm_pass=None)
+    # legacy/unknown-era callers keep the old mixed-median behavior
+    assert out["prev_n_runs"] == 2
+    assert "hist_era_note" not in out
