@@ -94,14 +94,17 @@ _NAMED_WEIGHT = {
 # r14: EMPTY (VERDICT r13 task 3 — the stalest-first rotation fills
 # the 50-slot window with the 29 r9-vintage greens plus the 21 oldest
 # r10s, so no entry's latest green is older than r10 after r14;
-# verified by computing the window: Counter({9: 29, 10: 21})).  This
-# round's code changes are again behavior-neutral for every catalog
-# entry: bench.py base-vs-extension window split + inferred-attribution
-# (approx) marker + low-pass boundary-probe sampling (harness only,
-# unit-tested without Spark), the watch-list profiler's arg validation
-# (script), the scale-smoke partial-skip fix (tests), and README/
-# SURVEY drift adjudications + env-gate date bumps (docs).  No
-# operator, oracle, or query function changed.
+# verified by computing the window: Counter({9: 29, 10: 21})).
+# r15: EMPTY again (VERDICT r14 task 4 — the rotation fills the window
+# with the 25 r10-vintage greens plus the 25 oldest r11s; verified by
+# computing the window: Counter({10: 25, 11: 25}), so no entry's
+# latest green is older than r11 after r15).  This round's code
+# changes are again behavior-neutral for every catalog entry:
+# bench.py committed-vote selection + warm-pass era filtering +
+# warm-dir/warm-marker hardening (harness only, unit-tested without
+# Spark), the BENCH_HISTORY warm_pass era-marker backfill (data
+# bookkeeping), and README drift adjudications + env-gate date bumps
+# (docs).  No operator, oracle, or query function changed.
 _REVERIFY: set[str] = set()
 
 
