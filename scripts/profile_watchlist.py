@@ -157,7 +157,23 @@ def main() -> None:
         print(f"# {name}: median {med}s ({reps} reps, "
               f"{out[name]['ratio_vs_first']}x of first-recorded "
               f"{first}s) -> {out[name]['verdict']}", file=sys.stderr)
-    print(json.dumps({"sf_dir": sf_dir, "reps": reps, "entries": out}))
+    result = {
+        "sf_dir": sf_dir,
+        "reps": reps,
+        "recorded_unix": int(time.time()),
+        "entries": out,
+    }
+    print(json.dumps(result))
+    # persist the adjudication (r15): isolation evidence used to close
+    # UNATTRIBUTED bench flags previously lived only in README prose;
+    # a machine-readable append-only log lets future rounds re-audit
+    # the per-rep data behind every environment_attributed verdict
+    try:
+        with open(os.path.join(HERE, "PROFILE_HISTORY.jsonl"), "a") as fh:
+            fh.write(json.dumps(result) + "\n")
+    except OSError as exc:
+        print(f"# PROFILE_HISTORY.jsonl append failed: {exc!r}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
