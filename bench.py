@@ -322,6 +322,42 @@ def compute_drift(
     return out
 
 
+def collect_round_votes(
+    hist_path: str, rnd, sf, warm_pass: bool, names
+) -> tuple[list[dict], int]:
+    """This round's comparable BENCH_HISTORY votes for committed-vote
+    selection: same round, same sf, same warm-pass era, same query-name
+    set (a vote with a different entry set ran different code mid-round
+    — its total is not comparable).  Returns (votes, n_excluded_for_
+    query_set_mismatch); unreadable lines are skipped, a missing file
+    yields no votes.  Pure file-in/list-out so the filter rules are
+    unit-testable."""
+    votes: list[dict] = []
+    mismatched = 0
+    names = set(names)
+    try:
+        with open(hist_path) as fh:
+            for ln in fh:
+                try:
+                    ent = json.loads(ln)
+                except ValueError:
+                    continue
+                if (
+                    ent.get("round") == rnd
+                    and ent.get("sf") == sf
+                    and ent.get("queries")
+                    and ent.get("calib")
+                    and bool(ent.get("warm_pass")) == warm_pass
+                ):
+                    if set(ent["queries"]) == names:
+                        votes.append(ent)
+                    else:
+                        mismatched += 1
+    except OSError:
+        pass
+    return votes, mismatched
+
+
 def select_committed_vote(
     *, votes: list[dict], current: dict
 ) -> tuple[dict, dict]:
@@ -1152,26 +1188,10 @@ def main() -> None:
         "note": "vote selection failed or no votes; committing current run",
     }
     try:
-        votes, mismatched = [], 0
-        with open(hist_path) as fh:
-            for ln in fh:
-                try:
-                    ent = json.loads(ln)
-                except ValueError:
-                    continue
-                if (
-                    ent.get("round") == cur_vote["round"]
-                    and ent.get("sf") == cur_vote["sf"]
-                    and ent.get("queries")
-                    and ent.get("calib")
-                    and bool(ent.get("warm_pass")) == cur_vote["warm_pass"]
-                ):
-                    # a vote with a different entry set ran different
-                    # code mid-round — its total is not comparable
-                    if set(ent["queries"]) == set(timings):
-                        votes.append(ent)
-                    else:
-                        mismatched += 1
+        votes, mismatched = collect_round_votes(
+            hist_path, cur_vote["round"], cur_vote["sf"],
+            cur_vote["warm_pass"], timings,
+        )
         if not votes or votes[-1]["queries"] != timings:
             votes.append(cur_vote)  # history append failed above
         sel_vote, sel_meta = select_committed_vote(

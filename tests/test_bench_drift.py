@@ -492,3 +492,51 @@ def test_era_filter_off_when_current_era_unknown():
     # legacy/unknown-era callers keep the old mixed-median behavior
     assert out["prev_n_runs"] == 2
     assert "hist_era_note" not in out
+
+
+def _write_hist(tmp_path, lines):
+    p = tmp_path / "BENCH_HISTORY.jsonl"
+    p.write_text("\n".join(json.dumps(e) for e in lines) + "\n")
+    return str(p)
+
+
+def test_collect_round_votes_filters_round_sf_era_and_query_set(tmp_path):
+    ok = {"round": 15, "sf": 0.1, "queries": {"q1": 1.0}, "calib": 0.8,
+          "warm_pass": True}
+    lines = [
+        ok,
+        {**ok, "round": 14},                       # other round
+        {**ok, "sf": 0.01},                        # other sf
+        {**ok, "warm_pass": False},                # other era
+        dict(ok, warm_pass=None),                  # era None == False
+        {**ok, "queries": {"q1": 1.0, "q2": 2.0}},  # entry-set mismatch
+        {**ok, "queries": {}},                     # empty queries
+        {"round": 15},                             # malformed-ish
+    ]
+    path = _write_hist(tmp_path, lines)
+    votes, mismatched = bench.collect_round_votes(
+        path, 15, 0.1, True, {"q1"}
+    )
+    assert len(votes) == 1 and votes[0]["calib"] == 0.8
+    assert mismatched == 1  # only the {q1,q2} vote counts as mismatch
+
+
+def test_collect_round_votes_era_none_matches_cold(tmp_path):
+    # pre-warm-pass lines lack the key entirely; bool(None) == False
+    cold = {"round": 15, "sf": 0.1, "queries": {"q1": 2.0}, "calib": 0.7}
+    path = _write_hist(tmp_path, [cold])
+    votes, _ = bench.collect_round_votes(path, 15, 0.1, False, {"q1"})
+    assert len(votes) == 1
+
+
+def test_collect_round_votes_missing_file_and_bad_json(tmp_path):
+    votes, mismatched = bench.collect_round_votes(
+        str(tmp_path / "absent.jsonl"), 15, 0.1, True, {"q1"}
+    )
+    assert votes == [] and mismatched == 0
+    p = tmp_path / "BENCH_HISTORY.jsonl"
+    p.write_text("not json\n" + json.dumps(
+        {"round": 15, "sf": 0.1, "queries": {"q1": 1.0}, "calib": 0.5,
+         "warm_pass": True}) + "\n")
+    votes, _ = bench.collect_round_votes(str(p), 15, 0.1, True, {"q1"})
+    assert len(votes) == 1  # bad line skipped, good line kept
