@@ -322,6 +322,27 @@ def compute_drift(
     return out
 
 
+def default_warm_dir(sf_dir: str) -> str:
+    """Default codegen-warm-pass directory: the sf0.001 SIBLING of the
+    timed sf_dir (ADVICE r14: a hardcoded absolute path silently
+    disabled the warm pass on any other host layout, reintroducing the
+    first-rep codegen outliers the warm_pass era marker exists to
+    prevent).  Pure path math so the rule is unit-testable."""
+    return os.path.join(
+        os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))), "sf0.001"
+    )
+
+
+def warm_marker_effective(ok: int, failed: int) -> bool:
+    """Whether a completed warm pass actually sank the per-JVM codegen
+    compiles (ADVICE r14): the warm_pass era marker must reflect
+    compiles ACTUALLY sunk — if most entries raised (e.g. the warm dir
+    exists but holds no usable parquet) the timed first reps are still
+    cold and a true marker would lie to era-aware drift analysis.
+    Rule: at least half the entries (and at least one) completed."""
+    return ok >= max(1, (ok + failed) // 2)
+
+
 def collect_round_votes(
     hist_path: str, rnd, sf, warm_pass: bool, names
 ) -> tuple[list[dict], int]:
@@ -722,10 +743,7 @@ def main() -> None:
     # warm pass on any other host layout, reintroducing the first-rep
     # codegen outliers the marker exists to prevent).
     warm_sf_dir = os.environ.get(
-        "SPARK_GRAFT_WARM_SF_DIR",
-        os.path.join(
-            os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))), "sf0.001"
-        ),
+        "SPARK_GRAFT_WARM_SF_DIR", default_warm_dir(sf_dir)
     )
     warm_pass_sec = None
     warm_ok = warm_fail = 0
@@ -757,11 +775,9 @@ def main() -> None:
                 print(f"# warm pass {_name} skipped: {exc!r}",
                       file=sys.stderr)
         spark.catalog.clearCache()
-        # the era marker must reflect compiles actually sunk (ADVICE
-        # r14): if most entries raised (e.g. warm_sf_dir exists but
-        # holds no usable parquet) the first reps ARE cold and a true
-        # marker would lie to era-aware drift analysis
-        if warm_ok >= max(1, (warm_ok + warm_fail) // 2):
+        # era marker only when compiles were actually sunk (ADVICE
+        # r14) — rule extracted to warm_marker_effective for tests
+        if warm_marker_effective(warm_ok, warm_fail):
             warm_pass_sec = round(time.perf_counter() - t_wp, 1)
         else:
             print(

@@ -540,3 +540,39 @@ def test_collect_round_votes_missing_file_and_bad_json(tmp_path):
          "warm_pass": True}) + "\n")
     votes, _ = bench.collect_round_votes(str(p), 15, 0.1, True, {"q1"})
     assert len(votes) == 1  # bad line skipped, good line kept
+
+
+# --- warm-pass marker + warm-dir default (ADVICE r14 items) -----------
+
+
+def test_warm_marker_true_when_all_entries_warmed():
+    assert bench.warm_marker_effective(36, 0) is True
+
+
+def test_warm_marker_false_when_most_entries_failed():
+    # warm dir exists but holds no usable parquet: nearly every entry
+    # raises, first reps are codegen-cold, marker must say so
+    assert bench.warm_marker_effective(2, 34) is False
+
+
+def test_warm_marker_boundary_half_ok_counts_as_effective():
+    assert bench.warm_marker_effective(18, 18) is True
+    assert bench.warm_marker_effective(17, 19) is False
+
+
+def test_warm_marker_zero_ok_never_effective():
+    assert bench.warm_marker_effective(0, 0) is False
+    assert bench.warm_marker_effective(0, 5) is False
+
+
+def test_default_warm_dir_is_sibling_sf0001():
+    assert bench.default_warm_dir("/root/testdata/sf0.1") == \
+        "/root/testdata/sf0.001"
+    # trailing slash must not shift the parent up a level
+    assert bench.default_warm_dir("/root/testdata/sf0.1/") == \
+        "/root/testdata/sf0.001"
+
+
+def test_default_warm_dir_relative_sf_dir_resolves_absolute():
+    out = bench.default_warm_dir("testdata/sf0.1")
+    assert os.path.isabs(out) and out.endswith("/sf0.001")
