@@ -343,6 +343,56 @@ def warm_marker_effective(ok: int, failed: int) -> bool:
     return ok >= max(1, (ok + failed) // 2)
 
 
+def render_stdout_line(
+    payload: dict, sel_meta: dict, commit_timings: dict
+) -> str:
+    """Render the driver-facing stdout JSON line under its size cap.
+
+    The driver captures only the LAST ~2000 chars of stdout (r5), so
+    the line must stay under 1500 chars — degrade gracefully, dropping
+    the LEAST valuable detail first:
+
+    1. slim ``selection`` to its scalars (the per-vote normalized-
+       totals list grows with the round's vote count and duplicates
+       bench_detail.json's ``committed_vote_selection``) — every char
+       freed keeps one more per-query timing in the committed
+       artifact, which next round's drift math prefers whole;
+    2. truncate ``queries`` to the slowest N (caller preserves the
+       full map on stderr; it is also in BENCH_HISTORY.jsonl and
+       bench_detail.json's ``queries_median``);
+    3. last resort: drop ``queries`` — a valid headline line always
+       prints (r5 advice: never discard a completed run over a
+       formatting cap).
+
+    Pure function (mutates a copy) so the cap rules are unit-testable.
+    """
+    payload = dict(payload)
+    line = json.dumps(payload)
+    if len(line) > 1400:
+        payload["selection"] = {
+            k: sel_meta[k]
+            for k in ("rule", "votes_considered", "selected_vote_index",
+                      "selected_normalized_total", "selected_is_current_run")
+            if k in sel_meta
+        }
+        line = json.dumps(payload)
+    if len(line) > 1400:
+        keep = len(commit_timings) - 5
+        while len(line) > 1400 and keep > 0:
+            top = dict(
+                sorted(commit_timings.items(), key=lambda kv: -kv[1])[:keep]
+            )
+            payload["queries"] = top
+            payload["queries_truncated_to_slowest"] = len(top)
+            line = json.dumps(payload)
+            keep -= 5
+    if len(line) >= 1500:
+        payload.pop("queries", None)
+        payload.pop("queries_truncated_to_slowest", None)
+        line = json.dumps(payload)
+    return line
+
+
 def collect_round_votes(
     hist_path: str, rnd, sf, warm_pass: bool, names
 ) -> tuple[list[dict], int]:
@@ -1328,38 +1378,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "selection": sel_meta,
     }
-    line = json.dumps(payload)
-    if len(line) > 1400:
-        # keep the slowest queries only; full map already on stderr
+    if len(json.dumps(payload)) > 1400:
+        # full per-query map won't fit the driver line: preserve it on
+        # stderr before render_stdout_line truncates
         print(f"# queries_full: {json.dumps(commit_timings)}",
               file=sys.stderr)
-        keep = 20
-        while len(line) > 1400 and keep > 0:
-            top = dict(
-                sorted(commit_timings.items(), key=lambda kv: -kv[1])[:keep]
-            )
-            payload["queries"] = top
-            payload["queries_truncated_to_slowest"] = len(top)
-            line = json.dumps(payload)
-            keep -= 5
-    if len(line) > 1400:
-        # the per-vote normalized-totals list grows with the round's
-        # vote count — drop it before dropping queries; the full
-        # selection metadata survives in bench_detail.json
-        payload["selection"] = {
-            k: sel_meta[k]
-            for k in ("rule", "votes_considered", "selected_vote_index",
-                      "selected_normalized_total", "selected_is_current_run")
-            if k in sel_meta
-        }
-        line = json.dumps(payload)
-    if len(line) >= 1500:
-        # last resort: a valid headline line always prints (r5 advice —
-        # never discard a completed run over a formatting cap)
-        payload.pop("queries", None)
-        payload.pop("queries_truncated_to_slowest", None)
-        line = json.dumps(payload)
-    print(line)
+    print(render_stdout_line(payload, sel_meta, commit_timings))
 
 
 if __name__ == "__main__":

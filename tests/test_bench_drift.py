@@ -576,3 +576,76 @@ def test_default_warm_dir_is_sibling_sf0001():
 def test_default_warm_dir_relative_sf_dir_resolves_absolute():
     out = bench.default_warm_dir("testdata/sf0.1")
     assert os.path.isabs(out) and out.endswith("/sf0.001")
+
+
+# --- driver stdout line rendering (size-capped, degrade gracefully) ---
+
+
+def _payload(n_queries, n_votes):
+    # realistic entry-name lengths (bench names run 12-26 chars, e.g.
+    # d_connected_components) — the cap math depends on them
+    qs = {f"q_realistic_entry_name_{i:02d}": round(0.5 + i * 0.137, 3)
+          for i in range(n_queries)}
+    sel = {
+        "rule": "median_normalized_total_over_round_votes",
+        "votes_considered": n_votes,
+        "vote_normalized_totals": [round(80 + i * 3.17, 3)
+                                   for i in range(n_votes)],
+        "selected_vote_index": n_votes // 2,
+        "selected_normalized_total": 89.27,
+        "selected_is_current_run": False,
+    }
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(qs.values()), 3),
+        "unit": "sec",
+        "queries": qs,
+        "reps": 3,
+        "calib_shuffle_probe_sec": 0.869,
+        "value_per_calib": 86.076,
+        "families_normalized": {"gen": 2.5, "tpch": 10.3, "events": 16.0,
+                                "dedup": 26.1, "iterative": 19.1,
+                                "similarity": 3.0, "text": 4.5},
+        "sf": 0.1,
+        "selection": sel,
+    }
+    return payload, sel, qs
+
+
+def test_render_small_payload_untouched():
+    payload, sel, qs = _payload(10, 3)
+    out = json.loads(bench.render_stdout_line(payload, sel, qs))
+    assert out["queries"] == qs
+    assert out["selection"] == sel  # full selection incl. vote totals
+    assert "queries_truncated_to_slowest" not in out
+
+
+def test_render_slims_selection_before_truncating_queries():
+    # realistic r15 shape: 36 entries + a 7-vote selection blows 1400;
+    # the vote-totals list must go BEFORE any query timing does
+    payload, sel, qs = _payload(36, 7)
+    assert len(json.dumps(payload)) > 1400
+    out = json.loads(bench.render_stdout_line(payload, sel, qs))
+    assert "vote_normalized_totals" not in out["selection"]
+    assert out["selection"]["votes_considered"] == 7
+    # slimming buys back query slots: strictly more than the old
+    # fixed keep=20, and every kept entry is from the slowest side
+    kept = out.get("queries_truncated_to_slowest", len(out["queries"]))
+    assert kept > 20
+    slowest = sorted(qs.values(), reverse=True)[:kept]
+    assert sorted(out["queries"].values(), reverse=True) == slowest
+
+
+def test_render_line_always_under_hard_cap():
+    for n_q, n_v in [(10, 1), (36, 7), (36, 40), (120, 12)]:
+        payload, sel, qs = _payload(n_q, n_v)
+        line = bench.render_stdout_line(payload, sel, qs)
+        assert len(line) < 1500, (n_q, n_v, len(line))
+        json.loads(line)  # stays valid JSON
+
+
+def test_render_does_not_mutate_caller_payload():
+    payload, sel, qs = _payload(36, 7)
+    before = json.dumps(payload)
+    bench.render_stdout_line(payload, sel, qs)
+    assert json.dumps(payload) == before
