@@ -339,13 +339,13 @@ def warm_marker_effective(ok: int, failed: int) -> bool:
     compiles ACTUALLY sunk — if most entries raised (e.g. the warm dir
     exists but holds no usable parquet) the timed first reps are still
     cold and a true marker would lie to era-aware drift analysis.
-    Rule: at least half the entries (and at least one) completed."""
-    return ok >= max(1, (ok + failed) // 2)
+    Rule: at least half the entries (and at least one) completed —
+    ceil division, so a strict-majority failure (e.g. 17 ok / 18
+    failed) never records a true marker."""
+    return ok >= max(1, (ok + failed + 1) // 2)
 
 
-def render_stdout_line(
-    payload: dict, sel_meta: dict, commit_timings: dict
-) -> str:
+def render_stdout_line(payload: dict) -> str:
     """Render the driver-facing stdout JSON line under its size cap.
 
     The driver captures only the LAST ~2000 chars of stdout (r5), so
@@ -364,9 +364,13 @@ def render_stdout_line(
        prints (r5 advice: never discard a completed run over a
        formatting cap).
 
-    Pure function (mutates a copy) so the cap rules are unit-testable.
-    """
+    Pure function of the payload alone (selection and queries are
+    read from it, so the rendered parts can never disagree with the
+    rest of the line); mutates a copy so the cap rules are
+    unit-testable."""
     payload = dict(payload)
+    sel_meta = payload.get("selection") or {}
+    full_queries = payload.get("queries") or {}
     line = json.dumps(payload)
     if len(line) > 1400:
         payload["selection"] = {
@@ -377,10 +381,10 @@ def render_stdout_line(
         }
         line = json.dumps(payload)
     if len(line) > 1400:
-        keep = len(commit_timings) - 5
+        keep = len(full_queries) - 5
         while len(line) > 1400 and keep > 0:
             top = dict(
-                sorted(commit_timings.items(), key=lambda kv: -kv[1])[:keep]
+                sorted(full_queries.items(), key=lambda kv: -kv[1])[:keep]
             )
             payload["queries"] = top
             payload["queries_truncated_to_slowest"] = len(top)
@@ -1235,6 +1239,10 @@ def main() -> None:
         # pass have first reps free of per-JVM compile cost;
         # r14 mixes both eras, r15+ is warm-pass-only
         "warm_pass": warm_pass_sec is not None,
+        # rep count that produced these medians (r15): the committed
+        # artifact's "reps" must describe the SELECTED vote, not
+        # whichever run happened to print the line
+        "reps": reps,
     }
     try:
         with open(hist_path, "a") as fh:
@@ -1249,6 +1257,7 @@ def main() -> None:
     commit_timings, commit_calib = timings, calib
     commit_fam_norm = families_normalized
     commit_fam_probe_map = detail["family_probe_sec"]
+    commit_reps = reps
     sel_meta = {
         "rule": "current_run_fallback",
         "note": "vote selection failed or no votes; committing current run",
@@ -1266,24 +1275,47 @@ def main() -> None:
         if mismatched:
             sel_meta["votes_excluded_query_set_mismatch"] = mismatched
         if not sel_meta["selected_is_current_run"]:
-            commit_timings = sel_vote["queries"]
-            commit_calib = sel_vote["calib"]
-            commit_fam_probe_map = sel_vote.get("family_probe_sec") or {}
-            shuf = commit_fam_probe_map.get("shuffle") or {}
-            commit_fam_norm = {
-                fam: round(
-                    sum(commit_timings[n] for n in names
-                        if n in commit_timings) / shuf[fam], 3)
-                for fam, names in fam_groups.items()
-                if shuf.get(fam)
-            }
-            print(
-                f"# committed vote: history vote "
-                f"{sel_meta['selected_vote_index']} of "
-                f"{sel_meta['votes_considered']} (normalized total "
-                f"{sel_meta['selected_normalized_total']}), not this run",
-                file=sys.stderr,
-            )
+            sel_probe_map = sel_vote.get("family_probe_sec") or {}
+            if not (sel_probe_map.get("shuffle") or {}):
+                # a history vote without per-class probes (hand-
+                # backfilled line) can win the median, but committing
+                # it would ship empty families_normalized and all-zero
+                # probe ratios — every >1.25x family would be stamped
+                # UNATTRIBUTED.  Fall back to the current run, loudly.
+                sel_meta["rule"] = "current_run_fallback"
+                sel_meta["note"] = (
+                    "selected vote lacks family_probe_sec; "
+                    "committing current run instead"
+                )
+                sel_meta["selected_is_current_run"] = True
+                print(
+                    "# committed vote selection OVERRIDDEN: median vote "
+                    "has no family_probe_sec — committing current run",
+                    file=sys.stderr,
+                )
+            else:
+                commit_timings = sel_vote["queries"]
+                commit_calib = sel_vote["calib"]
+                commit_fam_probe_map = sel_probe_map
+                shuf = commit_fam_probe_map.get("shuffle") or {}
+                commit_fam_norm = {
+                    fam: round(
+                        sum(commit_timings[n] for n in names
+                            if n in commit_timings) / shuf[fam], 3)
+                    for fam, names in fam_groups.items()
+                    if shuf.get(fam)
+                }
+                # the committed numbers are the SELECTED vote's; its
+                # rep count (recorded per vote since r15) is what
+                # produced those medians, not this run's --reps
+                commit_reps = sel_vote.get("reps")
+                print(
+                    f"# committed vote: history vote "
+                    f"{sel_meta['selected_vote_index']} of "
+                    f"{sel_meta['votes_considered']} (normalized total "
+                    f"{sel_meta['selected_normalized_total']}), not this run",
+                    file=sys.stderr,
+                )
     except (OSError, ValueError, ZeroDivisionError):
         pass
     detail["committed_vote_selection"] = sel_meta
@@ -1296,7 +1328,7 @@ def main() -> None:
         )
         if prev_parsed is not None:
             hist_runs = load_hist_runs(
-                os.path.join(repo_dir, "BENCH_HISTORY.jsonl"),
+                hist_path,
                 prev_round, prev_parsed.get("sf"),
             )
             # drift describes the COMMITTED artifact (the file the next
@@ -1365,7 +1397,9 @@ def main() -> None:
         "value": commit_total,
         "unit": "sec",
         "queries": commit_timings,
-        "reps": reps,
+        # the SELECTED vote's rep count (None for pre-r15 history
+        # votes that predate per-vote recording), not this run's
+        "reps": commit_reps,
         "calib_shuffle_probe_sec": commit_calib,
         # machine-speed-normalized headline: cross-round comparisons
         # should read THIS (total ÷ the fixed calibration probe) — VM
@@ -1383,7 +1417,7 @@ def main() -> None:
         # stderr before render_stdout_line truncates
         print(f"# queries_full: {json.dumps(commit_timings)}",
               file=sys.stderr)
-    print(render_stdout_line(payload, sel_meta, commit_timings))
+    print(render_stdout_line(payload))
 
 
 if __name__ == "__main__":

@@ -560,6 +560,14 @@ def test_warm_marker_boundary_half_ok_counts_as_effective():
     assert bench.warm_marker_effective(17, 19) is False
 
 
+def test_warm_marker_strict_majority_failure_is_ineffective():
+    # odd totals: 17 ok / 18 failed is a MAJORITY failure — floor
+    # division called this effective (ceil rule, code-review r15)
+    assert bench.warm_marker_effective(17, 18) is False
+    assert bench.warm_marker_effective(18, 17) is True
+    assert bench.warm_marker_effective(1, 2) is False
+
+
 def test_warm_marker_zero_ok_never_effective():
     assert bench.warm_marker_effective(0, 0) is False
     assert bench.warm_marker_effective(0, 5) is False
@@ -614,7 +622,7 @@ def _payload(n_queries, n_votes):
 
 def test_render_small_payload_untouched():
     payload, sel, qs = _payload(10, 3)
-    out = json.loads(bench.render_stdout_line(payload, sel, qs))
+    out = json.loads(bench.render_stdout_line(payload))
     assert out["queries"] == qs
     assert out["selection"] == sel  # full selection incl. vote totals
     assert "queries_truncated_to_slowest" not in out
@@ -625,7 +633,7 @@ def test_render_slims_selection_before_truncating_queries():
     # the vote-totals list must go BEFORE any query timing does
     payload, sel, qs = _payload(36, 7)
     assert len(json.dumps(payload)) > 1400
-    out = json.loads(bench.render_stdout_line(payload, sel, qs))
+    out = json.loads(bench.render_stdout_line(payload))
     assert "vote_normalized_totals" not in out["selection"]
     assert out["selection"]["votes_considered"] == 7
     # slimming buys back query slots: strictly more than the old
@@ -639,7 +647,7 @@ def test_render_slims_selection_before_truncating_queries():
 def test_render_line_always_under_hard_cap():
     for n_q, n_v in [(10, 1), (36, 7), (36, 40), (120, 12)]:
         payload, sel, qs = _payload(n_q, n_v)
-        line = bench.render_stdout_line(payload, sel, qs)
+        line = bench.render_stdout_line(payload)
         assert len(line) < 1500, (n_q, n_v, len(line))
         json.loads(line)  # stays valid JSON
 
@@ -647,5 +655,5 @@ def test_render_line_always_under_hard_cap():
 def test_render_does_not_mutate_caller_payload():
     payload, sel, qs = _payload(36, 7)
     before = json.dumps(payload)
-    bench.render_stdout_line(payload, sel, qs)
+    bench.render_stdout_line(payload)
     assert json.dumps(payload) == before
