@@ -101,10 +101,12 @@ _NAMED_WEIGHT = {
 # latest green is older than r11 after r15).  This round's code
 # changes are again behavior-neutral for every catalog entry:
 # bench.py committed-vote selection + warm-pass era filtering +
-# warm-dir/warm-marker hardening (harness only, unit-tested without
-# Spark), the BENCH_HISTORY warm_pass era-marker backfill (data
-# bookkeeping), and README drift adjudications + env-gate date bumps
-# (docs).  No operator, oracle, or query function changed.
+# warm-dir/warm-marker hardening + stdout-line render ladder +
+# five self-review fixes (all harness only, unit-tested without
+# Spark), the BENCH_HISTORY warm_pass/reps backfills (data
+# bookkeeping, values verified per vote commit), and README drift
+# adjudications + env-gate date bumps (docs).  No operator, oracle,
+# or query function changed.
 _REVERIFY: set[str] = set()
 
 
