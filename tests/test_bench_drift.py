@@ -657,3 +657,86 @@ def test_render_does_not_mutate_caller_payload():
     before = json.dumps(payload)
     bench.render_stdout_line(payload)
     assert json.dumps(payload) == before
+
+
+# --- cross-vote attribution of committed-vote one-offs (r15) ----------
+
+
+def _cv_vote(queries):
+    return {"round": 15, "sf": 0.1, "queries": queries, "calib": 0.8,
+            "warm_pass": True, "reps": 3}
+
+
+def _drift_with_votes(timings, round_votes):
+    # flat probes: nothing for probe-based attribution to credit, so a
+    # >1.25x family reaches the cross-vote check
+    hist = [_hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES)]
+    families_normalized = {
+        f: round(sum(timings[n] for n in ns) / 0.6, 3)
+        for f, ns in FAM_GROUPS.items()
+    }
+    return bench.compute_drift(
+        fam_groups=FAM_GROUPS,
+        timings=timings,
+        families_normalized=families_normalized,
+        fam_probe=_fam_probe_from(_FLAT_PROBES),
+        prev_parsed={"sf": 0.1,
+                     "families_normalized": {"tpch": 2.0, "dedup": 1.0},
+                     "queries": {"q1": 1.0, "q3": 1.0, "d1": 1.0}},
+        prev_round=12,
+        cur_round=13,
+        hist_runs=hist,
+        round_votes=round_votes,
+    )
+
+
+def test_round_votes_median_absorbs_committed_one_off():
+    # the committed vote carries a one-off q1=1.8 (family 1.4x), but
+    # the round's other votes sit at baseline: cross-vote median over
+    # >=3 votes is within band -> attributed, not UNATTRIBUTED
+    committed = {"q1": 1.8, "q3": 1.0, "d1": 1.0}
+    votes = [_cv_vote({"q1": 1.0, "q3": 1.0, "d1": 1.0}),
+             _cv_vote({"q1": 1.1, "q3": 1.0, "d1": 1.0}),
+             _cv_vote(committed)]
+    out = _drift_with_votes(committed, votes)
+    assert out["attribution"]["tpch"] == "round_votes:median_within_band"
+    assert "cross-vote median" in out["attribution_notes"]["tpch"]
+
+
+def test_round_votes_reproducing_regression_stays_unattributed():
+    # every vote shows the same elevated family: the cross-vote median
+    # breaches the band too — the flag must survive
+    elevated = {"q1": 1.8, "q3": 1.0, "d1": 1.0}
+    votes = [_cv_vote(dict(elevated)) for _ in range(4)]
+    out = _drift_with_votes(elevated, votes)
+    assert out["attribution"]["tpch"] == (
+        "UNATTRIBUTED_suspect_real_regression"
+    )
+
+
+def test_round_votes_fewer_than_three_no_downgrade():
+    committed = {"q1": 1.8, "q3": 1.0, "d1": 1.0}
+    votes = [_cv_vote({"q1": 1.0, "q3": 1.0, "d1": 1.0}), _cv_vote(committed)]
+    out = _drift_with_votes(committed, votes)
+    assert out["attribution"]["tpch"] == (
+        "UNATTRIBUTED_suspect_real_regression"
+    )
+
+
+def test_round_votes_missing_entry_votes_excluded_from_median():
+    # votes that never ran a shared query can't vouch for it
+    committed = {"q1": 1.8, "q3": 1.0, "d1": 1.0}
+    votes = [_cv_vote({"q3": 1.0, "d1": 1.0}),          # no q1: excluded
+             _cv_vote({"q3": 1.0, "d1": 1.0}),          # no q1: excluded
+             _cv_vote(committed)]
+    out = _drift_with_votes(committed, votes)
+    assert out["attribution"]["tpch"] == (
+        "UNATTRIBUTED_suspect_real_regression"
+    )
+
+
+def test_round_votes_within_band_family_untouched():
+    committed = {"q1": 1.0, "q3": 1.0, "d1": 1.0}
+    votes = [_cv_vote(dict(committed)) for _ in range(3)]
+    out = _drift_with_votes(committed, votes)
+    assert out["attribution"]["tpch"] == "within_band"
