@@ -107,6 +107,18 @@ _NAMED_WEIGHT = {
 # bookkeeping, values verified per vote commit), and README drift
 # adjudications + env-gate date bumps (docs).  No operator, oracle,
 # or query function changed.
+# r16: EMPTY a third time (VERDICT r15 task 3 — the rotation fills the
+# window with the 25 r11-vintage greens plus the 25 oldest r12s;
+# verified by computing the window: Counter({11: 25, 12: 25}), so no
+# entry's latest green is older than r12 after r16).  This round's
+# code changes are again behavior-neutral for every catalog entry:
+# bench.py measurement-trust work (seeded per-pass order shuffle,
+# per-vote code_hash + hash-verified calib-normalized cross-vote
+# downgrade, isolated-median side-car, vote-budget notice, stdout
+# truncation ladder fix — all harness-only, unit-tested without
+# Spark), a BENCH_HISTORY reps backfill on one pre-recording line
+# (data bookkeeping), and README/env-gate doc updates.  No operator,
+# oracle, or query function changed.
 _REVERIFY: set[str] = set()
 
 

@@ -24,6 +24,17 @@ query's median samples N different wall-clock windows, and
 bench_detail.json's per_pass_family_sums show a slow interval as one
 slow PASS (every family elevated) instead of one slow FAMILY.
 
+Within each pass the family order and within-family entry order are
+SEEDED-SHUFFLED (VERDICT r15 task 1): a fixed order put heavy entries
+in the same wall-clock position of every pass, so position-correlated
+drift survived the cross-pass median and manufactured recurring
+1.3-1.6× per-entry readings that isolate to ≤1.3× (r13 minhash, r14
+kmeans, r15 semantic_dedup/bpe).  Seed and executed order are
+recorded in bench_detail.json (pass_order_seed / pass_entry_order),
+and each entry's latest ISOLATED steady-state median from
+PROFILE_HISTORY.jsonl rides alongside the windowed median
+(queries_isolated_median) so neither is quoted without the other.
+
 Query set: the generation-heavy flagship (the reference's core purpose),
 one query per operator family (agg/join/window/dedup/similarity/text),
 and a raw-generation throughput probe — so a regression in any family
@@ -33,8 +44,10 @@ moves the headline number.
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
+import random
 import re
 import statistics
 import sys
@@ -137,6 +150,97 @@ def load_hist_runs(hist_path: str, prev_round: int, prev_sf) -> list[dict]:
     return hist_runs
 
 
+def compute_code_hash(repo_dir: str) -> str:
+    """12-hex sha256 over the package source + bench.py (ADVICE r15):
+    each BENCH_HISTORY vote records the code it ran, so the cross-vote
+    regression downgrade can require byte-identical code instead of
+    assuming it from round/sf/era equality.  bench.py is included
+    because the timing METHODOLOGY (rep layout, warm pass, probes)
+    shapes per-entry numbers as much as operator code does; a mid-round
+    harness edit must shrink the comparable vote pool, not silently
+    pollute it.  Unreadable files are skipped (their absence still
+    changes the hash via the path list only when they exist)."""
+    h = hashlib.sha256()
+    paths = sorted(
+        glob.glob(
+            os.path.join(repo_dir, "datafusion_randgen_spark", "**", "*.py"),
+            recursive=True,
+        )
+    ) + [os.path.join(repo_dir, "bench.py")]
+    for p in paths:
+        try:
+            with open(p, "rb") as fh:
+                data = fh.read()
+        except OSError:
+            continue
+        h.update(os.path.relpath(p, repo_dir).encode())
+        h.update(b"\0")
+        h.update(data)
+        h.update(b"\0")
+    return h.hexdigest()[:12]
+
+
+def shuffled_pass_order(
+    fams_in_pass, fam_groups, seed, pass_index
+) -> list[tuple[str, list[str]]]:
+    """Seeded per-pass shuffle of family order AND within-family entry
+    order (VERDICT r15 task 1).
+
+    With a FIXED pass order, heavy entries occupy the same wall-clock
+    position of every interleaved pass, so any time-structured host
+    drift (GC pressure building through a pass, a co-tenant burst)
+    lands on the same entries in every pass and survives the median —
+    the mechanism behind three consecutive rounds of 1.3-1.6x per-entry
+    readings that isolate to <=1.3x (r13 minhash, r14 kmeans/events,
+    r15 semantic_dedup/bpe).  Shuffling per pass decorrelates entry
+    from position, so position-correlated drift averages out of every
+    entry's median instead of compounding in a fixed victim set.
+
+    Deterministic for (seed, pass_index) — recorded in
+    bench_detail.json (``pass_order_seed``/``pass_entry_order``) so a
+    run is exactly reproducible.  Probe bracketing is unaffected: the
+    caller still probes at every family boundary of the SHUFFLED
+    order, so each family keeps 2 bracketing samples per pass.  Pure
+    function of its inputs for unit-testability."""
+    rng = random.Random(f"{seed}:{pass_index}")
+    fams = list(fams_in_pass)
+    rng.shuffle(fams)
+    return [
+        (fam, rng.sample(list(fam_groups[fam]), len(fam_groups[fam])))
+        for fam in fams
+    ]
+
+
+def load_isolated_medians(profile_path: str, names) -> dict[str, dict]:
+    """Latest isolated steady-state median per bench entry from
+    PROFILE_HISTORY.jsonl (VERDICT r15 task 1, second prong): the
+    committed bench_detail.json carries "windowed X / isolated Y" side
+    by side, so a per-entry windowed median can no longer be quoted as
+    steady state without its isolated context.  Later lines override
+    earlier ones (latest adjudication wins); entries never profiled in
+    isolation are simply absent.  Pure file-in/dict-out."""
+    names = set(names)
+    out: dict[str, dict] = {}
+    try:
+        with open(profile_path) as fh:
+            for ln in fh:
+                try:
+                    ent = json.loads(ln)
+                except ValueError:
+                    continue
+                for n, row in (ent.get("entries") or {}).items():
+                    if n in names and isinstance(row, dict) \
+                            and row.get("median"):
+                        out[n] = {
+                            "isolated_median": row["median"],
+                            "isolated_reps": ent.get("reps"),
+                            "recorded_round": ent.get("round"),
+                        }
+    except OSError:
+        pass
+    return out
+
+
 def compute_drift(
     *,
     fam_groups: dict[str, list[str]],
@@ -151,6 +255,7 @@ def compute_drift(
     probe_classes: tuple = PROBE_CLASSES,
     cur_warm_pass: bool | None = None,
     round_votes: list[dict] | None = None,
+    cur_code_hash: str | None = None,
 ) -> dict:
     """The families_vs_prev block (round-over-round family drift +
     probe-based attribution).  Pure function of its inputs so the
@@ -275,38 +380,90 @@ def compute_drift(
             )
         else:
             attribution[fam] = "UNATTRIBUTED_suspect_real_regression"
-            # Cross-vote attribution (r15): before flagging, ask the
-            # round's OTHER same-code votes.  The committed vote is the
-            # round's median-normalized-total pick, but a family-local
-            # one-off (r15 vote 6: flagship 2.648s vs 0.88-1.41s in the
-            # other seven votes) can ride in on an otherwise-median
-            # vote.  If the cross-vote MEDIAN of this family's raw
-            # shared-query sum is itself within the 1.25x band, the
-            # regression does not reproduce on byte-identical code —
-            # environment by construction (the VERDICT r14 argument,
-            # now machine-applied).  >=3 votes so one outlier cannot
-            # define the median.
-            if round_votes and len(round_votes) >= 3 and fam in fam_shared:
+            # Cross-vote attribution (r15; hardened r16 per ADVICE
+            # r15): before flagging, ask the round's OTHER same-code
+            # votes.  The committed vote is the round's
+            # median-normalized-total pick, but a family-local one-off
+            # (r15 vote 6: flagship 2.648s vs 0.88-1.41s in the other
+            # seven votes) can ride in on an otherwise-median vote.
+            # If the cross-vote MEDIAN of this family's shared-query
+            # sum is itself within the 1.25x band, the regression does
+            # not reproduce on byte-identical code — environment by
+            # construction.  Two r16 hardenings:
+            #   * "same code" is now VERIFIED, not assumed: only votes
+            #     whose recorded code_hash equals the committed vote's
+            #     count toward the downgrade median (ADVICE r15: a
+            #     real-but-intermittent regression must not be
+            #     relabeled environmental on unverified votes).  Votes
+            #     without a hash (pre-r16) or with a different hash
+            #     contribute EVIDENCE ONLY (an attribution_note a
+            #     human still adjudicates), never the downgrade.
+            #   * the median is NORMALIZED: each vote's family sum ÷
+            #     that vote's own calib, against the median of the
+            #     prev-round history lines' sum ÷ calib (ADVICE r15:
+            #     raw seconds conflate host speed with code speed — a
+            #     fast host window across the round's votes could mask
+            #     a real regression).  Raw fallback (flagged in the
+            #     note) only when no prev history line carries calib.
+            # >=3 votes so one outlier cannot define the median.
+            if round_votes and fam in fam_shared:
                 shared, prev_s = fam_shared[fam]
-                sums = [
-                    sum(v["queries"][n] for n in shared)
-                    for v in round_votes
+                covering = [
+                    v for v in round_votes
                     if all(n in v.get("queries", {}) for n in shared)
                 ]
-                if len(sums) >= 3:
-                    med_ratio = round(
-                        statistics.median(sums) / prev_s, 3
+                hashed = [
+                    v for v in covering
+                    if cur_code_hash and v.get("code_hash") == cur_code_hash
+                ]
+                prev_norms = [
+                    sum(e["queries"][n] for n in shared) / e["calib"]
+                    for e in (hist_runs or [])
+                    if e.get("calib")
+                    and all(n in e.get("queries", {}) for n in shared)
+                ]
+
+                def _vote_ratio(vs: list[dict]) -> tuple[float, str]:
+                    if prev_norms and all(v.get("calib") for v in vs):
+                        med = statistics.median(
+                            sum(v["queries"][n] for n in shared)
+                            / v["calib"]
+                            for v in vs
+                        )
+                        return (
+                            round(med / statistics.median(prev_norms), 3),
+                            "normalized",
+                        )
+                    med = statistics.median(
+                        sum(v["queries"][n] for n in shared) for v in vs
                     )
+                    return round(med / prev_s, 3), "raw_fallback"
+
+                if len(hashed) >= 3:
+                    med_ratio, basis = _vote_ratio(hashed)
                     if med_ratio <= 1.25:
                         attribution[fam] = (
                             "round_votes:median_within_band"
                         )
                         attribution_notes[fam] = (
                             f"committed-vote raw ratio {raw}x, but the "
-                            f"round's cross-vote median over "
-                            f"{len(sums)} same-code votes is "
-                            f"{med_ratio}x — within band; the committed "
-                            f"vote carries a family-local one-off"
+                            f"round's cross-vote {basis} median over "
+                            f"{len(hashed)} code-hash-verified votes "
+                            f"is {med_ratio}x — within band; the "
+                            f"committed vote carries a family-local "
+                            f"one-off"
+                        )
+                elif len(covering) >= 3:
+                    # enough votes, but none code-hash-verified: emit
+                    # the evidence for a human, keep the flag
+                    med_ratio, basis = _vote_ratio(covering)
+                    if med_ratio <= 1.25:
+                        attribution_notes[fam] = (
+                            f"cross-vote {basis} median over "
+                            f"{len(covering)} UNVERIFIED votes (no "
+                            f"code_hash match) is {med_ratio}x — "
+                            f"within band, but not counted toward a "
+                            f"downgrade; human adjudication required"
                         )
             if attribution[fam] == "UNATTRIBUTED_suspect_real_regression":
                 orthogonal = {
@@ -394,9 +551,13 @@ def render_stdout_line(payload: dict) -> str:
        bench_detail.json's ``committed_vote_selection``) — every char
        freed keeps one more per-query timing in the committed
        artifact, which next round's drift math prefers whole;
-    2. truncate ``queries`` to the slowest N (caller preserves the
-       full map on stderr; it is also in BENCH_HISTORY.jsonl and
-       bench_detail.json's ``queries_median``);
+    2. truncate ``queries`` to the slowest N, one entry at a time
+       (ADVICE r15: the old keep-step of 5 starting at len-5 skipped
+       truncation entirely for <=5-entry maps and could leave a
+       1401-1499-char line with only 5 timings kept), stamping
+       ``queries_full_in`` so artifact readers know the untruncated
+       map lives in bench_detail.json's ``queries_median`` (it is
+       also on stderr and in BENCH_HISTORY.jsonl);
     3. last resort: drop ``queries`` — a valid headline line always
        prints (r5 advice: never discard a completed run over a
        formatting cap).
@@ -417,35 +578,44 @@ def render_stdout_line(payload: dict) -> str:
             if k in sel_meta
         }
         line = json.dumps(payload)
-    if len(line) > 1400:
-        keep = len(full_queries) - 5
-        while len(line) > 1400 and keep > 0:
-            top = dict(
-                sorted(full_queries.items(), key=lambda kv: -kv[1])[:keep]
-            )
-            payload["queries"] = top
-            payload["queries_truncated_to_slowest"] = len(top)
+    if len(line) > 1400 and full_queries:
+        by_slow = sorted(full_queries.items(), key=lambda kv: -kv[1])
+        payload["queries_full_in"] = "bench_detail.json:queries_median"
+        for keep in range(len(by_slow) - 1, 0, -1):
+            payload["queries"] = dict(by_slow[:keep])
+            payload["queries_truncated_to_slowest"] = keep
             line = json.dumps(payload)
-            keep -= 5
-    if len(line) >= 1500:
+            if len(line) <= 1400:
+                break
+    if len(line) > 1400:
         payload.pop("queries", None)
         payload.pop("queries_truncated_to_slowest", None)
+        # the pointer stays: a query-less line should still say where
+        # the full per-entry map lives
+        payload["queries_full_in"] = "bench_detail.json:queries_median"
         line = json.dumps(payload)
     return line
 
 
 def collect_round_votes(
-    hist_path: str, rnd, sf, warm_pass: bool, names
-) -> tuple[list[dict], int]:
+    hist_path: str, rnd, sf, warm_pass: bool, names, *, code_hash=None
+) -> tuple[list[dict], int, int]:
     """This round's comparable BENCH_HISTORY votes for committed-vote
     selection: same round, same sf, same warm-pass era, same query-name
     set (a vote with a different entry set ran different code mid-round
-    — its total is not comparable).  Returns (votes, n_excluded_for_
-    query_set_mismatch); unreadable lines are skipped, a missing file
+    — its total is not comparable), and — when both sides carry one
+    (r16, ADVICE r15) — the same code_hash (a vote recorded on
+    different package/bench code is not the same experiment; votes
+    without the key, i.e. pre-r16 lines, still pass for SELECTION —
+    the median pick is robust to them — but never toward the drift
+    downgrade, which filters strictly in compute_drift).  Returns
+    (votes, n_excluded_for_query_set_mismatch, n_excluded_for_code_
+    hash_mismatch); unreadable lines are skipped, a missing file
     yields no votes.  Pure file-in/list-out so the filter rules are
     unit-testable."""
     votes: list[dict] = []
     mismatched = 0
+    hash_mismatched = 0
     names = set(names)
     try:
         with open(hist_path) as fh:
@@ -461,13 +631,19 @@ def collect_round_votes(
                     and ent.get("calib")
                     and bool(ent.get("warm_pass")) == warm_pass
                 ):
-                    if set(ent["queries"]) == names:
-                        votes.append(ent)
-                    else:
+                    if set(ent["queries"]) != names:
                         mismatched += 1
+                    elif (
+                        code_hash
+                        and ent.get("code_hash")
+                        and ent["code_hash"] != code_hash
+                    ):
+                        hash_mismatched += 1
+                    else:
+                        votes.append(ent)
     except OSError:
         pass
-    return votes, mismatched
+    return votes, mismatched, hash_mismatched
 
 
 def select_committed_vote(
@@ -1045,6 +1221,17 @@ def main() -> None:
             out[cls] = v
         return out
 
+    # Seeded per-pass order shuffle (VERDICT r15 task 1): with a fixed
+    # order, heavy entries sit in the same wall-clock position of every
+    # pass, so time-structured host drift compounds in the same victim
+    # set across passes and survives the median (the r13-r15
+    # adjudication treadmill).  Shuffling family order AND within-
+    # family entry order per pass decorrelates entry from position;
+    # the seed and executed order are recorded in bench_detail.json so
+    # any run is reproducible.  Layout rule is pure+unit-tested
+    # (shuffled_pass_order); probe bracketing per family is unchanged.
+    shuffle_seed = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_SEED", "16"))
+    pass_entry_order: list[list[str]] = []
     for p in range(n_passes):
         fams_in_pass = [
             fam for fam, names in fam_groups.items()
@@ -1052,13 +1239,17 @@ def main() -> None:
         ]
         if not fams_in_pass:
             break
+        pass_layout = shuffled_pass_order(
+            fams_in_pass, fam_groups, shuffle_seed, p
+        )
         for cls in PROBE_CLASSES:
             probe_samples_by_pass[cls].append([])
         t_pass = time.perf_counter()
         pass_probes: list[dict[str, float]] = []
-        for fam in fams_in_pass:
+        executed: list[str] = []
+        for fam, fam_names in pass_layout:
             pass_probes.append(boundary_probe())
-            for name in fam_groups[fam]:
+            for name in fam_names:
                 if extra_reps.get(name, reps) <= p:
                     continue
                 # per-query isolation: operators that persist()
@@ -1070,8 +1261,10 @@ def main() -> None:
                 df = bench_queries[name](spark, sf_dir)
                 rows_of[name] = df.count()  # materialize fully
                 all_runs[name].append(round(time.perf_counter() - t0, 3))
+                executed.append(name)
         pass_probes.append(boundary_probe())
-        for i, fam in enumerate(fams_in_pass):
+        pass_entry_order.append(executed)
+        for i, (fam, _fam_names) in enumerate(pass_layout):
             for cls in PROBE_CLASSES:
                 fam_probe_samples[cls].setdefault(fam, []).extend(
                     (pass_probes[i][cls], pass_probes[i + 1][cls])
@@ -1079,7 +1272,8 @@ def main() -> None:
         print(
             f"# pass {p + 1}/{n_passes}: "
             f"{round(time.perf_counter() - t_pass, 1)}s over "
-            f"{len(fams_in_pass)} families", file=sys.stderr,
+            f"{len(fams_in_pass)} families (seeded-shuffled order)",
+            file=sys.stderr,
         )
 
     timings: dict[str, float] = {}
@@ -1162,7 +1356,20 @@ def main() -> None:
     print(f"# queries_spread: {json.dumps(spread)}", file=sys.stderr)
     detail = {
         "sf": sf,  # which scale factor produced these medians/spreads
-        "bench_rep_layout": "pass_interleaved",  # VERDICT r12 task 1
+        # VERDICT r12 task 1 (interleaving) + r15 task 1 (seeded
+        # per-pass order shuffle)
+        "bench_rep_layout": "pass_interleaved_shuffled",
+        "pass_order_seed": shuffle_seed,
+        # executed entry order per pass — the shuffle's audit trail
+        "pass_entry_order": pass_entry_order,
+        # latest isolated steady-state medians (PROFILE_HISTORY.jsonl)
+        # next to the windowed medians, so a per-entry number is never
+        # read without its isolated context (VERDICT r15 task 1)
+        "queries_isolated_median": load_isolated_medians(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "PROFILE_HISTORY.jsonl"),
+            bench_queries,
+        ),
         "queries_median": dict(timings),  # full map — never truncated
         "queries_spread": spread,
         # per-rep sequences: run index == pass index, so a slow pass is
@@ -1264,6 +1471,10 @@ def main() -> None:
     # vote selection (VERDICT r14 task 2) so the current run is itself
     # a candidate vote.
     hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
+    # code identity of this run (ADVICE r15): recorded per vote so the
+    # cross-vote regression downgrade can REQUIRE byte-identical code
+    # instead of assuming it from round/sf/era equality
+    code_hash = compute_code_hash(repo_dir)
     cur_vote = {
         "round": detail.get("this_round"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -1280,6 +1491,9 @@ def main() -> None:
         # artifact's "reps" must describe the SELECTED vote, not
         # whichever run happened to print the line
         "reps": reps,
+        # 12-hex sha256 of the package source + bench.py (r16): the
+        # cross-vote downgrade's same-code precondition, verified
+        "code_hash": code_hash,
     }
     try:
         with open(hist_path, "a") as fh:
@@ -1295,24 +1509,39 @@ def main() -> None:
     commit_fam_norm = families_normalized
     commit_fam_probe_map = detail["family_probe_sec"]
     commit_reps = reps
+    commit_code_hash = code_hash
     round_votes_for_drift: list[dict] = []
     sel_meta = {
         "rule": "current_run_fallback",
         "note": "vote selection failed or no votes; committing current run",
     }
     try:
-        votes, mismatched = collect_round_votes(
+        votes, mismatched, hash_mismatched = collect_round_votes(
             hist_path, cur_vote["round"], cur_vote["sf"],
-            cur_vote["warm_pass"], timings,
+            cur_vote["warm_pass"], timings, code_hash=code_hash,
         )
         if not votes or votes[-1]["queries"] != timings:
             votes.append(cur_vote)  # history append failed above
+        # Vote budget (VERDICT r15 task 2): median selection is
+        # mechanized and gains nothing past ~5 same-code votes — r15
+        # spent 12.  A mechanical stderr nudge, not a hard stop:
+        # re-running past the budget still works (a family flagging
+        # over-band is the legitimate reason to).
+        if len(votes) >= 5:
+            print(
+                f"# vote budget: {len(votes)} comparable votes already "
+                f"recorded this round — the median rule gains nothing "
+                f"past 5; stop re-running unless a family flags "
+                f"over-band", file=sys.stderr,
+            )
         sel_vote, sel_meta = select_committed_vote(
             votes=votes, current=cur_vote
         )
         round_votes_for_drift = votes
         if mismatched:
             sel_meta["votes_excluded_query_set_mismatch"] = mismatched
+        if hash_mismatched:
+            sel_meta["votes_excluded_code_hash_mismatch"] = hash_mismatched
         if not sel_meta["selected_is_current_run"]:
             sel_probe_map = sel_vote.get("family_probe_sec") or {}
             if not (sel_probe_map.get("shuffle") or {}):
@@ -1348,6 +1577,9 @@ def main() -> None:
                 # rep count (recorded per vote since r15) is what
                 # produced those medians, not this run's --reps
                 commit_reps = sel_vote.get("reps")
+                # …and its code hash (recorded per vote since r16) is
+                # what the drift downgrade must match against
+                commit_code_hash = sel_vote.get("code_hash")
                 print(
                     f"# committed vote: history vote "
                     f"{sel_meta['selected_vote_index']} of "
@@ -1386,6 +1618,7 @@ def main() -> None:
                 hist_runs=hist_runs,
                 cur_warm_pass=warm_pass_sec is not None,
                 round_votes=round_votes_for_drift,
+                cur_code_hash=commit_code_hash,
             )
             fvp["computed_on"] = (
                 "current_run"
@@ -1440,6 +1673,9 @@ def main() -> None:
         # the SELECTED vote's rep count (None for pre-r15 history
         # votes that predate per-vote recording), not this run's
         "reps": commit_reps,
+        # the SELECTED vote's code identity (r16) — audit key for the
+        # cross-vote same-code rule; None for pre-r16 history votes
+        "code_hash": commit_code_hash,
         "calib_shuffle_probe_sec": commit_calib,
         # machine-speed-normalized headline: cross-round comparisons
         # should read THIS (total ÷ the fixed calibration probe) — VM

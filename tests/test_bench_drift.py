@@ -514,32 +514,57 @@ def test_collect_round_votes_filters_round_sf_era_and_query_set(tmp_path):
         {"round": 15},                             # malformed-ish
     ]
     path = _write_hist(tmp_path, lines)
-    votes, mismatched = bench.collect_round_votes(
+    votes, mismatched, hash_mismatched = bench.collect_round_votes(
         path, 15, 0.1, True, {"q1"}
     )
     assert len(votes) == 1 and votes[0]["calib"] == 0.8
     assert mismatched == 1  # only the {q1,q2} vote counts as mismatch
+    assert hash_mismatched == 0
 
 
 def test_collect_round_votes_era_none_matches_cold(tmp_path):
     # pre-warm-pass lines lack the key entirely; bool(None) == False
     cold = {"round": 15, "sf": 0.1, "queries": {"q1": 2.0}, "calib": 0.7}
     path = _write_hist(tmp_path, [cold])
-    votes, _ = bench.collect_round_votes(path, 15, 0.1, False, {"q1"})
+    votes, _, _ = bench.collect_round_votes(path, 15, 0.1, False, {"q1"})
     assert len(votes) == 1
 
 
 def test_collect_round_votes_missing_file_and_bad_json(tmp_path):
-    votes, mismatched = bench.collect_round_votes(
+    votes, mismatched, hash_mismatched = bench.collect_round_votes(
         str(tmp_path / "absent.jsonl"), 15, 0.1, True, {"q1"}
     )
-    assert votes == [] and mismatched == 0
+    assert votes == [] and mismatched == 0 and hash_mismatched == 0
     p = tmp_path / "BENCH_HISTORY.jsonl"
     p.write_text("not json\n" + json.dumps(
         {"round": 15, "sf": 0.1, "queries": {"q1": 1.0}, "calib": 0.5,
          "warm_pass": True}) + "\n")
-    votes, _ = bench.collect_round_votes(str(p), 15, 0.1, True, {"q1"})
+    votes, _, _ = bench.collect_round_votes(str(p), 15, 0.1, True, {"q1"})
     assert len(votes) == 1  # bad line skipped, good line kept
+
+
+def test_collect_round_votes_code_hash_filter(tmp_path):
+    # ADVICE r15: a vote recorded on DIFFERENT code is excluded (and
+    # counted); votes without the key (pre-r16 lines) still pass for
+    # selection — the strict filter lives in compute_drift's downgrade
+    ok = {"round": 16, "sf": 0.1, "queries": {"q1": 1.0}, "calib": 0.8,
+          "warm_pass": True, "code_hash": "aaaabbbbcccc"}
+    lines = [
+        ok,
+        {**ok, "code_hash": "ddddeeeeffff"},   # different code: excluded
+        {k: v for k, v in ok.items() if k != "code_hash"},  # legacy: kept
+    ]
+    path = _write_hist(tmp_path, lines)
+    votes, _, hash_mismatched = bench.collect_round_votes(
+        path, 16, 0.1, True, {"q1"}, code_hash="aaaabbbbcccc"
+    )
+    assert len(votes) == 2
+    assert hash_mismatched == 1
+    # no code_hash given (legacy caller): nothing excluded
+    votes, _, hash_mismatched = bench.collect_round_votes(
+        path, 16, 0.1, True, {"q1"}
+    )
+    assert len(votes) == 3 and hash_mismatched == 0
 
 
 # --- warm-pass marker + warm-dir default (ADVICE r14 items) -----------
@@ -659,18 +684,25 @@ def test_render_does_not_mutate_caller_payload():
     assert json.dumps(payload) == before
 
 
-# --- cross-vote attribution of committed-vote one-offs (r15) ----------
+# --- cross-vote attribution of committed-vote one-offs (r15; code-
+# hash-verified + calib-normalized since r16, ADVICE r15) --------------
+
+_HASH = "aaaabbbbcccc"
 
 
-def _cv_vote(queries):
-    return {"round": 15, "sf": 0.1, "queries": queries, "calib": 0.8,
-            "warm_pass": True, "reps": 3}
+def _cv_vote(queries, code_hash=_HASH, calib=0.6):
+    # default calib matches _hist_line's 0.6 so the normalized ratio
+    # equals the raw one unless a test varies host speed on purpose
+    return {"round": 15, "sf": 0.1, "queries": queries, "calib": calib,
+            "warm_pass": True, "reps": 3, "code_hash": code_hash}
 
 
-def _drift_with_votes(timings, round_votes):
+def _drift_with_votes(timings, round_votes, cur_code_hash=_HASH,
+                      hist=None):
     # flat probes: nothing for probe-based attribution to credit, so a
     # >1.25x family reaches the cross-vote check
-    hist = [_hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES)]
+    if hist is None:
+        hist = [_hist_line({"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES)]
     families_normalized = {
         f: round(sum(timings[n] for n in ns) / 0.6, 3)
         for f, ns in FAM_GROUPS.items()
@@ -687,20 +719,21 @@ def _drift_with_votes(timings, round_votes):
         cur_round=13,
         hist_runs=hist,
         round_votes=round_votes,
+        cur_code_hash=cur_code_hash,
     )
 
 
 def test_round_votes_median_absorbs_committed_one_off():
     # the committed vote carries a one-off q1=1.8 (family 1.4x), but
-    # the round's other votes sit at baseline: cross-vote median over
-    # >=3 votes is within band -> attributed, not UNATTRIBUTED
+    # the round's other same-hash votes sit at baseline: cross-vote
+    # median over >=3 verified votes is within band -> attributed
     committed = {"q1": 1.8, "q3": 1.0, "d1": 1.0}
     votes = [_cv_vote({"q1": 1.0, "q3": 1.0, "d1": 1.0}),
              _cv_vote({"q1": 1.1, "q3": 1.0, "d1": 1.0}),
              _cv_vote(committed)]
     out = _drift_with_votes(committed, votes)
     assert out["attribution"]["tpch"] == "round_votes:median_within_band"
-    assert "cross-vote median" in out["attribution_notes"]["tpch"]
+    assert "code-hash-verified" in out["attribution_notes"]["tpch"]
 
 
 def test_round_votes_reproducing_regression_stays_unattributed():
@@ -735,8 +768,198 @@ def test_round_votes_missing_entry_votes_excluded_from_median():
     )
 
 
+def test_round_votes_unhashed_votes_note_but_no_downgrade():
+    # ADVICE r15 (medium): nothing verified the votes ran the same
+    # code — pre-r16 lines without code_hash may only contribute
+    # EVIDENCE (an attribution_note), never flip the flag
+    committed = {"q1": 1.8, "q3": 1.0, "d1": 1.0}
+    votes = [_cv_vote({"q1": 1.0, "q3": 1.0, "d1": 1.0}, code_hash=None),
+             _cv_vote({"q1": 1.1, "q3": 1.0, "d1": 1.0}, code_hash=None),
+             _cv_vote(committed, code_hash=None)]
+    for v in votes:
+        del v["code_hash"]
+    out = _drift_with_votes(committed, votes)
+    assert out["attribution"]["tpch"] == (
+        "UNATTRIBUTED_suspect_real_regression"
+    )
+    assert "UNVERIFIED" in out["attribution_notes"]["tpch"]
+    assert "human adjudication" in out["attribution_notes"]["tpch"]
+
+
+def test_round_votes_wrong_hash_votes_do_not_downgrade():
+    # votes from a different code state are not the same experiment
+    committed = {"q1": 1.8, "q3": 1.0, "d1": 1.0}
+    votes = [_cv_vote({"q1": 1.0, "q3": 1.0, "d1": 1.0}, code_hash="x" * 12),
+             _cv_vote({"q1": 1.1, "q3": 1.0, "d1": 1.0}, code_hash="x" * 12),
+             _cv_vote(committed)]
+    out = _drift_with_votes(committed, votes)
+    assert out["attribution"]["tpch"] == (
+        "UNATTRIBUTED_suspect_real_regression"
+    )
+
+
+def test_round_votes_median_is_calib_normalized():
+    # ADVICE r15 (low): a fast host window across the round's votes
+    # must not mask a real regression.  Raw sums of the other votes
+    # (q1+q3 = 1.44+1.0 = 2.44 vs prev 2.0 -> 1.22x raw, within band)
+    # but each ran on a 2x-faster host (calib 0.3 vs prev 0.6):
+    # normalized ratio = (2.44/0.3) / (2.0/0.6) = 2.44x -> the
+    # downgrade must NOT fire
+    committed = {"q1": 1.8, "q3": 1.0, "d1": 1.0}
+    fast_host = {"q1": 1.44, "q3": 1.0, "d1": 1.0}
+    votes = [_cv_vote(dict(fast_host), calib=0.3),
+             _cv_vote(dict(fast_host), calib=0.3),
+             _cv_vote(committed, calib=0.3)]
+    out = _drift_with_votes(committed, votes)
+    assert out["attribution"]["tpch"] == (
+        "UNATTRIBUTED_suspect_real_regression"
+    )
+    # same votes at the prev round's host speed (calib 0.6): the
+    # normalized median is 1.22x -> downgrade fires
+    votes = [_cv_vote(dict(fast_host), calib=0.6),
+             _cv_vote(dict(fast_host), calib=0.6),
+             _cv_vote(committed, calib=0.6)]
+    out = _drift_with_votes(committed, votes)
+    assert out["attribution"]["tpch"] == "round_votes:median_within_band"
+    assert "normalized median" in out["attribution_notes"]["tpch"]
+
+
+def test_round_votes_raw_fallback_without_prev_calib():
+    # prev history lines without calib: normalization impossible —
+    # fall back to raw sums and SAY so in the note
+    committed = {"q1": 1.8, "q3": 1.0, "d1": 1.0}
+    hist = [{k: v for k, v in _hist_line(
+        {"q1": 1.0, "q3": 1.0, "d1": 1.0}, _FLAT_PROBES).items()
+        if k != "calib"}]
+    votes = [_cv_vote({"q1": 1.0, "q3": 1.0, "d1": 1.0}),
+             _cv_vote({"q1": 1.1, "q3": 1.0, "d1": 1.0}),
+             _cv_vote(committed)]
+    out = _drift_with_votes(committed, votes, hist=hist)
+    assert out["attribution"]["tpch"] == "round_votes:median_within_band"
+    assert "raw_fallback" in out["attribution_notes"]["tpch"]
+
+
 def test_round_votes_within_band_family_untouched():
     committed = {"q1": 1.0, "q3": 1.0, "d1": 1.0}
     votes = [_cv_vote(dict(committed)) for _ in range(3)]
     out = _drift_with_votes(committed, votes)
     assert out["attribution"]["tpch"] == "within_band"
+
+# --- r16: code hash, seeded pass shuffle, isolated medians ------------
+
+
+def test_compute_code_hash_stable_and_sensitive(tmp_path):
+    pkg = tmp_path / "datafusion_randgen_spark"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("x = 1\n")
+    (tmp_path / "bench.py").write_text("# harness\n")
+    h1 = bench.compute_code_hash(str(tmp_path))
+    h2 = bench.compute_code_hash(str(tmp_path))
+    assert h1 == h2 and len(h1) == 12
+    # any package-source byte change must change the hash
+    (pkg / "__init__.py").write_text("x = 2\n")
+    assert bench.compute_code_hash(str(tmp_path)) != h1
+    # ...and so must a bench.py (methodology) change
+    h3 = bench.compute_code_hash(str(tmp_path))
+    (tmp_path / "bench.py").write_text("# harness v2\n")
+    assert bench.compute_code_hash(str(tmp_path)) != h3
+
+
+def test_shuffled_pass_order_deterministic_and_complete():
+    fam_groups = {"a": ["a1", "a2", "a3"], "b": ["b1"], "c": ["c1", "c2"]}
+    fams = list(fam_groups)
+    o1 = bench.shuffled_pass_order(fams, fam_groups, 16, 0)
+    o2 = bench.shuffled_pass_order(fams, fam_groups, 16, 0)
+    assert o1 == o2  # deterministic for (seed, pass)
+    # every family exactly once, every entry exactly once in its family
+    assert sorted(f for f, _ in o1) == sorted(fams)
+    for fam, names in o1:
+        assert sorted(names) == sorted(fam_groups[fam])
+
+
+def test_shuffled_pass_order_varies_across_passes():
+    # the whole point: consecutive passes must not share a fixed order
+    fam_groups = {f"f{i}": [f"f{i}_a", f"f{i}_b"] for i in range(7)}
+    fams = list(fam_groups)
+    orders = [
+        bench.shuffled_pass_order(fams, fam_groups, 16, p)
+        for p in range(7)
+    ]
+    assert len({json.dumps(o) for o in orders}) > 1
+
+
+def test_load_isolated_medians_latest_line_wins(tmp_path):
+    p = tmp_path / "PROFILE_HISTORY.jsonl"
+    p.write_text(
+        json.dumps({"reps": 8, "round": 15, "entries": {
+            "d_minhash_lsh_pairs": {"median": 3.1},
+            "not_a_bench_entry": {"median": 9.9},
+        }}) + "\n" +
+        "corrupt line\n" +
+        json.dumps({"reps": 8, "round": 16, "entries": {
+            "d_minhash_lsh_pairs": {"median": 2.9},
+        }}) + "\n"
+    )
+    out = bench.load_isolated_medians(
+        str(p), {"d_minhash_lsh_pairs", "q1_pricing_summary"}
+    )
+    assert out == {"d_minhash_lsh_pairs": {
+        "isolated_median": 2.9, "isolated_reps": 8, "recorded_round": 16,
+    }}
+    # missing file: empty, no raise
+    assert bench.load_isolated_medians(str(tmp_path / "absent"), {"x"}) == {}
+
+
+def test_render_truncation_notes_full_map_location():
+    payload, sel, qs = _payload(36, 7)
+    out = json.loads(bench.render_stdout_line(payload))
+    assert out.get("queries_truncated_to_slowest")
+    assert out["queries_full_in"] == "bench_detail.json:queries_median"
+
+
+def _pad_to_window(payload, target):
+    """Pad a non-query field so the un-truncated line lands just past
+    ``target`` chars — puts truncation pressure exactly where the test
+    wants it regardless of incidental payload-size drift."""
+    payload["padding"] = ""
+    base = len(json.dumps(payload))
+    payload["padding"] = "z" * max(0, target - base)
+    return payload
+
+
+def test_render_small_query_map_degrades_one_at_a_time():
+    # ADVICE r15: a <=5-entry map used to skip truncation entirely and
+    # could print a >1400-char line; with pressure that leaves room
+    # for SOME entries, a 4-entry map must keep the MAXIMAL slowest-k
+    # prefix under the cap instead of jumping to the drop-everything
+    # fallback.  Entry names are long enough that shedding one buys
+    # more than the truncation-marker overhead costs.
+    payload, _sel, _qs = _payload(4, 3)
+    qs = {f"q_{'entry' * 14}_{i}": round(1.0 + i * 0.1, 3)
+          for i in range(4)}
+    payload["queries"] = dict(qs)
+    _pad_to_window(payload, 1480)
+    line = bench.render_stdout_line(payload)
+    assert len(line) <= 1400
+    out = json.loads(line)
+    kept = out.get("queries_truncated_to_slowest")
+    assert kept and 1 <= kept < 4  # partial map survives
+    assert out["queries_full_in"] == "bench_detail.json:queries_median"
+    by_slow = sorted(qs.items(), key=lambda kv: -kv[1])
+    assert out["queries"] == dict(by_slow[:kept])
+    # maximality: keeping one more entry would break the cap
+    bigger = dict(out)
+    bigger["queries"] = dict(by_slow[:kept + 1])
+    bigger["queries_truncated_to_slowest"] = kept + 1
+    assert len(json.dumps(bigger)) > 1400
+
+
+def test_render_pressure_beyond_queries_drops_them_but_keeps_pointer():
+    # pressure bigger than the whole query map: queries go, the
+    # pointer to the full map stays
+    payload, sel, qs = _payload(4, 3)
+    _pad_to_window(payload, 1400 + len(json.dumps(qs)))
+    line = bench.render_stdout_line(payload)
+    out = json.loads(line)
+    assert "queries" not in out
+    assert out["queries_full_in"] == "bench_detail.json:queries_median"
