@@ -158,8 +158,9 @@ def compute_code_hash(repo_dir: str) -> str:
     because the timing METHODOLOGY (rep layout, warm pass, probes)
     shapes per-entry numbers as much as operator code does; a mid-round
     harness edit must shrink the comparable vote pool, not silently
-    pollute it.  Unreadable files are skipped (their absence still
-    changes the hash via the path list only when they exist)."""
+    pollute it.  A file that exists but cannot be read hashes to a
+    distinct "<unreadable>" identity — unverifiable code must fail
+    toward NOT matching, never impersonate the readable state."""
     h = hashlib.sha256()
     paths = sorted(
         glob.glob(
@@ -172,7 +173,11 @@ def compute_code_hash(repo_dir: str) -> str:
             with open(p, "rb") as fh:
                 data = fh.read()
         except OSError:
-            continue
+            # a file that EXISTS but cannot be read hashes distinctly
+            # from both its readable self and its absence — conservative
+            # for a verification key (fails toward NOT matching, so an
+            # unverifiable code state never vouches for a downgrade)
+            data = b"<unreadable>"
         h.update(os.path.relpath(p, repo_dir).encode())
         h.update(b"\0")
         h.update(data)
@@ -211,14 +216,18 @@ def shuffled_pass_order(
     ]
 
 
-def load_isolated_medians(profile_path: str, names) -> dict[str, dict]:
+def load_isolated_medians(profile_path: str, names, sf=None) -> dict[str, dict]:
     """Latest isolated steady-state median per bench entry from
     PROFILE_HISTORY.jsonl (VERDICT r15 task 1, second prong): the
     committed bench_detail.json carries "windowed X / isolated Y" side
     by side, so a per-entry windowed median can no longer be quoted as
     steady state without its isolated context.  Later lines override
     earlier ones (latest adjudication wins); entries never profiled in
-    isolation are simply absent.  Pure file-in/dict-out."""
+    isolation are simply absent.  When ``sf`` is given, only lines
+    whose recorded sf_dir parses to the SAME scale factor count —
+    an sf0.1 isolated median pasted next to an sf0.001 windowed median
+    would manufacture a phantom discrepancy instead of context
+    (self-review r16).  Pure file-in/dict-out."""
     names = set(names)
     out: dict[str, dict] = {}
     try:
@@ -228,6 +237,10 @@ def load_isolated_medians(profile_path: str, names) -> dict[str, dict]:
                     ent = json.loads(ln)
                 except ValueError:
                     continue
+                ent_sf = str(ent.get("sf_dir", "")).rstrip("/").rsplit(
+                    "sf", 1)[-1]
+                if sf is not None and ent_sf != str(sf):
+                    continue
                 for n, row in (ent.get("entries") or {}).items():
                     if n in names and isinstance(row, dict) \
                             and row.get("median"):
@@ -235,6 +248,7 @@ def load_isolated_medians(profile_path: str, names) -> dict[str, dict]:
                             "isolated_median": row["median"],
                             "isolated_reps": ent.get("reps"),
                             "recorded_round": ent.get("round"),
+                            "sf": ent_sf,
                         }
     except OSError:
         pass
@@ -454,16 +468,20 @@ def compute_drift(
                             f"one-off"
                         )
                 elif len(covering) >= 3:
-                    # enough votes, but none code-hash-verified: emit
-                    # the evidence for a human, keep the flag
+                    # enough covering votes, but fewer than 3 are
+                    # code-hash-verified: emit the evidence (with the
+                    # honest verified/unverified split) for a human,
+                    # keep the flag
                     med_ratio, basis = _vote_ratio(covering)
                     if med_ratio <= 1.25:
                         attribution_notes[fam] = (
                             f"cross-vote {basis} median over "
-                            f"{len(covering)} UNVERIFIED votes (no "
-                            f"code_hash match) is {med_ratio}x — "
-                            f"within band, but not counted toward a "
-                            f"downgrade; human adjudication required"
+                            f"{len(covering)} covering votes is "
+                            f"{med_ratio}x — within band, but only "
+                            f"{len(hashed)} of them are code-hash-"
+                            f"verified (<3): UNVERIFIED evidence, not "
+                            f"counted toward a downgrade; human "
+                            f"adjudication required"
                         )
             if attribution[fam] == "UNATTRIBUTED_suspect_real_regression":
                 orthogonal = {
@@ -590,10 +608,21 @@ def render_stdout_line(payload: dict) -> str:
     if len(line) > 1400:
         payload.pop("queries", None)
         payload.pop("queries_truncated_to_slowest", None)
-        # the pointer stays: a query-less line should still say where
-        # the full per-entry map lives
-        payload["queries_full_in"] = "bench_detail.json:queries_median"
+        payload.pop("queries_full_in", None)
         line = json.dumps(payload)
+        # the pointer to the full per-entry map is kept only when
+        # timings were actually shed AND it fits under the cap — it
+        # must not push an already-oversized line further over, nor
+        # imply truncation on a payload that never carried queries
+        # (self-review r16)
+        if full_queries:
+            candidate = dict(payload)
+            candidate["queries_full_in"] = (
+                "bench_detail.json:queries_median"
+            )
+            cand_line = json.dumps(candidate)
+            if len(cand_line) <= 1400:
+                line = cand_line
     return line
 
 
@@ -1230,7 +1259,19 @@ def main() -> None:
     # the seed and executed order are recorded in bench_detail.json so
     # any run is reproducible.  Layout rule is pure+unit-tested
     # (shuffled_pass_order); probe bracketing per family is unchanged.
-    shuffle_seed = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_SEED", "16"))
+    try:
+        shuffle_seed = int(
+            os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_SEED", "16")
+        )
+    except ValueError:
+        # an operator typo must not kill a run AFTER session startup,
+        # probe warm-up, and the codegen warm pass have all been paid —
+        # a valid headline line always prints (r5 rule)
+        shuffle_seed = 16
+        print(
+            "# SPARK_GRAFT_BENCH_SHUFFLE_SEED not an int — "
+            "falling back to seed 16", file=sys.stderr,
+        )
     pass_entry_order: list[list[str]] = []
     for p in range(n_passes):
         fams_in_pass = [
@@ -1369,6 +1410,7 @@ def main() -> None:
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "PROFILE_HISTORY.jsonl"),
             bench_queries,
+            sf=sf,  # an sf0.1 isolated median is not sf0.001 context
         ),
         "queries_median": dict(timings),  # full map — never truncated
         "queries_spread": spread,
@@ -1537,7 +1579,18 @@ def main() -> None:
         sel_vote, sel_meta = select_committed_vote(
             votes=votes, current=cur_vote
         )
-        round_votes_for_drift = votes
+        # the DRIFT evidence pool is the UNFILTERED same-round vote set
+        # (self-review r16): compute_drift itself applies the strict
+        # hash-match rule for the downgrade, and differently-hashed
+        # votes must still reach the evidence-note path instead of
+        # being silently discarded before it
+        round_votes_for_drift, _, _ = collect_round_votes(
+            hist_path, cur_vote["round"], cur_vote["sf"],
+            cur_vote["warm_pass"], timings,
+        )
+        if not round_votes_for_drift or \
+                round_votes_for_drift[-1]["queries"] != timings:
+            round_votes_for_drift.append(cur_vote)
         if mismatched:
             sel_meta["votes_excluded_query_set_mismatch"] = mismatched
         if hash_mismatched:

@@ -905,9 +905,31 @@ def test_load_isolated_medians_latest_line_wins(tmp_path):
     )
     assert out == {"d_minhash_lsh_pairs": {
         "isolated_median": 2.9, "isolated_reps": 8, "recorded_round": 16,
+        "sf": "",
     }}
     # missing file: empty, no raise
     assert bench.load_isolated_medians(str(tmp_path / "absent"), {"x"}) == {}
+
+
+def test_load_isolated_medians_filters_by_sf(tmp_path):
+    # self-review r16: an sf0.1 isolated median is not context for an
+    # sf0.001 windowed median — lines at another sf are skipped
+    p = tmp_path / "PROFILE_HISTORY.jsonl"
+    p.write_text(
+        json.dumps({"sf_dir": "/root/testdata/sf0.1", "reps": 8,
+                    "round": 15, "entries": {"e1": {"median": 4.25}}})
+        + "\n" +
+        json.dumps({"sf_dir": "/data/sf0.001", "reps": 8, "round": 16,
+                    "entries": {"e1": {"median": 0.05}}}) + "\n"
+    )
+    out = bench.load_isolated_medians(str(p), {"e1"}, sf="0.1")
+    assert out["e1"]["isolated_median"] == 4.25
+    assert out["e1"]["sf"] == "0.1"
+    out = bench.load_isolated_medians(str(p), {"e1"}, sf="0.001")
+    assert out["e1"]["isolated_median"] == 0.05
+    # an sf with no matching lines yields nothing rather than wrong
+    # -scale context
+    assert bench.load_isolated_medians(str(p), {"e1"}, sf="1.0") == {}
 
 
 def test_render_truncation_notes_full_map_location():
@@ -956,10 +978,31 @@ def test_render_small_query_map_degrades_one_at_a_time():
 
 def test_render_pressure_beyond_queries_drops_them_but_keeps_pointer():
     # pressure bigger than the whole query map: queries go, the
-    # pointer to the full map stays
+    # pointer to the full map stays (it fits once the map is gone)
     payload, sel, qs = _payload(4, 3)
-    _pad_to_window(payload, 1400 + len(json.dumps(qs)))
+    _pad_to_window(payload, 1520)
     line = bench.render_stdout_line(payload)
+    assert len(line) <= 1400
     out = json.loads(line)
     assert "queries" not in out
     assert out["queries_full_in"] == "bench_detail.json:queries_median"
+
+
+def test_render_oversized_without_queries_adds_no_pointer():
+    # self-review r16: a payload whose NON-query fields alone blow the
+    # cap must not grow further, and a payload that never carried
+    # queries must not imply truncation via a pointer
+    payload, sel, qs = _payload(4, 3)
+    del payload["queries"]
+    _pad_to_window(payload, 1500)
+    line = bench.render_stdout_line(payload)
+    out = json.loads(line)
+    assert "queries_full_in" not in out
+    # no-room corner: queries existed but even the query-less line is
+    # over the cap — the pointer must not be appended on top
+    payload2, _s, _q = _payload(4, 3)
+    _pad_to_window(payload2, 1700)
+    line2 = bench.render_stdout_line(payload2)
+    out2 = json.loads(line2)
+    assert "queries" not in out2 and "queries_full_in" not in out2
+    assert len(line2) < 1700
