@@ -57,6 +57,36 @@ DEFAULT_WATCHLIST = {
 #   d_minhash_lsh_pairs=3.306                (r12 cross-run median)
 
 
+def _infer_round() -> int | None:
+    """Current round from the driver artifacts — the SAME rule as
+    bench.py main()'s inline inference (CORRECTNESS_rN present with no
+    BENCH_rN ⇒ we are round N; both present ⇒ round N+1).  Duplicated
+    here ON PURPOSE rather than extracted into bench.py: bench.py is
+    part of the per-vote code_hash, so refactoring it mid-round would
+    invalidate every already-recorded vote for a change with zero
+    timing impact (r16 learned this the expensive way — keep the two
+    in sync by hand if the rule ever changes)."""
+    import glob
+    import re
+
+    try:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", p))
+        ]
+        max_corr = max(rounds or [0])
+        return max(1, max_corr + (
+            1 if os.path.exists(
+                os.path.join(HERE, f"BENCH_r{max_corr:02d}.json")
+            ) or os.path.exists(
+                os.path.join(HERE, f"BENCH_r{max_corr}.json")
+            ) else 0
+        ))
+    except (OSError, ValueError):
+        return None
+
+
 def parse_watchlist(argv: list[str]) -> dict[str, float]:
     if not argv:
         return dict(DEFAULT_WATCHLIST)
@@ -161,6 +191,11 @@ def main() -> None:
         "sf_dir": sf_dir,
         "reps": reps,
         "recorded_unix": int(time.time()),
+        # stamp the round (r16): PROFILE_HISTORY consumers (bench.py's
+        # queries_isolated_median, future adjudications) need to know
+        # WHICH round an isolated steady state belongs to; the r15
+        # lines carried it only when hand-added
+        "round": _infer_round(),
         "entries": out,
     }
     print(json.dumps(result))

@@ -1006,3 +1006,32 @@ def test_render_oversized_without_queries_adds_no_pointer():
     out2 = json.loads(line2)
     assert "queries" not in out2 and "queries_full_in" not in out2
     assert len(line2) < 1700
+
+
+def test_profile_watchlist_infer_round(tmp_path, monkeypatch):
+    # scripts/profile_watchlist._infer_round mirrors bench.main()'s
+    # inline round inference (duplicated on purpose — bench.py is part
+    # of the per-vote code_hash, see the helper's docstring)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "profile_watchlist",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "profile_watchlist.py"),
+    )
+    pw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pw)
+    monkeypatch.setattr(pw, "HERE", str(tmp_path))
+    # no artifacts at all: round 1
+    assert pw._infer_round() == 1
+    # CORRECTNESS_r05 present, BENCH_r05 absent: we ARE round 5
+    (tmp_path / "CORRECTNESS_r05.json").write_text("{}")
+    assert pw._infer_round() == 5
+    # BENCH_r05 lands: round 5 fully recorded -> this is round 6
+    (tmp_path / "BENCH_r05.json").write_text("{}")
+    assert pw._infer_round() == 6
+    # unpadded BENCH filename also counts
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
+    assert pw._infer_round() == 6
+    (tmp_path / "BENCH_r6.json").write_text("{}")
+    assert pw._infer_round() == 7
