@@ -119,6 +119,17 @@ _NAMED_WEIGHT = {
 # Spark), a BENCH_HISTORY reps backfill on one pre-recording line
 # (data bookkeeping), and README/env-gate doc updates.  No operator,
 # oracle, or query function changed.
+# r17: EMPTY a fourth time (VERDICT r16 task 1 — the rotation fills
+# the window with the 25 r12-vintage greens plus the 25 oldest r13s;
+# verified by computing the window: Counter({12: 25, 13: 25}), so no
+# entry's latest green is older than r13 after r17 — post-r17
+# histogram r13:25 / r14:50 / r15:50 / r16:50 / r17:50).  This
+# round's code changes are again behavior-neutral for every catalog
+# entry: two ADVICE r16 bench.py fixes (unreadable-file code-hash
+# nonce, isolated-median numeric check — harness-only, unit-tested
+# without Spark), the scale-smoke pair-count envelope + broadcast
+# cleanup (tests only), and the standing env-gate date bumps.  No
+# operator, oracle, or query function changed.
 _REVERIFY: set[str] = set()
 
 

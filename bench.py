@@ -158,9 +158,13 @@ def compute_code_hash(repo_dir: str) -> str:
     because the timing METHODOLOGY (rep layout, warm pass, probes)
     shapes per-entry numbers as much as operator code does; a mid-round
     harness edit must shrink the comparable vote pool, not silently
-    pollute it.  A file that exists but cannot be read hashes to a
-    distinct "<unreadable>" identity — unverifiable code must fail
-    toward NOT matching, never impersonate the readable state."""
+    pollute it.  A file that exists but cannot be read makes the WHOLE
+    hash fail toward NOT matching (ADVICE r16): the unreadable slot is
+    salted with a per-call random nonce, so an unverifiable code
+    state never equals any other hash —
+    not the readable state, not a differently-broken state, not even a
+    second call on the same broken state.  Such a vote simply has no
+    same-code siblings and the strict filter excludes it."""
     h = hashlib.sha256()
     paths = sorted(
         glob.glob(
@@ -173,11 +177,11 @@ def compute_code_hash(repo_dir: str) -> str:
             with open(p, "rb") as fh:
                 data = fh.read()
         except OSError:
-            # a file that EXISTS but cannot be read hashes distinctly
-            # from both its readable self and its absence — conservative
-            # for a verification key (fails toward NOT matching, so an
-            # unverifiable code state never vouches for a downgrade)
-            data = b"<unreadable>"
+            # unverifiable content must never vouch for a downgrade:
+            # the nonce alone guarantees this hash matches nothing,
+            # ever — not even itself across calls (code review r17:
+            # any further salt is unobservable inside the sha256)
+            data = b"<unreadable>" + os.urandom(16)
         h.update(os.path.relpath(p, repo_dir).encode())
         h.update(b"\0")
         h.update(data)
@@ -227,7 +231,10 @@ def load_isolated_medians(profile_path: str, names, sf=None) -> dict[str, dict]:
     whose recorded sf_dir parses to the SAME scale factor count —
     an sf0.1 isolated median pasted next to an sf0.001 windowed median
     would manufacture a phantom discrepancy instead of context
-    (self-review r16).  Pure file-in/dict-out."""
+    (self-review r16).  A median counts only if it is a real number
+    (ADVICE r16): truthiness dropped a legitimate 0.0 and passed
+    non-numeric junk through; bools are excluded explicitly because
+    ``isinstance(True, int)`` holds.  Pure file-in/dict-out."""
     names = set(names)
     out: dict[str, dict] = {}
     try:
@@ -242,10 +249,13 @@ def load_isolated_medians(profile_path: str, names, sf=None) -> dict[str, dict]:
                 if sf is not None and ent_sf != str(sf):
                     continue
                 for n, row in (ent.get("entries") or {}).items():
-                    if n in names and isinstance(row, dict) \
-                            and row.get("median"):
+                    if not (n in names and isinstance(row, dict)):
+                        continue
+                    med = row.get("median")
+                    if isinstance(med, (int, float)) \
+                            and not isinstance(med, bool):
                         out[n] = {
-                            "isolated_median": row["median"],
+                            "isolated_median": med,
                             "isolated_reps": ent.get("reps"),
                             "recorded_round": ent.get("round"),
                             "sf": ent_sf,

@@ -865,6 +865,26 @@ def test_compute_code_hash_stable_and_sensitive(tmp_path):
     assert bench.compute_code_hash(str(tmp_path)) != h3
 
 
+def test_compute_code_hash_unreadable_never_matches(tmp_path):
+    # ADVICE r16: an unreadable source file must fail the WHOLE hash
+    # toward non-matching — not collapse to a shared sentinel that two
+    # different broken states (or a broken and a later re-broken state)
+    # could both produce.  A directory named like a module is an
+    # OSError on open() even when running as root (chmod is bypassed).
+    pkg = tmp_path / "datafusion_randgen_spark"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("x = 1\n")
+    (tmp_path / "bench.py").write_text("# harness\n")
+    readable = bench.compute_code_hash(str(tmp_path))
+    (pkg / "broken.py").mkdir()  # glob-matches, open() raises
+    h1 = bench.compute_code_hash(str(tmp_path))
+    h2 = bench.compute_code_hash(str(tmp_path))
+    assert readable not in (h1, h2)
+    # the per-call nonce: even the SAME broken state never vouches
+    # for itself across calls
+    assert h1 != h2
+
+
 def test_shuffled_pass_order_deterministic_and_complete():
     fam_groups = {"a": ["a1", "a2", "a3"], "b": ["b1"], "c": ["c1", "c2"]}
     fams = list(fam_groups)
@@ -930,6 +950,26 @@ def test_load_isolated_medians_filters_by_sf(tmp_path):
     # an sf with no matching lines yields nothing rather than wrong
     # -scale context
     assert bench.load_isolated_medians(str(p), {"e1"}, sf="1.0") == {}
+
+
+def test_load_isolated_medians_numeric_only(tmp_path):
+    # ADVICE r16: a legitimate 0.0 median must survive (truthiness
+    # dropped it) and non-numeric / bool junk must be skipped, not
+    # passed through into bench_detail.json
+    p = tmp_path / "PROFILE_HISTORY.jsonl"
+    p.write_text(
+        json.dumps({"reps": 8, "round": 17, "entries": {
+            "zero": {"median": 0.0},
+            "junk_str": {"median": "3.1"},
+            "junk_bool": {"median": True},
+            "junk_none": {"median": None},
+        }}) + "\n"
+    )
+    out = bench.load_isolated_medians(
+        str(p), {"zero", "junk_str", "junk_bool", "junk_none"}
+    )
+    assert set(out) == {"zero"}
+    assert out["zero"]["isolated_median"] == 0.0
 
 
 def test_render_truncation_notes_full_map_location():

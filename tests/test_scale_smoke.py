@@ -471,9 +471,54 @@ def test_trend_semantic_dedup(trend_vecs):
     assert out.join(mins, ["cluster", "vec_id"]).filter(
         ~F.col("keep")
     ).count() == 0
+    _assert_pair_envelope(out, n, k, "semantic_dedup")
     out.unpersist()
     _SEMDEDUP_UNCAPPED_SEC[n] = sec
     _record_trend("semantic_dedup", n, sec)
+
+
+def _assert_pair_envelope(out, n: int, k_budget: int, op: str) -> None:
+    """Candidate-pair COUNT backstop (ADVICE r16): the r16 kcap-gate
+    rework moved the scaling asserts onto same-kernel assign timings,
+    which left the pair path (the capped run's dominant cost) covered
+    only by structural invariants — a pair explosion or candidate-join
+    regression would have passed silently.  This asserts the
+    host-balance-free quantity directly: the cluster-local self-join
+    scores exactly Σ c·(c−1)/2 candidate rows (``dedup.py``'s
+    ``__xid > __yid`` filter), which for the CONFIGURED budget of
+    ``k_budget`` clusters is ~n²/(2k) when cells stay bounded.  Slack
+    10× absorbs k-means cell-size dispersion on the 32-blob fixture;
+    the failure modes this exists for read orders of magnitude over
+    it (all-in-one-cluster ⇒ n²/2, i.e. k_budget/10 ≈ 1000× over the
+    envelope at the 1m point).  Deliberately keyed to the configured
+    budget, NOT count_distinct(cluster): a degenerate clustering must
+    not widen its own envelope.  A count, not a timing — host speed
+    never flips it.
+
+    The trend record reuses the fixture ``n`` as its key so the
+    ``*_pair_rows`` point aligns with its wall-time siblings in
+    ``trend_sec_by_ndocs`` (code review r17), and — like the existing
+    ``semantic_dedup_kcap_ratio_vs_200k`` line — carries a
+    NON-seconds value in the ``sec`` field; the ``_pair_rows`` suffix
+    is the unit."""
+    n_tot = n + TREND_PAIRS
+    pair_rows = (
+        out.groupBy("cluster")
+        .count()
+        .agg(
+            F.sum(
+                F.col("count") * (F.col("count") - 1) / 2
+            ).alias("p")
+        )
+        .collect()[0]["p"]
+    )
+    _record_trend(f"{op}_pair_rows", n, float(pair_rows))
+    envelope = 10 * n_tot * n_tot / (2 * k_budget)
+    assert pair_rows <= envelope, (
+        f"{op}: candidate-pair volume {pair_rows:.3g} exceeds the "
+        f"~n²/2k envelope {envelope:.3g} (n={n_tot}, k={k_budget}) — "
+        f"pair explosion or candidate-join regression"
+    )
 
 
 # uncapped wall times shared with the k_cap test below; module-scoped
@@ -517,7 +562,11 @@ def test_trend_semantic_dedup_kcap(trend_vecs, spark):
       assign path reads ≥25× the n/5 point and fails).
 
     End-to-end wall and the old ratio-vs-200k are still RECORDED as
-    informational trends for cross-round comparison."""
+    informational trends for cross-round comparison.  The pair path —
+    the capped run's dominant cost — gets its own host-balance-free
+    tripwire in r17 (ADVICE r16): ``_assert_pair_envelope`` bounds the
+    candidate-pair ROW COUNT at ~n²/2k_cap, a count no host speed can
+    flip."""
     import time
 
     import numpy as np
@@ -552,6 +601,7 @@ def test_trend_semantic_dedup_kcap(trend_vecs, spark):
     assert out.join(mins, ["cluster", "vec_id"]).filter(
         ~F.col("keep")
     ).count() == 0
+    _assert_pair_envelope(out, n, k_cap, "semantic_dedup_kcap")
     out.unpersist()
     _record_trend("semantic_dedup_kcap", n, sec)
     base = _SEMDEDUP_UNCAPPED_SEC.get(200_000)
@@ -583,9 +633,15 @@ def test_trend_semantic_dedup_kcap(trend_vecs, spark):
                 a, _ = clustering.argmin_d2(M, bc.value)
                 yield pd.DataFrame({"cluster": a.astype("int32")})
 
-        t0 = time.perf_counter()
-        frame.select("embedding").mapInPandas(go, "cluster int").count()
-        return time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            frame.select("embedding").mapInPandas(go, "cluster int").count()
+            return time.perf_counter() - t0
+        finally:
+            # ADVICE r16: 6 of these per run, up to 20000×16 float64
+            # each — release driver/executor copies instead of pinning
+            # them for the rest of the module-scoped session
+            bc.destroy(blocking=False)
 
     small_frame = vecs.filter(F.col("vec_id") < n // 5)
     # two timings each, min taken: the first pass may carry python-
