@@ -130,6 +130,18 @@ _NAMED_WEIGHT = {
 # without Spark), the scale-smoke pair-count envelope + broadcast
 # cleanup (tests only), and the standing env-gate date bumps.  No
 # operator, oracle, or query function changed.
+# r18: EMPTY a fifth time (VERDICT r17 task 1 — the rotation fills the
+# window with the 25 r13-vintage greens plus the 25 oldest r14s;
+# verified by computing the window: Counter({13: 25, 14: 25}), so no
+# entry's latest green is older than r14 after r18 — post-r18
+# histogram r14:25 / r15:50 / r16:50 / r17:50 / r18:50).  This round's
+# code changes are again behavior-neutral for every catalog entry: the
+# three ADVICE r17 harness fixes (code_hash unreadable-path surfacing
+# in bench.py, the pair-envelope empty-frame guard and the
+# trend-kind sec/counts split in the scale-smoke harness — all
+# unit-tested without Spark in tests/test_smoke_harness.py /
+# test_bench_drift.py), and the standing env-gate date bumps.  No
+# operator, oracle, or query function changed.
 _REVERIFY: set[str] = set()
 
 

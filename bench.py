@@ -150,7 +150,9 @@ def load_hist_runs(hist_path: str, prev_round: int, prev_sf) -> list[dict]:
     return hist_runs
 
 
-def compute_code_hash(repo_dir: str) -> str:
+def compute_code_hash(
+    repo_dir: str, unreadable: list[str] | None = None
+) -> str:
     """12-hex sha256 over the package source + bench.py (ADVICE r15):
     each BENCH_HISTORY vote records the code it ran, so the cross-vote
     regression downgrade can require byte-identical code instead of
@@ -164,7 +166,15 @@ def compute_code_hash(repo_dir: str) -> str:
     state never equals any other hash —
     not the readable state, not a differently-broken state, not even a
     second call on the same broken state.  Such a vote simply has no
-    same-code siblings and the strict filter excludes it."""
+    same-code siblings and the strict filter excludes it.
+
+    The nonce makes the function CALL-ONCE per run: two calls on the
+    byte-identical broken state disagree by design, so any caller that
+    recomputed the hash to detect a mid-run edit would see a phantom
+    code change.  To keep the random hash diagnosable as an I/O
+    problem rather than an edit (ADVICE r17), each unreadable relpath
+    is warned to stderr and appended to ``unreadable`` when the caller
+    passes a list — run_bench records them in the vote itself."""
     h = hashlib.sha256()
     paths = sorted(
         glob.glob(
@@ -182,6 +192,14 @@ def compute_code_hash(repo_dir: str) -> str:
             # ever — not even itself across calls (code review r17:
             # any further salt is unobservable inside the sha256)
             data = b"<unreadable>" + os.urandom(16)
+            rel = os.path.relpath(p, repo_dir)
+            print(
+                f"[bench] WARNING: unreadable source {rel} — "
+                "code_hash salted, this vote matches no other",
+                file=sys.stderr,
+            )
+            if unreadable is not None:
+                unreadable.append(rel)
         h.update(os.path.relpath(p, repo_dir).encode())
         h.update(b"\0")
         h.update(data)
@@ -1525,8 +1543,14 @@ def main() -> None:
     hist_path = os.path.join(repo_dir, "BENCH_HISTORY.jsonl")
     # code identity of this run (ADVICE r15): recorded per vote so the
     # cross-vote regression downgrade can REQUIRE byte-identical code
-    # instead of assuming it from round/sf/era equality
-    code_hash = compute_code_hash(repo_dir)
+    # instead of assuming it from round/sf/era equality.
+    # CALL-ONCE invariant (ADVICE r17): the unreadable-slot nonce makes
+    # a recompute on the same broken state disagree with itself, so the
+    # hash must be computed exactly once per run — this call is the
+    # only one — and any future mid-run edit detection must diff file
+    # bytes, not re-call this.
+    code_hash_unreadable: list[str] = []
+    code_hash = compute_code_hash(repo_dir, code_hash_unreadable)
     cur_vote = {
         "round": detail.get("this_round"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -1547,6 +1571,11 @@ def main() -> None:
         # cross-vote downgrade's same-code precondition, verified
         "code_hash": code_hash,
     }
+    # ADVICE r17: a salted (never-matching) hash must be diagnosable as
+    # an I/O problem from the vote record alone, not mistaken for a
+    # code edit — absent key ⇔ every source file hashed cleanly
+    if code_hash_unreadable:
+        cur_vote["code_hash_unreadable"] = code_hash_unreadable
     try:
         with open(hist_path, "a") as fh:
             fh.write(json.dumps(cur_vote) + "\n")

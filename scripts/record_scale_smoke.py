@@ -20,6 +20,24 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def split_trend_lines(lines) -> tuple[dict, dict]:
+    """Route parsed trend JSONL lines into (trend_sec_by_ndocs,
+    trend_counts_by_ndocs), each ``{op: {str(n_docs): value}}``.
+
+    ADVICE r17: non-time series (candidate-pair row counts, the
+    informational kcap ratio) used to land in the seconds map with the
+    unit encoded in the key suffix, which quietly eroded the schema
+    for any consumer assuming wall times.  Lines now carry an optional
+    ``kind`` field ("sec" default); anything non-"sec" files into the
+    sibling counts map.  Pure function for unit-testability."""
+    trend: dict[str, dict[str, float]] = {}
+    counts: dict[str, dict[str, float]] = {}
+    for ent in lines:
+        target = trend if ent.get("kind", "sec") == "sec" else counts
+        target.setdefault(ent["op"], {})[str(ent["n_docs"])] = ent["sec"]
+    return trend, counts
+
+
 def main() -> int:
     trend_path = os.path.join(REPO, ".scale_trend.jsonl")
     try:
@@ -47,22 +65,24 @@ def main() -> int:
     }
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
     # cross-scale trend (VERDICT r9 task 5): two wall-time points per
-    # heavy dedup op, written by the trend tests — {op: {n_docs: sec}}
-    trend: dict[str, dict[str, float]] = {}
+    # heavy dedup op, written by the trend tests — {op: {n_docs: sec}};
+    # non-time series (pair counts, ratios) go to the sibling counts
+    # map (ADVICE r17, see split_trend_lines)
+    parsed = []
     try:
         with open(trend_path) as fh:
-            for ln in fh:
-                ent = json.loads(ln)
-                trend.setdefault(ent["op"], {})[str(ent["n_docs"])] = ent["sec"]
+            parsed = [json.loads(ln) for ln in fh]
         os.remove(trend_path)
     except OSError:
         pass
+    trend, trend_counts = split_trend_lines(parsed)
     record = {
         "rc": proc.returncode,
         "wall_sec": wall,
         "summary": lines[-1] if lines else "",
         "durations_sec": durations,
         "trend_sec_by_ndocs": trend,
+        "trend_counts_by_ndocs": trend_counts,
         "recorded_unix": int(t0),
     }
     with open(os.path.join(REPO, "SCALE_SMOKE.json"), "w") as fh:

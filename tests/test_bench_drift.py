@@ -885,6 +885,25 @@ def test_compute_code_hash_unreadable_never_matches(tmp_path):
     assert h1 != h2
 
 
+def test_compute_code_hash_surfaces_unreadable_paths(tmp_path, capsys):
+    # ADVICE r17: a salted hash must be diagnosable as an I/O problem —
+    # the unreadable relpath is appended to the caller's list and
+    # warned to stderr; a clean tree leaves the list empty.
+    pkg = tmp_path / "datafusion_randgen_spark"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("x = 1\n")
+    (tmp_path / "bench.py").write_text("# harness\n")
+    clean: list = []
+    bench.compute_code_hash(str(tmp_path), clean)
+    assert clean == []
+    (pkg / "broken.py").mkdir()  # glob-matches, open() raises
+    bad: list = []
+    bench.compute_code_hash(str(tmp_path), bad)
+    assert bad == [os.path.join("datafusion_randgen_spark", "broken.py")]
+    err = capsys.readouterr().err
+    assert "unreadable source" in err and "broken.py" in err
+
+
 def test_shuffled_pass_order_deterministic_and_complete():
     fam_groups = {"a": ["a1", "a2", "a3"], "b": ["b1"], "c": ["c1", "c2"]}
     fams = list(fam_groups)

@@ -285,18 +285,27 @@ def test_simhash_planted_twins_at_scale(spark):
 TREND_PAIRS = 1_000
 
 
-def _record_trend(op: str, n_docs: int, sec: float) -> None:
+def _record_trend(
+    op: str, n_docs: int, value: float, kind: str = "sec"
+) -> None:
+    """Append one trend point to $SPARK_GRAFT_TREND_OUT.
+
+    ``kind`` (ADVICE r17): wall-time points are the default
+    (``"sec"``); NON-time series — candidate-pair row counts
+    (``"count"``), informational ratios (``"ratio"``) — tag the line
+    so the recorder routes them into the sibling
+    ``trend_counts_by_ndocs`` map instead of silently overloading the
+    seconds-valued ``trend_sec_by_ndocs`` schema (28.9M "sec" was
+    legal but a trap for any consumer assuming wall times)."""
     import json
 
     path = os.environ.get("SPARK_GRAFT_TREND_OUT")
     if path:
+        line = {"op": op, "n_docs": n_docs, "sec": round(value, 2)}
+        if kind != "sec":
+            line["kind"] = kind
         with open(path, "a") as fh:
-            fh.write(
-                json.dumps(
-                    {"op": op, "n_docs": n_docs, "sec": round(sec, 2)}
-                )
-                + "\n"
-            )
+            fh.write(json.dumps(line) + "\n")
 
 
 @pytest.fixture(scope="module", params=[200_000, 1_000_000], ids=["200k", "1m"])
@@ -477,6 +486,20 @@ def test_trend_semantic_dedup(trend_vecs):
     _record_trend("semantic_dedup", n, sec)
 
 
+def _require_pair_rows(pair_rows, op: str):
+    """ADVICE r17: ``F.sum`` over an EMPTY frame is SQL NULL → Python
+    None, so a pipeline that wrongly emitted zero rows used to crash
+    the envelope check with a bare TypeError — and coercing the None
+    to 0 would instead make the envelope pass vacuously.  An empty
+    dedup output is itself a failure; say so explicitly."""
+    assert pair_rows is not None, (
+        f"{op}: pair-envelope input frame is EMPTY (sum over zero "
+        "cluster rows returned NULL) — the dedup op emitted no output, "
+        "which is itself a failure, not an envelope pass"
+    )
+    return float(pair_rows)
+
+
 def _assert_pair_envelope(out, n: int, k_budget: int, op: str) -> None:
     """Candidate-pair COUNT backstop (ADVICE r16): the r16 kcap-gate
     rework moved the scaling asserts onto same-kernel assign timings,
@@ -496,13 +519,12 @@ def _assert_pair_envelope(out, n: int, k_budget: int, op: str) -> None:
     never flips it.
 
     The trend record reuses the fixture ``n`` as its key so the
-    ``*_pair_rows`` point aligns with its wall-time siblings in
-    ``trend_sec_by_ndocs`` (code review r17), and — like the existing
-    ``semantic_dedup_kcap_ratio_vs_200k`` line — carries a
-    NON-seconds value in the ``sec`` field; the ``_pair_rows`` suffix
-    is the unit."""
+    ``*_pair_rows`` point aligns with its wall-time siblings, but is
+    tagged ``kind="count"`` (ADVICE r17) so the recorder files it in
+    ``trend_counts_by_ndocs``, keeping ``trend_sec_by_ndocs``
+    seconds-only."""
     n_tot = n + TREND_PAIRS
-    pair_rows = (
+    pair_rows = _require_pair_rows(
         out.groupBy("cluster")
         .count()
         .agg(
@@ -510,9 +532,10 @@ def _assert_pair_envelope(out, n: int, k_budget: int, op: str) -> None:
                 F.col("count") * (F.col("count") - 1) / 2
             ).alias("p")
         )
-        .collect()[0]["p"]
+        .collect()[0]["p"],
+        op,
     )
-    _record_trend(f"{op}_pair_rows", n, float(pair_rows))
+    _record_trend(f"{op}_pair_rows", n, pair_rows, kind="count")
     envelope = 10 * n_tot * n_tot / (2 * k_budget)
     assert pair_rows <= envelope, (
         f"{op}: candidate-pair volume {pair_rows:.3g} exceeds the "
@@ -607,8 +630,13 @@ def test_trend_semantic_dedup_kcap(trend_vecs, spark):
     base = _SEMDEDUP_UNCAPPED_SEC.get(200_000)
     if base:
         # informational only since r16 (see docstring): the ratio mixes
-        # two different bottleneck profiles
-        _record_trend("semantic_dedup_kcap_ratio_vs_200k", n, sec / base)
+        # two different bottleneck profiles; kind="ratio" (ADVICE r17)
+        # routes it to trend_counts_by_ndocs with the other non-time
+        # series so trend_sec_by_ndocs stays seconds-only
+        _record_trend(
+            "semantic_dedup_kcap_ratio_vs_200k", n, sec / base,
+            kind="ratio",
+        )
 
     # ---- assign-pass discriminators (r16) ----
     dim = 16  # matches the trend_vecs fixture
