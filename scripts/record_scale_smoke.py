@@ -33,8 +33,14 @@ def split_trend_lines(lines) -> tuple[dict, dict]:
     trend: dict[str, dict[str, float]] = {}
     counts: dict[str, dict[str, float]] = {}
     for ent in lines:
-        target = trend if ent.get("kind", "sec") == "sec" else counts
-        target.setdefault(ent["op"], {})[str(ent["n_docs"])] = ent["sec"]
+        if ent.get("kind", "sec") == "sec":
+            trend.setdefault(ent["op"], {})[str(ent["n_docs"])] = ent["sec"]
+        else:
+            # non-sec lines carry their value under "value" (code
+            # review r18: the field name must not claim seconds)
+            counts.setdefault(ent["op"], {})[str(ent["n_docs"])] = ent[
+                "value"
+            ]
     return trend, counts
 
 

@@ -301,8 +301,14 @@ def _record_trend(
 
     path = os.environ.get("SPARK_GRAFT_TREND_OUT")
     if path:
-        line = {"op": op, "n_docs": n_docs, "sec": round(value, 2)}
-        if kind != "sec":
+        line = {"op": op, "n_docs": n_docs}
+        if kind == "sec":
+            line["sec"] = round(value, 2)
+        else:
+            # code review r18: a count/ratio must not ride in a field
+            # NAMED "sec" either — the schema split has to hold at
+            # line granularity, not just in the aggregated maps
+            line["value"] = round(value, 2)
             line["kind"] = kind
         with open(path, "a") as fh:
             fh.write(json.dumps(line) + "\n")

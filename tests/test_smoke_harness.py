@@ -36,9 +36,12 @@ def test_record_trend_tags_non_sec_kinds(tmp_path, monkeypatch):
         "semantic_dedup_kcap_ratio_vs_200k", 1_000_000, 0.83, kind="ratio"
     )
     lines = [json.loads(ln) for ln in out.read_text().splitlines()]
-    assert "kind" not in lines[0]
-    assert lines[1]["kind"] == "count" and lines[1]["sec"] == 1_234_567.0
-    assert lines[2]["kind"] == "ratio"
+    assert "kind" not in lines[0] and lines[0]["sec"] == 11.7
+    # code review r18: a non-time value must not ride in a field
+    # NAMED "sec" either — it serializes under "value"
+    assert lines[1]["kind"] == "count" and lines[1]["value"] == 1_234_567.0
+    assert lines[2]["kind"] == "ratio" and lines[2]["value"] == 0.83
+    assert "sec" not in lines[1] and "sec" not in lines[2]
 
 
 def test_record_trend_noop_without_env(tmp_path, monkeypatch):
@@ -54,13 +57,13 @@ def test_split_trend_lines_routes_by_kind():
             {
                 "op": "semantic_dedup_pair_rows",
                 "n_docs": 1_000_000,
-                "sec": 28_900_000.0,
+                "value": 28_900_000.0,
                 "kind": "count",
             },
             {
                 "op": "semantic_dedup_kcap_ratio_vs_200k",
                 "n_docs": 1_000_000,
-                "sec": 5.9,
+                "value": 5.9,
                 "kind": "ratio",
             },
         ]
