@@ -582,13 +582,19 @@ def test_trend_semantic_dedup_kcap(trend_vecs, spark):
     The asserts below test the cap's ACTUAL contract instead, with
     same-kernel same-run comparisons that are host-balance-free:
 
-    * linear in k — the assign pass over the same vectors with
-      2·k_cap centroids must cost materially more than with k_cap
-      (theory 2×; assert capped ≤ 0.75× — a cap that silently stopped
-      reducing assign work reads ~1.0 and fails);
-    * linear in n — the k_cap assign at n vectors vs n/5 vectors must
-      scale ≈5× (assert ≤ 5 × 1.4 slack — a super-linear (quadratic)
-      assign path reads ≥25× the n/5 point and fails).
+    * linear in k — argmin_d2 timed DRIVER-LOCAL (r18) on the same
+      sample at k_cap vs 2·k_cap centroids (theory 2×; assert ≤
+      0.75× — a kernel that silently stopped scaling with k reads
+      ~1.0 and fails).  Until r18 this arm was asserted on the full
+      distributed shape, whose k-independent Arrow/python-worker cost
+      made the pass condition a host cost-balance inequality that
+      false-tripped two rounds running on byte-identical kernels —
+      see the inline comment at the assert;
+    * linear in n — the DISTRIBUTED k_cap assign at n vectors vs n/5
+      vectors must scale ≈5× (assert ≤ 5 × 1.4 slack — a super-linear
+      (quadratic) assign path reads ≥25× the n/5 point and fails;
+      transfer and flops both scale with n, so this one is
+      balance-safe).
 
     End-to-end wall and the old ratio-vs-200k are still RECORDED as
     informational trends for cross-round comparison.  The pair path —
@@ -704,13 +710,59 @@ def test_trend_semantic_dedup_kcap(trend_vecs, spark):
     _record_trend("kcap_assign_sec", n, t_cap)
     _record_trend("kcap_assign_2k_sec", n, t_2cap)
     _record_trend("kcap_assign_n5_sec", n // 5, t_cap_small)
-    assert t_cap <= 0.75 * t_2cap, (
-        f"k_cap stopped reducing assign work: {t_cap:.1f}s at k={k_cap} "
-        f"vs {t_2cap:.1f}s at k={2 * k_cap} on the same {n} vectors"
-    )
     assert t_cap <= 5 * 1.4 * t_cap_small, (
         f"capped assign is not ≈linear in n: {t_cap:.1f}s at {n} vs "
         f"{t_cap_small:.1f}s at {n // 5}"
+    )
+
+    # k-linearity asserted on the KERNEL alone, driver-local (r18).
+    # The r16 distributed formulation (t_cap <= 0.75 * t_2cap over the
+    # full mapInPandas shape) decomposes as t(k) = a + b·k where a is
+    # the k-INDEPENDENT Arrow transfer + python-worker cost; its pass
+    # condition is algebraically a <= 2·b·k_cap — a host cost-balance
+    # property, the exact class the r16 rework set out to ban.  It
+    # false-tripped on byte-identical kernels two rounds running (r17
+    # in-suite, isolated rerun passed; r18 in-smoke 47.7s vs 59.3s =
+    # 0.80 — decomposed a≈36s, b·k≈12s on a slow-python-worker host).
+    # Timing argmin_d2 directly on a driver-local sample removes `a`
+    # from both sides, so the theoretical 2× flop separation is
+    # actually observable on ANY host balance: a kernel that silently
+    # stopped scaling with k reads ~1.0 and fails.  The distributed
+    # arms stay RECORDED (trend lines above) for cross-round
+    # comparison; the distributed assert that remains is n-linearity,
+    # whose dominant terms (transfer AND flops) both scale with n.
+    # Both k points sit above argmin_d2's chunk=2048 boundary, so the
+    # timed path is the chunked streaming path semantic_dedup runs.
+    # Sample sized at 5k rows: per-chunk temporaries stay ~80 MB —
+    # at 20k rows the 330 MB (rows × chunk) float64 intermediates made
+    # the timing allocator/bandwidth-bound and the reps swung 3×
+    # (measured while landing this); at 5k the min-of-6 ratio
+    # reproduces at 0.53-0.65 across independent processes, under the
+    # 0.75 line with real margin.
+    sample = rng.standard_normal((5_000, dim))
+    kernel_cs = {k_cap: rng.standard_normal((k_cap, dim)),
+                 2 * k_cap: rng.standard_normal((2 * k_cap, dim))}
+
+    def kernel_sec(kk: int) -> float:
+        t0 = time.perf_counter()
+        clustering.argmin_d2(sample, kernel_cs[kk])
+        return time.perf_counter() - t0
+
+    for kk in kernel_cs:  # warm BLAS/allocator outside the timed reps
+        kernel_sec(kk)
+    kernel_reps: dict[int, list[float]] = {kk: [] for kk in kernel_cs}
+    # palindrome rep layout, min taken — same decorrelation as the
+    # distributed arms above
+    for kk in [*kernel_cs, *reversed(kernel_cs)] * 3:
+        kernel_reps[kk].append(kernel_sec(kk))
+    tk = min(kernel_reps[k_cap])
+    tk2 = min(kernel_reps[2 * k_cap])
+    _record_trend("kcap_kernel_k_sec", n, tk)
+    _record_trend("kcap_kernel_2k_sec", n, tk2)
+    assert tk <= 0.75 * tk2, (
+        f"assign kernel stopped scaling with k: {tk:.3f}s at k={k_cap} "
+        f"vs {tk2:.3f}s at k={2 * k_cap} on the same driver-local "
+        f"{len(sample)}-row sample"
     )
 
 
