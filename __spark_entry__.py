@@ -142,6 +142,19 @@ _NAMED_WEIGHT = {
 # unit-tested without Spark in tests/test_smoke_harness.py /
 # test_bench_drift.py), and the standing env-gate date bumps.  No
 # operator, oracle, or query function changed.
+# r19: EMPTY a sixth time (VERDICT r18 task 1 — the rotation fills the
+# window with the 25 r14-vintage greens plus the 25 oldest r15s;
+# verified by computing the window: Counter({14: 25, 15: 25}), so no
+# entry's latest green is older than r15 after r19 — post-r19
+# histogram r15:25 / r16:50 / r17:50 / r18:50 / r19:50).  This round's
+# code changes are again behavior-neutral for every catalog entry: the
+# three ADVICE r18 harness fixes (smoke-harness test imports made
+# local/appended rather than a module-scope repo-root prepend, the
+# malformed-trend-line skip-and-warn plus start-of-run truncation in
+# scripts/record_scale_smoke.py, and the widened driver-local kernel
+# k-linearity margin in tests/test_scale_smoke.py — all harness/tests
+# only, unit-tested without Spark), and the standing env-gate date
+# bumps.  No operator, oracle, or query function changed.
 _REVERIFY: set[str] = set()
 
 

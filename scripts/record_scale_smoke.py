@@ -20,7 +20,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def split_trend_lines(lines) -> tuple[dict, dict]:
+# op-name suffixes that are never wall times; a "sec"-kinded line with
+# one of these names is a stale pre-r18 writer's output (ADVICE r18)
+_NON_TIME_OP_MARKERS = ("_pair_rows", "_ratio_vs_")
+
+
+def split_trend_lines(lines, warn=None) -> tuple[dict, dict]:
     """Route parsed trend JSONL lines into (trend_sec_by_ndocs,
     trend_counts_by_ndocs), each ``{op: {str(n_docs): value}}``.
 
@@ -29,19 +34,68 @@ def split_trend_lines(lines) -> tuple[dict, dict]:
     unit encoded in the key suffix, which quietly eroded the schema
     for any consumer assuming wall times.  Lines now carry an optional
     ``kind`` field ("sec" default); anything non-"sec" files into the
-    sibling counts map.  Pure function for unit-testability."""
+    sibling counts map.  Pure function for unit-testability.
+
+    ADVICE r18: malformed lines (missing op/n_docs, or missing the
+    value field their kind promises) are skipped with a warning rather
+    than raising a KeyError AFTER the ~14-minute smoke already ran; a
+    "sec"-kinded line whose op name is a known non-time series (a
+    stale file from a pre-r18 writer) is likewise skip-and-warned
+    instead of silently polluting the seconds map."""
+    warn = warn or (lambda msg: sys.stderr.write(msg + "\n"))
     trend: dict[str, dict[str, float]] = {}
     counts: dict[str, dict[str, float]] = {}
     for ent in lines:
+        if not isinstance(ent, dict) or "op" not in ent or "n_docs" not in ent:
+            warn(f"record_scale_smoke: skipping malformed trend line {ent!r}")
+            continue
+        op = ent["op"]
         if ent.get("kind", "sec") == "sec":
-            trend.setdefault(ent["op"], {})[str(ent["n_docs"])] = ent["sec"]
+            if "sec" not in ent or any(
+                m in str(op) for m in _NON_TIME_OP_MARKERS
+            ):
+                warn(
+                    "record_scale_smoke: skipping non-wall-time or "
+                    f"field-less 'sec' line {ent!r} (stale pre-r18 "
+                    "writer or malformed)"
+                )
+                continue
+            trend.setdefault(op, {})[str(ent["n_docs"])] = ent["sec"]
         else:
             # non-sec lines carry their value under "value" (code
             # review r18: the field name must not claim seconds)
-            counts.setdefault(ent["op"], {})[str(ent["n_docs"])] = ent[
-                "value"
-            ]
+            if "value" not in ent:
+                warn(
+                    f"record_scale_smoke: skipping kinded line {ent!r} "
+                    "missing its 'value' field"
+                )
+                continue
+            counts.setdefault(op, {})[str(ent["n_docs"])] = ent["value"]
     return trend, counts
+
+
+def parse_trend_file(path, warn=None) -> list:
+    """Read a trend JSONL file, skipping (with a warning) lines that are
+    not valid JSON — a torn final line from a crashed writer must not
+    kill the recorder after the smoke already ran (ADVICE r18).  A
+    missing/unreadable file is an empty recording, as before."""
+    warn = warn or (lambda msg: sys.stderr.write(msg + "\n"))
+    parsed = []
+    try:
+        with open(path) as fh:
+            for i, ln in enumerate(fh, start=1):
+                if not ln.strip():
+                    continue
+                try:
+                    parsed.append(json.loads(ln))
+                except ValueError:
+                    warn(
+                        f"record_scale_smoke: skipping unparseable trend "
+                        f"line {i} of {path}: {ln.strip()[:120]!r}"
+                    )
+    except OSError:
+        pass
+    return parsed
 
 
 def main() -> int:
@@ -74,10 +128,8 @@ def main() -> int:
     # heavy dedup op, written by the trend tests — {op: {n_docs: sec}};
     # non-time series (pair counts, ratios) go to the sibling counts
     # map (ADVICE r17, see split_trend_lines)
-    parsed = []
+    parsed = parse_trend_file(trend_path)
     try:
-        with open(trend_path) as fh:
-            parsed = [json.loads(ln) for ln in fh]
         os.remove(trend_path)
     except OSError:
         pass

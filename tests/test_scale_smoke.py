@@ -285,6 +285,26 @@ def test_simhash_planted_twins_at_scale(spark):
 TREND_PAIRS = 1_000
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_trend_file():
+    """Truncate $SPARK_GRAFT_TREND_OUT once at the start of the run
+    (ADVICE r18): a stale file left by a crashed earlier run — possibly
+    with a pre-r18 mixed schema — must not leak into this run's
+    recording.  scripts/record_scale_smoke.py deletes the file before
+    launching pytest, but a DIRECT ``pytest tests/test_scale_smoke.py``
+    invocation with the env var set used to append to whatever was
+    already there.  Module-scoped autouse: runs once, and only when the
+    opt-in gate actually admits a test (skipped tests pull no
+    fixtures)."""
+    path = os.environ.get("SPARK_GRAFT_TREND_OUT")
+    if path:
+        try:
+            open(path, "w").close()
+        except OSError:
+            pass
+    yield
+
+
 def _record_trend(
     op: str, n_docs: int, value: float, kind: str = "sec"
 ) -> None:
@@ -584,8 +604,9 @@ def test_trend_semantic_dedup_kcap(trend_vecs, spark):
 
     * linear in k — argmin_d2 timed DRIVER-LOCAL (r18) on the same
       sample at k_cap vs 2·k_cap centroids (theory 2×; assert ≤
-      0.75× — a kernel that silently stopped scaling with k reads
-      ~1.0 and fails).  Until r18 this arm was asserted on the full
+      0.8× per ADVICE r18, min-of-10 — a kernel that silently
+      stopped scaling with k reads ~1.0 and fails).  Until r18 this
+      arm was asserted on the full
       distributed shape, whose k-independent Arrow/python-worker cost
       made the pass condition a host cost-balance inequality that
       false-tripped two rounds running on byte-identical kernels —
@@ -736,9 +757,13 @@ def test_trend_semantic_dedup_kcap(trend_vecs, spark):
     # Sample sized at 5k rows: per-chunk temporaries stay ~80 MB —
     # at 20k rows the 330 MB (rows × chunk) float64 intermediates made
     # the timing allocator/bandwidth-bound and the reps swung 3×
-    # (measured while landing this); at 5k the min-of-6 ratio
-    # reproduces at 0.53-0.65 across independent processes, under the
-    # 0.75 line with real margin.
+    # (measured while landing this); at 5k the min-of-N ratio
+    # reproduces at 0.53-0.65 across independent processes.  ADVICE
+    # r18: 0.65 vs a 0.75 line was ~13% headroom on a ~0.15s
+    # micro-timing — tighter than this file's other timing asserts —
+    # so the line moved to 0.8 and the palindrome runs 5 passes
+    # (min-of-10 per arm, still <4s total); a kernel that stopped
+    # scaling with k still reads ~1.0 and fails by a wide margin.
     sample = rng.standard_normal((5_000, dim))
     kernel_cs = {k_cap: rng.standard_normal((k_cap, dim)),
                  2 * k_cap: rng.standard_normal((2 * k_cap, dim))}
@@ -753,13 +778,13 @@ def test_trend_semantic_dedup_kcap(trend_vecs, spark):
     kernel_reps: dict[int, list[float]] = {kk: [] for kk in kernel_cs}
     # palindrome rep layout, min taken — same decorrelation as the
     # distributed arms above
-    for kk in [*kernel_cs, *reversed(kernel_cs)] * 3:
+    for kk in [*kernel_cs, *reversed(kernel_cs)] * 5:
         kernel_reps[kk].append(kernel_sec(kk))
     tk = min(kernel_reps[k_cap])
     tk2 = min(kernel_reps[2 * k_cap])
     _record_trend("kcap_kernel_k_sec", n, tk)
     _record_trend("kcap_kernel_2k_sec", n, tk2)
-    assert tk <= 0.75 * tk2, (
+    assert tk <= 0.8 * tk2, (
         f"assign kernel stopped scaling with k: {tk:.3f}s at k={k_cap} "
         f"vs {tk2:.3f}s at k={2 * k_cap} on the same driver-local "
         f"{len(sample)}-row sample"

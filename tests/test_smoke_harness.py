@@ -4,10 +4,22 @@ recorder's sec/counts split.  No SparkSession on purpose: these run in
 the default (non-opt-in) suite, where test_scale_smoke.py's own tests
 are skip-gated behind SPARK_GRAFT_SCALE_TESTS=1 — importing that
 module is fine (the gate is a pytest mark, not an import guard).
+
+ADVICE r18: the two modules under test are loaded HERE via importlib
+from explicit file paths instead of module-scope ``sys.path``
+prepends — a prepended ``scripts/`` entry would shadow any installed
+package whose name collides with a file in scripts/ for every test
+imported afterward, and relying on pytest's implicit prepend of
+``tests/`` breaks under ``--import-mode=importlib`` or a packaged
+test layout.  The one path tweak that remains (the repo root, so
+``test_scale_smoke``'s ``import datafusion_randgen_spark`` resolves
+when the suite is launched from elsewhere) is APPENDED, not
+prepended, and only if the package isn't already importable.
 """
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
 import sys
@@ -15,11 +27,29 @@ import sys
 import pytest
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, os.path.dirname(_HERE))
-sys.path.insert(0, os.path.join(os.path.dirname(_HERE), "scripts"))
+_REPO = os.path.dirname(_HERE)
 
-import record_scale_smoke  # noqa: E402
-import test_scale_smoke as smoke  # noqa: E402
+if importlib.util.find_spec("datafusion_randgen_spark") is None:
+    sys.path.append(_REPO)
+
+
+def _load_module(name: str, path: str):
+    """Load a file as a module under a test-local name — no sys.path
+    mutation, no collision with pytest's own collection of the same
+    file."""
+    spec = importlib.util.spec_from_file_location(name, path)
+    assert spec is not None and spec.loader is not None, path
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+record_scale_smoke = _load_module(
+    "_smoke_harness_recorder", os.path.join(_REPO, "scripts", "record_scale_smoke.py")
+)
+smoke = _load_module(
+    "_smoke_harness_smoke", os.path.join(_HERE, "test_scale_smoke.py")
+)
 
 
 def test_record_trend_tags_non_sec_kinds(tmp_path, monkeypatch):
@@ -77,6 +107,84 @@ def test_split_trend_lines_routes_by_kind():
     }
     # the seconds map must never carry a non-"sec" line again
     assert not any("pair_rows" in k or "ratio" in k for k in trend)
+
+
+def test_split_trend_lines_skips_malformed(capsys):
+    # ADVICE r18: a line missing the value field its kind promises, a
+    # non-dict line, or one missing op/n_docs must skip-and-warn — not
+    # KeyError after the ~14-minute smoke already ran.
+    trend, counts = record_scale_smoke.split_trend_lines(
+        [
+            {"op": "minhash_lsh_pairs", "n_docs": 200_000, "sec": 14.5},
+            {"op": "broken_count", "n_docs": 200_000, "kind": "count"},
+            {"op": "no_sec_field", "n_docs": 200_000},
+            {"n_docs": 200_000, "sec": 1.0},
+            "not even a dict",
+        ]
+    )
+    assert trend == {"minhash_lsh_pairs": {"200000": 14.5}}
+    assert counts == {}
+    err = capsys.readouterr().err
+    assert err.count("skipping") == 4
+
+
+def test_split_trend_lines_rejects_legacy_count_under_sec():
+    # ADVICE r18: a stale pre-r18 file carries pair counts/ratios under
+    # "sec" with no "kind" — the known non-time op names must not be
+    # silently routed back into the seconds map.
+    warnings = []
+    trend, counts = record_scale_smoke.split_trend_lines(
+        [
+            {"op": "semantic_dedup", "n_docs": 200_000, "sec": 20.3},
+            {
+                "op": "semantic_dedup_pair_rows",
+                "n_docs": 200_000,
+                "sec": 5_920_000.0,
+            },
+            {
+                "op": "semantic_dedup_kcap_ratio_vs_200k",
+                "n_docs": 1_000_000,
+                "sec": 5.9,
+            },
+        ],
+        warn=warnings.append,
+    )
+    assert trend == {"semantic_dedup": {"200000": 20.3}}
+    assert counts == {}
+    assert len(warnings) == 2 and all("pre-r18" in w for w in warnings)
+
+
+def test_parse_trend_file_skips_torn_lines(tmp_path):
+    # ADVICE r18: a torn final line from a crashed writer must not kill
+    # the recorder; valid lines before and after it survive.
+    p = tmp_path / "trend.jsonl"
+    p.write_text(
+        '{"op": "a", "n_docs": 1, "sec": 2.0}\n'
+        "\n"
+        '{"op": "b", "n_docs": 1, "sec":\n'
+        '{"op": "c", "n_docs": 1, "sec": 3.0}\n'
+    )
+    warnings = []
+    parsed = record_scale_smoke.parse_trend_file(str(p), warn=warnings.append)
+    assert [e["op"] for e in parsed] == ["a", "c"]
+    assert len(warnings) == 1 and "line 3" in warnings[0]
+    # missing file: empty recording, no warning, no raise — as before
+    assert record_scale_smoke.parse_trend_file(str(tmp_path / "nope")) == []
+
+
+def test_fresh_trend_file_fixture_truncates(tmp_path, monkeypatch):
+    # ADVICE r18: a direct pytest invocation with SPARK_GRAFT_TREND_OUT
+    # set used to append to a stale file; the autouse fixture truncates
+    # it once at module start.
+    out = tmp_path / "trend.jsonl"
+    out.write_text('{"op": "stale", "n_docs": 1, "sec": 9.9}\n')
+    monkeypatch.setenv("SPARK_GRAFT_TREND_OUT", str(out))
+    gen = smoke._fresh_trend_file.__wrapped__()
+    next(gen)  # fixture setup
+    assert out.read_text() == ""
+    smoke._record_trend("fresh", 1, 1.0)
+    lines = [json.loads(ln) for ln in out.read_text().splitlines()]
+    assert [e["op"] for e in lines] == ["fresh"]
 
 
 def test_require_pair_rows_guards_empty_frame():
