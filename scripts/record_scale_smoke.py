@@ -21,8 +21,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 # op-name suffixes that are never wall times; a "sec"-kinded line with
-# one of these names is a stale pre-r18 writer's output (ADVICE r18)
+# one of these names is a stale pre-r18 writer's output (ADVICE r18).
+# Deliberate tradeoff: a FUTURE wall-time op that embeds one of these
+# markers in its name would be skip-and-warned too — name new timed ops
+# accordingly (the current writer tags all non-time lines with "kind").
 _NON_TIME_OP_MARKERS = ("_pair_rows", "_ratio_vs_")
+
+
+def _default_warn(msg: str) -> None:
+    sys.stderr.write(msg + "\n")
 
 
 def split_trend_lines(lines, warn=None) -> tuple[dict, dict]:
@@ -42,7 +49,7 @@ def split_trend_lines(lines, warn=None) -> tuple[dict, dict]:
     "sec"-kinded line whose op name is a known non-time series (a
     stale file from a pre-r18 writer) is likewise skip-and-warned
     instead of silently polluting the seconds map."""
-    warn = warn or (lambda msg: sys.stderr.write(msg + "\n"))
+    warn = warn or _default_warn
     trend: dict[str, dict[str, float]] = {}
     counts: dict[str, dict[str, float]] = {}
     for ent in lines:
@@ -78,8 +85,10 @@ def parse_trend_file(path, warn=None) -> list:
     """Read a trend JSONL file, skipping (with a warning) lines that are
     not valid JSON — a torn final line from a crashed writer must not
     kill the recorder after the smoke already ran (ADVICE r18).  A
-    missing/unreadable file is an empty recording, as before."""
-    warn = warn or (lambda msg: sys.stderr.write(msg + "\n"))
+    missing/unreadable file is an empty recording, as before; an I/O
+    error MID-file keeps the lines read so far but says so (code
+    review r19: a silent partial parse would look complete)."""
+    warn = warn or _default_warn
     parsed = []
     try:
         with open(path) as fh:
@@ -93,8 +102,12 @@ def parse_trend_file(path, warn=None) -> list:
                         f"record_scale_smoke: skipping unparseable trend "
                         f"line {i} of {path}: {ln.strip()[:120]!r}"
                     )
-    except OSError:
-        pass
+    except OSError as exc:
+        if parsed:
+            warn(
+                f"record_scale_smoke: I/O error mid-read of {path} "
+                f"({exc}); keeping the {len(parsed)} lines parsed so far"
+            )
     return parsed
 
 

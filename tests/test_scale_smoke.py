@@ -285,23 +285,38 @@ def test_simhash_planted_twins_at_scale(spark):
 TREND_PAIRS = 1_000
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_trend_file():
-    """Truncate $SPARK_GRAFT_TREND_OUT once at the start of the run
-    (ADVICE r18): a stale file left by a crashed earlier run — possibly
-    with a pre-r18 mixed schema — must not leak into this run's
-    recording.  scripts/record_scale_smoke.py deletes the file before
-    launching pytest, but a DIRECT ``pytest tests/test_scale_smoke.py``
+def _truncate_trend_file() -> None:
+    """Truncate $SPARK_GRAFT_TREND_OUT (ADVICE r18): a stale file left
+    by a crashed earlier run — possibly with a pre-r18 mixed schema —
+    must not leak into this run's recording.
+    scripts/record_scale_smoke.py deletes the file before launching
+    pytest, but a DIRECT ``pytest tests/test_scale_smoke.py``
     invocation with the env var set used to append to whatever was
-    already there.  Module-scoped autouse: runs once, and only when the
-    opt-in gate actually admits a test (skipped tests pull no
-    fixtures)."""
+    already there.  A failed truncation is warned, not swallowed (code
+    review r19): a silently skipped truncation would reproduce the
+    exact stale-schema leak this exists to prevent."""
     path = os.environ.get("SPARK_GRAFT_TREND_OUT")
     if path:
         try:
             open(path, "w").close()
-        except OSError:
-            pass
+        except OSError as exc:
+            import sys
+
+            sys.stderr.write(
+                f"test_scale_smoke: could not truncate trend file "
+                f"{path} ({exc}); stale lines may leak into this "
+                "recording\n"
+            )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_trend_file():
+    """Module-scoped autouse: runs once, and only when the opt-in gate
+    actually admits a test (skipped tests pull no fixtures).  The work
+    lives in :func:`_truncate_trend_file` so the harness unit test
+    calls a plain function instead of reaching into pytest's fixture
+    wrapper internals (code review r19)."""
+    _truncate_trend_file()
     yield
 
 

@@ -36,7 +36,15 @@ if importlib.util.find_spec("datafusion_randgen_spark") is None:
 def _load_module(name: str, path: str):
     """Load a file as a module under a test-local name — no sys.path
     mutation, no collision with pytest's own collection of the same
-    file."""
+    file.  If some already-imported module was loaded from the same
+    file (pytest's own collection of test_scale_smoke in a full-suite
+    run), reuse it instead of executing the module body a second time
+    (code review r19: two divergent copies of module state would let a
+    harness test silently assert on the wrong one)."""
+    real = os.path.realpath(path)
+    for mod in list(sys.modules.values()):
+        if os.path.realpath(getattr(mod, "__file__", "") or "") == real:
+            return mod
     spec = importlib.util.spec_from_file_location(name, path)
     assert spec is not None and spec.loader is not None, path
     mod = importlib.util.module_from_spec(spec)
@@ -172,6 +180,46 @@ def test_parse_trend_file_skips_torn_lines(tmp_path):
     assert record_scale_smoke.parse_trend_file(str(tmp_path / "nope")) == []
 
 
+def test_parse_trend_file_warns_on_midread_oserror(tmp_path, monkeypatch):
+    # code review r19: an I/O error MID-file keeps the lines read so
+    # far but must warn — a silent partial parse looks complete.
+    import builtins
+
+    p = tmp_path / "trend.jsonl"
+    p.write_text(
+        '{"op": "a", "n_docs": 1, "sec": 2.0}\n'
+        '{"op": "b", "n_docs": 1, "sec": 3.0}\n'
+    )
+    real_open = builtins.open
+
+    class FlakyFile:
+        def __init__(self, fh):
+            self._fh, self._n = fh, 0
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self._fh.close()
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            self._n += 1
+            if self._n > 1:
+                raise OSError("simulated mid-read failure")
+            return next(self._fh)
+
+    monkeypatch.setattr(
+        builtins, "open", lambda *a, **kw: FlakyFile(real_open(*a, **kw))
+    )
+    warnings = []
+    parsed = record_scale_smoke.parse_trend_file(str(p), warn=warnings.append)
+    assert [e["op"] for e in parsed] == ["a"]
+    assert len(warnings) == 1 and "mid-read" in warnings[0]
+
+
 def test_fresh_trend_file_fixture_truncates(tmp_path, monkeypatch):
     # ADVICE r18: a direct pytest invocation with SPARK_GRAFT_TREND_OUT
     # set used to append to a stale file; the autouse fixture truncates
@@ -179,12 +227,21 @@ def test_fresh_trend_file_fixture_truncates(tmp_path, monkeypatch):
     out = tmp_path / "trend.jsonl"
     out.write_text('{"op": "stale", "n_docs": 1, "sec": 9.9}\n')
     monkeypatch.setenv("SPARK_GRAFT_TREND_OUT", str(out))
-    gen = smoke._fresh_trend_file.__wrapped__()
-    next(gen)  # fixture setup
+    smoke._truncate_trend_file()  # the fixture's whole setup body
     assert out.read_text() == ""
     smoke._record_trend("fresh", 1, 1.0)
     lines = [json.loads(ln) for ln in out.read_text().splitlines()]
     assert [e["op"] for e in lines] == ["fresh"]
+
+
+def test_truncate_trend_file_warns_on_oserror(tmp_path, monkeypatch, capsys):
+    # code review r19: a failed truncation must say so — silence would
+    # reproduce the stale-schema leak the fixture exists to prevent.
+    monkeypatch.setenv(
+        "SPARK_GRAFT_TREND_OUT", str(tmp_path / "no_such_dir" / "t.jsonl")
+    )
+    smoke._truncate_trend_file()  # must not raise
+    assert "could not truncate" in capsys.readouterr().err
 
 
 def test_require_pair_rows_guards_empty_frame():
