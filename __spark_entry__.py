@@ -155,7 +155,20 @@ _NAMED_WEIGHT = {
 # k-linearity margin in tests/test_scale_smoke.py — all harness/tests
 # only, unit-tested without Spark), and the standing env-gate date
 # bumps.  No operator, oracle, or query function changed.
-_REVERIFY: set[str] = set()
+# r20 (NOT empty — two entries changed this round, VERDICT r19 tasks
+# 1+3): `d_minhash_lsh_pairs` dropped the unconditional
+# `F.broadcast(cands)` hint on the verification join (AQE now decides
+# from runtime stats; 100 TB fallback path pinned by
+# tests/test_plans.py::test_minhash_verification_join_survives_no_broadcast)
+# and `q_correlated_scalar_subquery` lowered its multiplier 1.2 → 1.01
+# in BOTH the Spark SQL and the oracle (the old value matched nothing
+# at any test SF, so the r19 green hash-pinned an empty result).  Both
+# must re-earn their rows ahead of unchanged greens.  Window check
+# (computed): d_minhash_lsh_pairs is itself r15-vintage, so the window
+# is all 25 r15 greens (VERDICT r19 task 2) + the 24 oldest r16s + the
+# r19-green correlated-subquery re-verify — Counter({15: 25, 16: 24,
+# 19: 1}); no entry's latest green is older than r16 after r20.
+_REVERIFY: set[str] = {"d_minhash_lsh_pairs", "q_correlated_scalar_subquery"}
 
 
 def _past_results() -> tuple[set[str], set[str], dict[str, int]]:

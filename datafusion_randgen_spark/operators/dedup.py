@@ -351,16 +351,23 @@ def minhash_lsh_dedup_pairs(
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), "h")
     sb = sh.select(F.col("id").alias("id_b"), "h")
-    # the candidate set is bounded by LSH design (bucket collisions, not
-    # corpus size) — broadcast it so the big shingle side never shuffles.
+    # No broadcast hint on `cands` (VERDICT r19 task 1): candidate-pair
+    # volume tracks the corpus's DUPLICATE MASS, not just LSH bucket
+    # design — a near-dup-heavy crawl yields billions of pairs, far past
+    # broadcastable, and a forced hint would OOM the executors instead
+    # of degrading to a shuffle join.  AQE decides from runtime stats:
+    # small candidate sets (the common case) still become a
+    # BroadcastHashJoin at stage boundary; huge ones fall back to a
+    # plain hash-shuffle join on id_a.  Non-broadcast path verified by
+    # tests/test_plans.py::test_minhash_verification_join_survives_no_broadcast.
     inter = (
-        F.broadcast(cands).join(sa, "id_a").join(sb, ["id_b", "h"]).groupBy("id_a", "id_b")
+        cands.join(sa, "id_a").join(sb, ["id_b", "h"]).groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     # na/nb are per-document — shuffle join, not broadcast (see
-    # shingle_jaccard_pairs); only `cands` is bounded by LSH design
+    # shingle_jaccard_pairs); AQE may still broadcast them when small
     out = (
         inter.join(na, "id_a")
         .join(nb, "id_b")

@@ -61,7 +61,7 @@ def _has_pil() -> bool:
     """Availability probe for the real image codec (VERDICT r10 task 7)
     — the protobuf-gate pattern: the real path registers itself where
     Pillow exists; the deterministic fake stays the driver-verified
-    path either way.  Last re-checked round 19, 2026-08-16: Pillow
+    path either way.  Last re-checked round 20, 2026-08-16: Pillow
     still absent from the container."""
     try:
         from PIL import Image  # noqa: F401, PLC0415

@@ -245,7 +245,7 @@ def tws_user_totals(events: DataFrame) -> DataFrame:
     (``pyspark/sql/streaming/proto/StateMessage_pb2.py``), and this
     container has no ``google.protobuf`` — starting the query here dies
     with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
-    ImportError (last re-checked round 19, 2026-08-16: still absent).  The operator code is complete and
+    ImportError (last re-checked round 20, 2026-08-16: still absent).  The operator code is complete and
     ``tests/test_streaming.py`` runs it wherever protobuf exists; the
     driver-verified stateful path is :func:`stateful_user_totals`
     (state API v1, no protobuf dependency).

@@ -45,10 +45,13 @@ def split_trend_lines(lines, warn=None) -> tuple[dict, dict]:
 
     ADVICE r18: malformed lines (missing op/n_docs, or missing the
     value field their kind promises) are skipped with a warning rather
-    than raising a KeyError AFTER the ~14-minute smoke already ran; a
-    "sec"-kinded line whose op name is a known non-time series (a
-    stale file from a pre-r18 writer) is likewise skip-and-warned
-    instead of silently polluting the seconds map."""
+    than raising a KeyError AFTER the ~14-minute smoke already ran.
+
+    ADVICE r19: a "sec"-kinded line whose op name is a known non-time
+    series (a stale file from a pre-r18 writer) is ROUTED into the
+    counts map with a warning — the marker already identifies it as a
+    count/ratio, and dropping it would lose the count tripwire's input
+    — rather than polluting the seconds map or being discarded."""
     warn = warn or _default_warn
     trend: dict[str, dict[str, float]] = {}
     counts: dict[str, dict[str, float]] = {}
@@ -58,14 +61,25 @@ def split_trend_lines(lines, warn=None) -> tuple[dict, dict]:
             continue
         op = ent["op"]
         if ent.get("kind", "sec") == "sec":
-            if "sec" not in ent or any(
-                m in str(op) for m in _NON_TIME_OP_MARKERS
-            ):
+            if "sec" not in ent:
                 warn(
-                    "record_scale_smoke: skipping non-wall-time or "
-                    f"field-less 'sec' line {ent!r} (stale pre-r18 "
-                    "writer or malformed)"
+                    f"record_scale_smoke: skipping field-less 'sec' "
+                    f"line {ent!r} (malformed)"
                 )
+                continue
+            if any(m in str(op) for m in _NON_TIME_OP_MARKERS):
+                # ADVICE r19: a stale pre-r18 writer put pair counts /
+                # ratios under "sec" with no "kind".  The marker
+                # already identifies them as non-time series, so route
+                # them into the counts map (preserving the count
+                # tripwire's input) instead of discarding — but warn,
+                # since the file should be regenerated.
+                warn(
+                    "record_scale_smoke: routing legacy non-time 'sec' "
+                    f"line {ent!r} into the counts map (stale pre-r18 "
+                    "writer)"
+                )
+                counts.setdefault(op, {})[str(ent["n_docs"])] = ent["sec"]
                 continue
             trend.setdefault(op, {})[str(ent["n_docs"])] = ent["sec"]
         else:
@@ -102,11 +116,22 @@ def parse_trend_file(path, warn=None) -> list:
                         f"record_scale_smoke: skipping unparseable trend "
                         f"line {i} of {path}: {ln.strip()[:120]!r}"
                     )
+    except FileNotFoundError:
+        pass  # the documented empty-recording case: no smoke ran here
     except OSError as exc:
+        # ADVICE r19: only a MISSING file is silent — a permission
+        # error or EIO opening/reading the file must say so, or the
+        # recorder writes empty trend maps that look like a complete
+        # run (the exact failure mode the mid-read branch warns about).
         if parsed:
             warn(
                 f"record_scale_smoke: I/O error mid-read of {path} "
                 f"({exc}); keeping the {len(parsed)} lines parsed so far"
+            )
+        else:
+            warn(
+                f"record_scale_smoke: could not read {path} ({exc}); "
+                "recording NO trend lines"
             )
     return parsed
 

@@ -733,3 +733,55 @@ def test_exact_assign_argmin_folds_single_evaluated(spark):
     # re-derivation) x k=4 folds + 1 dot fold; the double-reference
     # form lands at 25+
     assert plan.count("zip_with") <= 17
+
+
+def test_minhash_verification_join_survives_no_broadcast(spark):
+    """The MinHash verification join's 100 TB fallback (VERDICT r19
+    task 1): candidate-pair volume tracks the corpus's duplicate mass,
+    so `cands` must NOT carry a forced broadcast hint — on a near-dup-
+    heavy crawl it is billions of rows and a hint would OOM instead of
+    degrading to a shuffle join.  With broadcast disabled entirely
+    (static + AQE thresholds at -1), the operator must (a) execute and
+    return the same pair set as the default config — proving no hint
+    forces a broadcast past the threshold — and (b) finalize with zero
+    BroadcastHashJoin nodes, i.e. the shuffle path genuinely engages."""
+    from datafusion_randgen_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the sleepy dog"),
+            (4, "a completely different document about spark engines"),
+            (5, "entirely unrelated text with unique words here"),
+        ],
+        "doc_id long, text string",
+    )
+    expected = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup_pairs(docs, threshold=0.4).collect()
+    }
+    assert (1, 2, 1.0) in expected  # sanity: default path finds the dup
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            conf.set(k, "-1")
+        out = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.4)
+        got = {(r.id_a, r.id_b, r.jaccard) for r in out.collect()}
+        assert got == expected
+        final = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" not in final, final[:2000]
+        assert "SortMergeJoin" in final or "ShuffledHashJoin" in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -49,6 +49,20 @@ def _load_module(name: str, path: str):
     assert spec is not None and spec.loader is not None, path
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    # ADVICE r19: register the fresh copy in sys.modules so the reuse
+    # check above works in BOTH collection orders.  Default alphabetical
+    # collection imports test_scale_smoke before this file, so the scan
+    # finds pytest's copy; but under explicit CLI ordering or
+    # pytest-randomly THIS file can execute the module first — register
+    # it under the test-local name AND the file stem so pytest's later
+    # import_module(stem) reuses this copy instead of exec'ing a second
+    # one.  (Cost when that path triggers: the reused copy skipped
+    # pytest's assertion rewrite, so failing asserts in it lose rich
+    # introspection — acceptable vs two divergent module states.)
+    sys.modules[name] = mod
+    stem = os.path.splitext(os.path.basename(path))[0]
+    if stem not in sys.modules:
+        sys.modules[stem] = mod
     return mod
 
 
@@ -136,10 +150,11 @@ def test_split_trend_lines_skips_malformed(capsys):
     assert err.count("skipping") == 4
 
 
-def test_split_trend_lines_rejects_legacy_count_under_sec():
-    # ADVICE r18: a stale pre-r18 file carries pair counts/ratios under
-    # "sec" with no "kind" — the known non-time op names must not be
-    # silently routed back into the seconds map.
+def test_split_trend_lines_routes_legacy_count_under_sec_to_counts():
+    # ADVICE r18/r19: a stale pre-r18 file carries pair counts/ratios
+    # under "sec" with no "kind" — the known non-time op names must not
+    # reach the seconds map, but their values (the count tripwire's
+    # input) are preserved under the counts map, with a warning.
     warnings = []
     trend, counts = record_scale_smoke.split_trend_lines(
         [
@@ -158,7 +173,10 @@ def test_split_trend_lines_rejects_legacy_count_under_sec():
         warn=warnings.append,
     )
     assert trend == {"semantic_dedup": {"200000": 20.3}}
-    assert counts == {}
+    assert counts == {
+        "semantic_dedup_pair_rows": {"200000": 5_920_000.0},
+        "semantic_dedup_kcap_ratio_vs_200k": {"1000000": 5.9},
+    }
     assert len(warnings) == 2 and all("pre-r18" in w for w in warnings)
 
 
@@ -251,3 +269,42 @@ def test_require_pair_rows_guards_empty_frame():
     with pytest.raises(AssertionError, match="semantic_dedup.*EMPTY"):
         smoke._require_pair_rows(None, "semantic_dedup")
     assert smoke._require_pair_rows(42, "semantic_dedup") == 42.0
+
+
+def test_load_module_registers_in_sys_modules():
+    # ADVICE r19: _load_module must register its fresh copies so the
+    # reuse scan works in both collection orders — if this file is
+    # imported FIRST (explicit CLI ordering, pytest-randomly), pytest's
+    # later import of test_scale_smoke must find this copy in
+    # sys.modules instead of exec'ing a second, divergent one.
+    assert sys.modules.get("_smoke_harness_recorder") is record_scale_smoke
+    assert sys.modules.get("_smoke_harness_smoke") is smoke
+    # file-stem keys: either pytest imported the module first (the scan
+    # returned its copy, same object) or we registered ours under the
+    # stem — both ways the stem maps to the SAME module object we use.
+    for stem, ours in (
+        ("record_scale_smoke", record_scale_smoke),
+        ("test_scale_smoke", smoke),
+    ):
+        by_stem = sys.modules.get(stem)
+        if by_stem is not None:
+            assert by_stem is ours, stem
+
+
+def test_parse_trend_file_warns_on_open_oserror(tmp_path, monkeypatch):
+    # ADVICE r19: only a MISSING file is the silent empty-recording
+    # case — a PermissionError (or EIO) at open() must warn, else an
+    # empty SCALE_SMOKE.json masquerades as a complete run.
+    import builtins
+
+    p = tmp_path / "trend.jsonl"
+    p.write_text('{"op": "a", "n_docs": 1, "sec": 2.0}\n')
+
+    def denied(*a, **kw):
+        raise PermissionError(13, "Permission denied", str(p))
+
+    monkeypatch.setattr(builtins, "open", denied)
+    warnings = []
+    parsed = record_scale_smoke.parse_trend_file(str(p), warn=warnings.append)
+    assert parsed == []
+    assert len(warnings) == 1 and "could not read" in warnings[0]
