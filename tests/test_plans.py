@@ -775,7 +775,7 @@ def test_minhash_verification_join_survives_no_broadcast(spark):
         out = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.4)
         got = {(r.id_a, r.id_b, r.jaccard) for r in out.collect()}
         assert got == expected
-        final = out._jdf.queryExecution().executedPlan().toString()
+        final = plans.physical_plan(out)
         assert "isFinalPlan=true" in final
         assert "BroadcastHashJoin" not in final, final[:2000]
         assert "SortMergeJoin" in final or "ShuffledHashJoin" in final

@@ -44,6 +44,10 @@ def _load_module(name: str, path: str):
     real = os.path.realpath(path)
     for mod in list(sys.modules.values()):
         if os.path.realpath(getattr(mod, "__file__", "") or "") == real:
+            # register the reused copy under our test-local name too, so
+            # consumers (and the registration test) can look it up by
+            # `name` regardless of which import created it first
+            sys.modules[name] = mod
             return mod
     spec = importlib.util.spec_from_file_location(name, path)
     assert spec is not None and spec.loader is not None, path
@@ -59,6 +63,12 @@ def _load_module(name: str, path: str):
     # one.  (Cost when that path triggers: the reused copy skipped
     # pytest's assertion rewrite, so failing asserts in it lose rich
     # introspection — acceptable vs two divergent module states.)
+    # LIMIT (code review r20): the stem key only helps pytest's default
+    # prepend import mode — under --import-mode=importlib pytest binds
+    # a rootdir-derived dotted name via its own loader and a second
+    # copy still arises in harness-first order.  Harmless today (the
+    # functions under test are stateless); full closure would need a
+    # conftest hook, which isn't worth it for a diagnostics helper.
     sys.modules[name] = mod
     stem = os.path.splitext(os.path.basename(path))[0]
     if stem not in sys.modules:
