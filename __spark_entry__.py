@@ -156,9 +156,11 @@ _NAMED_WEIGHT = {
 # only, unit-tested without Spark), and the standing env-gate date
 # bumps.  No operator, oracle, or query function changed.
 # r20 (NOT empty — two entries changed this round, VERDICT r19 tasks
-# 1+3): `d_minhash_lsh_pairs` dropped the unconditional
-# `F.broadcast(cands)` hint on the verification join (AQE now decides
-# from runtime stats; 100 TB fallback path pinned by
+# 1+3): `d_minhash_lsh_pairs` replaced the unconditional
+# `F.broadcast(cands)` hint on the verification join with a
+# row-count-guarded broadcast (≤4M pairs broadcast, else plain hash
+# join; a pure-AQE no-hint variant was bisected at ~1.3× isolated
+# median and rejected; shuffle path pinned by
 # tests/test_plans.py::test_minhash_verification_join_survives_no_broadcast)
 # and `q_correlated_scalar_subquery` lowered its multiplier 1.2 → 1.01
 # in BOTH the Spark SQL and the oracle (the old value matched nothing

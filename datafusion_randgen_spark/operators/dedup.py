@@ -333,35 +333,49 @@ def minhash_lsh_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 0,
+    broadcast_max_candidates: int = 4_000_000,
 ) -> DataFrame:
     """LSH candidates → exact-Jaccard verification → (id_a, id_b, jaccard).
 
     The verification join re-derives shingle sets only for candidate ids
     (a semi-join prune), so verification cost tracks candidate volume.
+
+    ``broadcast_max_candidates`` (r20, VERDICT r19 task 1): candidate
+    PAIRS are broadcast into the verification join only when their
+    measured count is at or below this bound (4M pairs ≈ 128 MB at
+    ~32 B/row — safe for executors on a 1000-node cluster); above it
+    the join degrades to a plain hash-shuffle join on the id keys.
+    The old unconditional ``F.broadcast(cands)`` was a 100 TB OOM
+    hazard: candidate volume tracks the corpus's DUPLICATE MASS, and a
+    near-dup-heavy crawl yields billions of pairs.  A pure-AQE fallback
+    (no hint at all) was measured first and rejected: the initially
+    planned sort-merge join shuffle-writes the big shingle side before
+    AQE's broadcast conversion kicks in, a ~1.3× isolated-median
+    regression at sf0.1 (r20 bisect: r19 code 3.39s vs hint-less HEAD
+    4.8–5.2s, same host).  The count() here is one extra pass over the
+    CACHED candidate set — the candidate pipeline runs once either way.
     """
     # persist: the hashed shingles feed the signature agg AND both
     # sides of the verification join ((id, long) pairs only — tiny
     # relative to the corpus; LRU-evicted when memory is needed).
     sh = _hashed_shingles(docs, k, text_col, id_col, seed).persist()
     sig = _signatures_from_shingles(sh, num_perm, seed)
-    cands = minhash_lsh_candidates(sig, bands, rows_per_band)
+    cands = minhash_lsh_candidates(sig, bands, rows_per_band).persist()
+    n_cands = cands.count()
     # exact verification: hash-join restricted to candidate ids —
     # reuses the cached hashed shingles; intersection/union counts over
     # 64-bit hashes equal the string-shingle counts modulo collisions.
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), "h")
     sb = sh.select(F.col("id").alias("id_b"), "h")
-    # No broadcast hint on `cands` (VERDICT r19 task 1): candidate-pair
-    # volume tracks the corpus's DUPLICATE MASS, not just LSH bucket
-    # design — a near-dup-heavy crawl yields billions of pairs, far past
-    # broadcastable, and a forced hint would OOM the executors instead
-    # of degrading to a shuffle join.  AQE decides from runtime stats:
-    # small candidate sets (the common case) still become a
-    # BroadcastHashJoin at stage boundary; huge ones fall back to a
-    # plain hash-shuffle join on id_a.  Non-broadcast path verified by
+    # Row-count-guarded broadcast (see docstring): small candidate sets
+    # (the common case) broadcast so the big shingle side never
+    # shuffles; past the bound the hint is withheld and the join is a
+    # plain hash-shuffle join on id_a.  The shuffle path is pinned by
     # tests/test_plans.py::test_minhash_verification_join_survives_no_broadcast.
+    cands_j = F.broadcast(cands) if n_cands <= broadcast_max_candidates else cands
     inter = (
-        cands.join(sa, "id_a").join(sb, ["id_b", "h"]).groupBy("id_a", "id_b")
+        cands_j.join(sa, "id_a").join(sb, ["id_b", "h"]).groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))

@@ -738,13 +738,17 @@ def test_exact_assign_argmin_folds_single_evaluated(spark):
 def test_minhash_verification_join_survives_no_broadcast(spark):
     """The MinHash verification join's 100 TB fallback (VERDICT r19
     task 1): candidate-pair volume tracks the corpus's duplicate mass,
-    so `cands` must NOT carry a forced broadcast hint — on a near-dup-
-    heavy crawl it is billions of rows and a hint would OOM instead of
-    degrading to a shuffle join.  With broadcast disabled entirely
-    (static + AQE thresholds at -1), the operator must (a) execute and
-    return the same pair set as the default config — proving no hint
-    forces a broadcast past the threshold — and (b) finalize with zero
-    BroadcastHashJoin nodes, i.e. the shuffle path genuinely engages."""
+    so the broadcast of `cands` must be ROW-COUNT-GUARDED — on a
+    near-dup-heavy crawl it is billions of rows and an unconditional
+    hint would OOM instead of degrading to a shuffle join.  Past the
+    guard (``broadcast_max_candidates=0``, with static + AQE broadcast
+    thresholds at -1 so nothing re-broadcasts behind the guard's back),
+    the operator must (a) execute and return the same pair set as the
+    default config and (b) finalize with zero BroadcastHashJoin nodes —
+    the shuffle path genuinely engages.  Below the guard (defaults),
+    the executed plan must still broadcast the candidate set, so small
+    corpora keep the shuffle-free shingle probe (the r20 bisect put the
+    hint-less AQE path at ~1.3× on the isolated median)."""
     from datafusion_randgen_spark.operators import dedup
 
     docs = spark.createDataFrame(
@@ -757,11 +761,13 @@ def test_minhash_verification_join_survives_no_broadcast(spark):
         ],
         "doc_id long, text string",
     )
+    default_out = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.4)
     expected = {
-        (r.id_a, r.id_b, r.jaccard)
-        for r in dedup.minhash_lsh_dedup_pairs(docs, threshold=0.4).collect()
+        (r.id_a, r.id_b, r.jaccard) for r in default_out.collect()
     }
     assert (1, 2, 1.0) in expected  # sanity: default path finds the dup
+    # small corpus ⇒ the guard admits the broadcast: shingles never shuffle
+    assert "BroadcastHashJoin" in plans.physical_plan(default_out)
 
     conf = spark.conf
     keys = (
@@ -772,7 +778,13 @@ def test_minhash_verification_join_survives_no_broadcast(spark):
     try:
         for k in keys:
             conf.set(k, "-1")
-        out = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.4)
+        # the operator persists its shingle/candidate frames; drop the
+        # copies cached under default thresholds, else CacheManager
+        # splices their broadcast-containing plans into this arm's tree
+        spark.catalog.clearCache()
+        out = dedup.minhash_lsh_dedup_pairs(
+            docs, threshold=0.4, broadcast_max_candidates=0
+        )
         got = {(r.id_a, r.id_b, r.jaccard) for r in out.collect()}
         assert got == expected
         final = plans.physical_plan(out)
