@@ -287,15 +287,12 @@ def _signatures_from_shingles(sh: DataFrame, num_perm: int, seed: int) -> DataFr
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
 
 
-def minhash_lsh_candidates(
+def _lsh_buckets(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH bucket.
-
-    Buckets are hash(band_id, band-slice-of-signature); the join is a
-    pure equi-join on the bucket key, so Catalyst shuffles bucket keys
-    only.  P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands.
-    """
+    """``(id, band, bucket)`` LSH bucket keys — one row per (doc, band),
+    bucket = hash(band-slice-of-signature).  Shared by the candidate
+    self-join and the r20 broadcast-guard probe."""
     slices = F.array(
         *[
             F.struct(
@@ -307,9 +304,42 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    buckets = signatures.select("id", F.explode(slices).alias("bb")).select(
+    return signatures.select("id", F.explode(slices).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pair_bound(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> int:
+    """Cheap UPPER bound on the distinct LSH candidate-pair count:
+    Σ over (band, bucket) of b·(b−1)/2 for bucket size b.  Every
+    distinct pair collides in ≥1 band, so bound ≥ actual; a pair
+    colliding in m bands is counted m times, so the bound is loose by
+    at most ``bands``×.  Cost: one groupBy over the bucket keys — the
+    SAME shuffle key distribution as the candidate self-join, but an
+    aggregate instead of a join, so candidate pairs are never
+    materialized just to be counted (code review r20)."""
+    buckets = _lsh_buckets(signatures, bands, rows_per_band)
+    row = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count("*").alias("b"))
+        .agg(F.sum(F.col("b") * (F.col("b") - F.lit(1)) / F.lit(2)).alias("bound"))
+        .first()
+    )
+    return int(row["bound"] or 0)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH bucket.
+
+    Buckets are hash(band_id, band-slice-of-signature); the join is a
+    pure equi-join on the bucket key, so Catalyst shuffles bucket keys
+    only.  P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands.
+    """
+    buckets = _lsh_buckets(signatures, bands, rows_per_band)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -341,39 +371,52 @@ def minhash_lsh_dedup_pairs(
     (a semi-join prune), so verification cost tracks candidate volume.
 
     ``broadcast_max_candidates`` (r20, VERDICT r19 task 1): candidate
-    PAIRS are broadcast into the verification join only when their
-    measured count is at or below this bound (4M pairs ≈ 128 MB at
-    ~32 B/row — safe for executors on a 1000-node cluster); above it
+    pairs are broadcast into the verification join only when
+    :func:`lsh_candidate_pair_bound` — a cheap per-bucket histogram
+    probe that UPPER-bounds the pair count without materializing a
+    single pair — is at or below this value (4M pairs ≈ 128 MB at
+    ~32 B/row, safe for executors on a 1000-node cluster); above it
     the join degrades to a plain hash-shuffle join on the id keys.
     The old unconditional ``F.broadcast(cands)`` was a 100 TB OOM
     hazard: candidate volume tracks the corpus's DUPLICATE MASS, and a
-    near-dup-heavy crawl yields billions of pairs.  A pure-AQE fallback
-    (no hint at all) was measured first and rejected: the initially
-    planned sort-merge join shuffle-writes the big shingle side before
-    AQE's broadcast conversion kicks in, a ~1.3× isolated-median
-    regression at sf0.1 (r20 bisect: r19 code 3.39s vs hint-less HEAD
-    4.8–5.2s, same host).  The count() here is one extra pass over the
-    CACHED candidate set — the candidate pipeline runs once either way.
+    near-dup-heavy crawl yields billions of pairs.  Two fallbacks were
+    measured and rejected (r20 bisect, isolated 8-rep medians at
+    sf0.1): a pure-AQE no-hint variant shuffle-writes the big shingle
+    side before AQE's broadcast conversion kicks in (4.8–5.2s vs the
+    r19 control's 3.39s, ~1.3×), and a persist-then-count() guard
+    would cache the full pair set — billions of rows in exactly the
+    scenario the guard exists for — just to count it.  The probe is
+    one aggregate job launched at call time (the one eager action in
+    this function; the bound is conservative by up to ``bands``×, so
+    a loose bound can only withhold the broadcast, never force it).
+    Guarded HEAD reads 0.968× of first-recorded.
     """
     # persist: the hashed shingles feed the signature agg AND both
     # sides of the verification join ((id, long) pairs only — tiny
     # relative to the corpus; LRU-evicted when memory is needed).
     sh = _hashed_shingles(docs, k, text_col, id_col, seed).persist()
-    sig = _signatures_from_shingles(sh, num_perm, seed)
-    cands = minhash_lsh_candidates(sig, bands, rows_per_band).persist()
-    n_cands = cands.count()
+    # persist the signatures too (r20): the probe AND the candidate
+    # self-join both consume them, and the signature aggregate is the
+    # operator's dominant CPU (64 permutation mins per doc) — without
+    # the cache it runs twice and the isolated median reads ~2.7× (an
+    # un-cached probe variant was measured and rejected).  One row of
+    # 64 longs per doc ≈ 0.5 KB — linear in the corpus like `sh`
+    # above, NOT the O(pairs) candidate cache rejected in review.
+    sig = _signatures_from_shingles(sh, num_perm, seed).persist()
+    bound = lsh_candidate_pair_bound(sig, bands, rows_per_band)
+    cands = minhash_lsh_candidates(sig, bands, rows_per_band)
     # exact verification: hash-join restricted to candidate ids —
     # reuses the cached hashed shingles; intersection/union counts over
     # 64-bit hashes equal the string-shingle counts modulo collisions.
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), "h")
     sb = sh.select(F.col("id").alias("id_b"), "h")
-    # Row-count-guarded broadcast (see docstring): small candidate sets
+    # Bound-guarded broadcast (see docstring): small candidate sets
     # (the common case) broadcast so the big shingle side never
     # shuffles; past the bound the hint is withheld and the join is a
-    # plain hash-shuffle join on id_a.  The shuffle path is pinned by
+    # plain hash-shuffle join on id_a.  Both arms are pinned by
     # tests/test_plans.py::test_minhash_verification_join_survives_no_broadcast.
-    cands_j = F.broadcast(cands) if n_cands <= broadcast_max_candidates else cands
+    cands_j = F.broadcast(cands) if bound <= broadcast_max_candidates else cands
     inter = (
         cands_j.join(sa, "id_a").join(sb, ["id_b", "h"]).groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))

@@ -47,6 +47,24 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(j >= 0.4 for j in pairs.values())
 
 
+def test_lsh_candidate_pair_bound_dominates_actual(docs, spark):
+    # The r20 broadcast-guard probe must UPPER-bound the distinct
+    # candidate-pair count (Σ b·(b−1)/2 per bucket counts each pair
+    # once per colliding band), without materializing any pair.
+    sh = dedup._hashed_shingles(docs, 3, "text", "doc_id", 0)
+    sig = dedup._signatures_from_shingles(sh, 64, 0)
+    bound = dedup.lsh_candidate_pair_bound(sig)
+    actual = dedup.minhash_lsh_candidates(sig).count()
+    assert actual >= 1  # the planted dup pair collides somewhere
+    assert bound >= actual
+    assert bound <= 16 * actual  # loose by at most bands×
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    esig = dedup._signatures_from_shingles(
+        dedup._hashed_shingles(empty, 3, "text", "doc_id", 0), 64, 0
+    )
+    assert dedup.lsh_candidate_pair_bound(esig) == 0
+
+
 def test_simhash_near_pairs(docs):
     pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
     assert (1, 2) in pairs  # identical docs -> identical fingerprints

@@ -738,17 +738,15 @@ def test_exact_assign_argmin_folds_single_evaluated(spark):
 def test_minhash_verification_join_survives_no_broadcast(spark):
     """The MinHash verification join's 100 TB fallback (VERDICT r19
     task 1): candidate-pair volume tracks the corpus's duplicate mass,
-    so the broadcast of `cands` must be ROW-COUNT-GUARDED — on a
-    near-dup-heavy crawl it is billions of rows and an unconditional
-    hint would OOM instead of degrading to a shuffle join.  Past the
-    guard (``broadcast_max_candidates=0``, with static + AQE broadcast
-    thresholds at -1 so nothing re-broadcasts behind the guard's back),
-    the operator must (a) execute and return the same pair set as the
-    default config and (b) finalize with zero BroadcastHashJoin nodes —
-    the shuffle path genuinely engages.  Below the guard (defaults),
-    the executed plan must still broadcast the candidate set, so small
-    corpora keep the shuffle-free shingle probe (the r20 bisect put the
-    hint-less AQE path at ~1.3× on the isolated median)."""
+    so the broadcast of `cands` must be BOUND-GUARDED (the per-bucket
+    histogram probe) — on a near-dup-heavy crawl it is billions of
+    rows and an unconditional hint would OOM instead of degrading to a
+    shuffle join.  Both arms run under broadcast thresholds -1 so the
+    ONLY possible BroadcastHashJoin is the guard's explicit hint:
+    below the guard the hint must appear (shuffle-free shingle probe
+    preserved), past it (``broadcast_max_candidates=0``) the plan must
+    finalize with zero BroadcastHashJoin nodes and identical results —
+    the shuffle path genuinely engages."""
     from datafusion_randgen_spark.operators import dedup
 
     docs = spark.createDataFrame(
@@ -761,13 +759,11 @@ def test_minhash_verification_join_survives_no_broadcast(spark):
         ],
         "doc_id long, text string",
     )
-    default_out = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.4)
     expected = {
-        (r.id_a, r.id_b, r.jaccard) for r in default_out.collect()
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup_pairs(docs, threshold=0.4).collect()
     }
     assert (1, 2, 1.0) in expected  # sanity: default path finds the dup
-    # small corpus ⇒ the guard admits the broadcast: shingles never shuffle
-    assert "BroadcastHashJoin" in plans.physical_plan(default_out)
 
     conf = spark.conf
     keys = (
@@ -775,12 +771,26 @@ def test_minhash_verification_join_survives_no_broadcast(spark):
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
     )
     old = {k: conf.get(k, None) for k in keys}
+    # Both arms run with ALL automatic broadcasting disabled, so the
+    # only possible BroadcastHashJoin is the guard's explicit hint —
+    # AQE auto-broadcasting tiny sides can't make either arm vacuous
+    # (code review r20).  clearCache between arms: the operator
+    # persists its shingle frame, and CacheManager would otherwise
+    # splice one arm's cached physical plan into the other's tree.
     try:
         for k in keys:
             conf.set(k, "-1")
-        # the operator persists its shingle/candidate frames; drop the
-        # copies cached under default thresholds, else CacheManager
-        # splices their broadcast-containing plans into this arm's tree
+        # Arm 1 — below the guard (defaults): the hint must survive
+        # threshold=-1, keeping the shuffle-free shingle probe (the r20
+        # bisect put the hint-less AQE path at ~1.3× isolated median).
+        spark.catalog.clearCache()
+        hinted = dedup.minhash_lsh_dedup_pairs(docs, threshold=0.4)
+        got = {(r.id_a, r.id_b, r.jaccard) for r in hinted.collect()}
+        assert got == expected
+        assert "BroadcastHashJoin" in plans.physical_plan(hinted)
+
+        # Arm 2 — past the guard: no hint anywhere, the verification
+        # join genuinely degrades to a shuffle join.
         spark.catalog.clearCache()
         out = dedup.minhash_lsh_dedup_pairs(
             docs, threshold=0.4, broadcast_max_candidates=0
@@ -797,3 +807,6 @@ def test_minhash_verification_join_survives_no_broadcast(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+        # don't leak no-broadcast cached plan fragments (or held
+        # executor memory) into the rest of the shared-session suite
+        spark.catalog.clearCache()
