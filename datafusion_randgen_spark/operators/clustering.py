@@ -23,8 +23,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_randgen_spark.pinning import pin, unpin
-
 __all__ = ["kmeans", "kmeans_exact_quantized"]
 
 # SQL twin of :func:`argmin_d2` for the exact-replay operators: argmin
@@ -111,21 +109,34 @@ def kmeans(
     Empty clusters keep their previous centroid (the standard fix).
     """
     spark = df.sparkSession
-    dim_row = df.select(F.size(vec_col)).first()
-    if dim_row is None:
-        raise ValueError("kmeans: input DataFrame is empty")
-    dim = dim_row[0]
     init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not init:
+        raise ValueError("kmeans: input DataFrame is empty")
     if len(init) < k:
         raise ValueError(
             f"kmeans: k={k} exceeds the {len(init)} available vectors"
         )
     centroids = np.array([r[0] for r in init], dtype=np.float64)
-    assert centroids.shape == (k, dim)
+    dim = centroids.shape[1]  # from the init rows: no separate size() job
 
     vecs = df.select(id_col, vec_col)
     inertias: list[float] = []
-    prev_stats = None
+    # Element-wise sum of the per-batch partial sum vectors, folded
+    # INSIDE the per-cluster aggregate (r20, guide §1.2/§5): one
+    # groupBy + one k-row collect per iteration.  The pre-r20 loop
+    # pinned the partial frame and ran TWO aggregate+collect jobs over
+    # it (counts/inertia, then a posexplode per-dimension sum) — 3
+    # Spark jobs per iteration where one suffices.  The fold buffers
+    # (#partials-per-cluster × dim) doubles inside one reducer —
+    # partials are O(partitions × k) rows total, the same bound the
+    # posexplode shuffle carried.  FP caveat unchanged: partial
+    # arrival order varies run-to-run either way; callers verify via
+    # tolerant invariants, not exact hashes (see docstring).
+    sums_fold = (
+        "aggregate(collect_list(sums),"
+        f" array_repeat(CAST(0 AS DOUBLE), {dim}),"
+        " (acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+    )
     for _ in range(iterations):
         c_bc = spark.sparkContext.broadcast(centroids)
 
@@ -156,36 +167,23 @@ def kmeans(
             partial_stats,
             schema="cluster int, cnt long, inertia double, sums array<double>",
         )
-        # tiny reduce: partitions × k rows in, k rows out — materialize
-        # the partial frame once so counts and dimension sums don't
-        # re-run the assignment pass; the previous iteration's pin is
-        # released (persist mode) so executor storage stays O(1 round)
-        stats = pin(stats, replaces=prev_stats)
-        prev_stats = stats
-        rows = stats.groupBy("cluster").agg(
-            F.sum("cnt").alias("cnt"), F.sum("inertia").alias("inertia")
-        )
-        sums = (
-            stats.select("cluster", F.posexplode("sums").alias("pos", "s"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("s").alias("s"))
-        )
-        meta = {r["cluster"]: (r["cnt"], r["inertia"]) for r in rows.collect()}
+        # single reduce job: partitions × k partial rows in, k rows out
+        agg_rows = stats.groupBy("cluster").agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("inertia").alias("inertia"),
+            F.expr(sums_fold).alias("sums"),
+        ).collect()
         new_c = centroids.copy()
-        svals = sums.collect()
-        acc = np.zeros((k, dim))
-        for r in svals:
-            acc[r["cluster"], r["pos"]] = r["s"]
         total_inertia = 0.0
-        for c, (cnt, inertia) in meta.items():
-            total_inertia += inertia
-            if cnt > 0:
-                new_c[c] = acc[c] / cnt
+        for r in agg_rows:
+            total_inertia += r["inertia"]
+            if r["cnt"] > 0:
+                new_c[r["cluster"]] = (
+                    np.asarray(r["sums"], dtype=np.float64) / r["cnt"]
+                )
         inertias.append(total_inertia)
         centroids = new_c
         c_bc.destroy()
-    if prev_stats is not None:
-        unpin(prev_stats)  # last iteration's internal pin
 
     final_bc = spark.sparkContext.broadcast(centroids)
 
@@ -256,7 +254,13 @@ def kmeans_exact_quantized(
     dim = centroids.shape[1]
 
     trajectory: list[tuple[int, int, int, int, int, int]] = []
-    prev_stats = None
+    # same single-job reduce as :func:`kmeans` (r20) — exact here:
+    # integer sums are associative, so the fold order cannot move a bit
+    sums_fold = (
+        "aggregate(collect_list(sums),"
+        f" array_repeat(CAST(0 AS BIGINT), {dim}),"
+        " (acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+    )
     for it in range(1, iterations + 1):
         c_bc = spark.sparkContext.broadcast(centroids)
 
@@ -290,22 +294,17 @@ def kmeans_exact_quantized(
             partial_stats,
             schema="cluster int, cnt long, inertia long, sums array<long>",
         )
-        stats = pin(stats, replaces=prev_stats)
-        prev_stats = stats
+        agg_rows = stats.groupBy("cluster").agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("inertia").alias("inertia"),
+            F.expr(sums_fold).alias("sums"),
+        ).collect()
         meta = {
-            r["cluster"]: (int(r["cnt"]), int(r["inertia"]))
-            for r in stats.groupBy("cluster")
-            .agg(F.sum("cnt").alias("cnt"), F.sum("inertia").alias("inertia"))
-            .collect()
+            r["cluster"]: (int(r["cnt"]), int(r["inertia"])) for r in agg_rows
         }
         acc = np.zeros((k, dim), dtype=np.int64)
-        for r in (
-            stats.select("cluster", F.posexplode("sums").alias("pos", "s"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("s").alias("s"))
-            .collect()
-        ):
-            acc[r["cluster"], r["pos"]] = r["s"]
+        for r in agg_rows:
+            acc[r["cluster"]] = np.asarray(r["sums"], dtype=np.int64)
         iter_inertia = sum(i for _, i in meta.values())
         new_c = centroids.copy()
         for c, (cnt, _) in meta.items():
@@ -319,6 +318,4 @@ def kmeans_exact_quantized(
                 trajectory.append(
                     (it, c, p, int(centroids[c, p]), n_c, iter_inertia)
                 )
-    if prev_stats is not None:
-        unpin(prev_stats)  # last iteration's internal pin
     return trajectory, centroids

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_randgen_spark.pinning import pin, unpin
+from datafusion_randgen_spark.pinning import (
+    LOCAL_CHECKPOINT,
+    get_pin_strategy,
+    pin,
+    unpin,
+)
 
 __all__ = ["pagerank", "bfs_distances"]
 
@@ -42,25 +47,36 @@ def pagerank(
     an exact-value oracle can verify the output (the same trick the
     catalog uses for floating aggregates).  Pass None for raw doubles.
 
-    Scale design: the rank frame is (node, rank) — tiny relative to
-    edges; the per-iteration join shuffles edges by src ONCE (Catalyst
-    reuses the exchange across iterations when the loop is unrolled in
-    one plan) and re-aggregates by dst.  For long iteration counts,
-    callers should ``localCheckpoint`` every few rounds exactly as
-    ``connected_components`` does; at 3-5 iterations lineage stays
-    shallow enough to skip it.
+    Scale design (r20): the edge list is pinned ONCE
+    (:mod:`datafusion_randgen_spark.pinning`) and ``nodes`` /
+    ``norm_edges`` are pinned derivations of it, so the unrolled
+    iteration plan iterates over two cached leaves — before the pins,
+    every iteration's join/aggregate branch re-planned (and, absent a
+    runtime exchange reuse, re-executed) the whole upstream edge
+    pipeline: the r20 before-plan of ``q_pagerank_transitions`` shows
+    28 parquet scans of the events table in ONE plan, zero reused.
+    The rank frame is (node, rank) — tiny relative to edges; each
+    iteration is one join + one re-aggregation by dst over the cached
+    edge share table.  Pin ownership: the returned frame derives from
+    the pins, which stay pinned under ``persist`` — long-running
+    callers release them via ``spark.catalog.clearCache()`` when done
+    (no-op under the default ``localCheckpoint`` mode).
     """
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    src_edges = pin(edges.select("src", "dst", "w"))
+    nodes = pin(
+        src_edges.select(F.col("src").alias("node"))
+        .union(src_edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        eager=False,
     )
-    n = nodes.count()
+    n = nodes.count()  # materializes the lazy nodes pin in the same job
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    norm_edges = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
+    out_w = src_edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm_edges = pin(
+        src_edges.join(out_w, "src").select(
+            "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
+        )
     )
 
     def _round(c):
@@ -99,26 +115,35 @@ def bfs_distances(
     Each round expands the current frontier through ONE hash equi-join
     on ``src``, dedups, and anti-joins the visited set — so a round
     shuffles (frontier × out-degree) candidate rows, never the whole
-    graph's distance state.  The per-round pin
-    (:mod:`datafusion_randgen_spark.pinning`: ``localCheckpoint``
-    truncates the growing lineage, the same discipline as
-    ``dedup.connected_components``; ``persist`` keeps it for
-    executor-churn fault tolerance); the per-round ``isEmpty`` probe is
-    the standard convergence action (limit-1 scan, not a collect of
-    data).  Frontier-based BFS touches each edge at most once per
-    incident frontier round — on a 100 TB edge list the per-round cost
-    is proportional to the frontier's out-edges, and the visited set
-    holds (node, dist) pairs only.
+    graph's distance state.  Frontier-based BFS touches each edge at
+    most once per incident frontier round — on a 100 TB edge list the
+    per-round cost is proportional to the frontier's out-edges, and
+    the visited set holds (node, dist) pairs only.
 
-    Pin ownership (ADVICE r11): intermediate frontier pins are released
-    as they are superseded, and the TERMINAL frontier (the empty one
-    that stops the loop, or the last one when ``max_hops`` exhausts) is
-    released here before returning — its rows are already folded into
-    the visited pin.  The RETURNED frame is the final visited pin and
-    stays pinned under the ``persist`` strategy (same contract as
-    ``dedup.connected_components`` / ``dedup.semantic_dedup``):
-    long-running callers own its release via ``pinning.unpin`` — or
-    ``spark.catalog.clearCache()`` — once done with the result.
+    Round mechanics under the default ``localCheckpoint`` pin strategy
+    (r20 — guide §1.2 "the distributed algorithm" / §5 driver work):
+    ONE Spark job per hop.  The new frontier is pinned LAZILY and
+    materialized by the ``count()`` emptiness probe, and ``visited``
+    is the logical UNION of the per-hop checkpoint leaves — it is
+    never re-materialized.  The pre-r20 loop ran 3 jobs per hop
+    (eager frontier checkpoint, ``isEmpty`` probe, eager
+    ``visited ∪ frontier`` re-checkpoint), and the visited re-pin
+    re-copied the ENTIRE visited set every hop — O(V) extra work per
+    round, O(V·hops) total.  The union's plan stays shallow: one
+    cached leaf per hop, bounded by ``max_hops``.
+
+    Under ``persist`` the pre-r20 loop is kept verbatim: lineage is
+    not truncated there, so a union-of-pins visited set would nest
+    each hop's anti-join plan inside the next (exponential analysis
+    cost), and the single-owned-pin contract below is part of the
+    strategy's documented API.
+
+    Pin ownership (ADVICE r11): under ``persist``, intermediate
+    frontier pins are released as they are superseded and exactly one
+    pinned frame — the returned visited set — survives the call;
+    long-running callers release it via ``pinning.unpin`` or
+    ``spark.catalog.clearCache()``.  Under ``localCheckpoint`` the
+    per-hop checkpoint blocks are GC'd with the returned DataFrame.
     """
     frontier = (
         edges.sparkSession.range(1)
@@ -128,13 +153,28 @@ def bfs_distances(
         )
     )
     visited = frontier
-    for hop in range(1, max_hops + 1):
-        frontier = pin(
-            frontier.join(edges, frontier.node == edges.src)
+
+    def _expand(cur: DataFrame, seen: DataFrame, hop: int) -> DataFrame:
+        return (
+            cur.join(edges, cur.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("dist", F.lit(hop)),
+            .join(seen.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+
+    if get_pin_strategy() == LOCAL_CHECKPOINT:
+        for hop in range(1, max_hops + 1):
+            nxt = pin(_expand(frontier, visited, hop), eager=False)
+            if nxt.count() == 0:  # materializes the lazy pin, one job
+                break
+            frontier = nxt
+            visited = visited.union(nxt)
+        return visited
+
+    for hop in range(1, max_hops + 1):
+        frontier = pin(
+            _expand(frontier, visited, hop),
             replaces=frontier if hop > 1 else None,
         )
         if frontier.isEmpty():
