@@ -34,6 +34,7 @@ __all__ = [
     "global_cumsum",
     "global_running_max",
     "global_ntile",
+    "global_ntile_multi",
     "global_row_number",
     "exact_percentiles",
 ]
@@ -238,6 +239,84 @@ def global_ntile(
         .withColumn(out_col, tile.cast("long"))
         .drop("__bucket", "__rn", "__off", "__n")
     )
+
+
+def global_ntile_multi(
+    df: DataFrame,
+    specs: list[tuple[str, str, int, int]],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Several exact :func:`global_ntile` scores over the SAME frame in
+    one plan — ``specs`` is a list of ``(sort_col, tiebreak_col,
+    n_tiles, out_col)``.
+
+    Each score is a pure function of ``df`` alone, so (r20, guide
+    §1.2/§2.4) all range-bucket boundaries come from ONE multi-column
+    ``approxQuantile`` pass and every score's bucket totals derive from
+    ``df`` directly — where chaining :func:`global_ntile` calls ran a
+    separate eager stats pass per score over the growing joined frame
+    and forced a materialization between scores (measured on sf0.1
+    ``q_rfm_segmentation``: 3 stacked ntiles 3.56s/33 jobs → fused
+    1.68s/13 jobs, identical rows).  The per-score exchanges (one
+    bucket-local window each) chain inside the single plan.
+
+    Same preconditions as :func:`global_ntile` per spec, plus the
+    :func:`_range_bucket` caller contract: ``df`` should be a cheap
+    frame — materialization-pin it first when upstream is expensive
+    (the stats pass executes its subtree eagerly, and each score's
+    totals re-derive from it)."""
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    n = max(1, n)
+    if n > 1:
+        qs = [i / n for i in range(1, n)]
+        all_bounds = df.stat.approxQuantile([s[0] for s in specs], qs, 0.01)
+    else:
+        all_bounds = [[] for _ in specs]
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731  (exact, see global_ntile)
+    out = df
+    for (sort_col, tiebreak_col, n_tiles, out_col), raw in zip(
+        specs, all_bounds
+    ):
+        bucket = F.lit(0)
+        for b in sorted(set(raw)):
+            bucket = bucket + (F.col(sort_col) > F.lit(b)).cast("int")
+        bucket = F.when(F.col(sort_col).isNull(), F.lit(0)).otherwise(bucket)
+        bcol, rncol = f"__bkt_{out_col}", f"__rn_{out_col}"
+        local_w = Window.partitionBy(bcol).orderBy(sort_col, tiebreak_col)
+        out = out.withColumn(bcol, bucket).withColumn(
+            rncol, F.row_number().over(local_w).cast("long")
+        )
+        # totals from the INPUT frame (scores are independent of each
+        # other), so the offsets subplan never nests the chained scores
+        totals = (
+            df.withColumn(bcol, bucket)
+            .groupBy(bcol)
+            .agg(F.count("*").alias("__cnt"))
+        )
+        off_w = Window.orderBy(bcol).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = totals.select(
+            bcol,
+            F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off"),
+            F.sum("__cnt").over(
+                Window.orderBy(bcol).rangeBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("__n"),
+        )
+        i = F.col(rncol) - 1 + F.col("__off")
+        k = F.lit(int(n_tiles))
+        q = idiv(F.col("__n"), k)
+        r = F.col("__n") % k
+        tile = F.when(
+            i < r * (q + 1), idiv(i, q + 1) + 1
+        ).otherwise(r + idiv(i - r * (q + 1), q) + 1)
+        out = (
+            out.join(F.broadcast(offsets), bcol)
+            .withColumn(out_col, tile.cast("long"))
+            .drop(bcol, rncol, "__off", "__n")
+        )
+    return out
 
 
 def global_row_number(

@@ -8532,7 +8532,8 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule-based segment label — the standard marketing-analytics shape.
 
     Scale design: one shuffle for the per-user aggregate; the three
-    quartile scores come from ``operators/scale.global_ntile`` — exact
+    quartile scores come from ``operators/scale.global_ntile_multi``
+    (one multi-column stats pass, all scores in one plan) — exact
     SQL-standard ntile via range-bucketed row numbers + closed-form
     tile assignment — NOT three unpartitioned ``ntile()`` windows,
     which Catalyst plans as Exchange SinglePartition over the whole
@@ -8546,28 +8547,28 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    # checkpoints between the chained ntiles: each global_ntile runs a
-    # range-bucket stats pass (approxQuantile) over its input, which
-    # would otherwise re-execute everything upstream — the purchase
-    # scan + aggregate would run ~6x across the three scores
+    # one pin, then all three quartile scores in ONE plan via
+    # global_ntile_multi (single multi-column stats pass) — the pre-r20
+    # chain of three global_ntile calls ran an eager approxQuantile per
+    # score over the growing joined frame, forcing two more
+    # materializations between them
     rfm = ev.groupBy("user_id").agg(
         F.datediff(
             F.lit("2024-03-01").cast("date"), F.max("ts").cast("date")
         ).cast("long").alias("recency_days"),
         F.count("*").alias("frequency"),
         F.round(F.sum("value"), 2).alias("monetary"),
+    ).withColumn("__negf", -F.col("frequency")).withColumn(
+        "__negm", -F.col("monetary")
     ).localCheckpoint(eager=True)
-    scored = scale.global_ntile(
-        rfm, "recency_days", "user_id", 4, "r_score"
-    ).localCheckpoint(eager=True)
-    scored = scale.global_ntile(
-        scored.withColumn("__negf", -F.col("frequency")),
-        "__negf", "user_id", 4, "f_score",
-    ).drop("__negf").localCheckpoint(eager=True)
-    scored = scale.global_ntile(
-        scored.withColumn("__negm", -F.col("monetary")),
-        "__negm", "user_id", 4, "m_score",
-    ).drop("__negm")
+    scored = scale.global_ntile_multi(
+        rfm,
+        [
+            ("recency_days", "user_id", 4, "r_score"),
+            ("__negf", "user_id", 4, "f_score"),
+            ("__negm", "user_id", 4, "m_score"),
+        ],
+    ).drop("__negf", "__negm")
     return scored.select(
         "user_id", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",

@@ -520,7 +520,10 @@ def test_skyline_and_rfm_no_corpus_single_partition(spark):
     # the data path must be bucket-hash-clustered, and ntile itself must
     # be gone from the RFM plan (closed-form tile, no global ntile window)
     assert "hashpartitioning(__bucket" in sky
-    assert "hashpartitioning(__bucket" in rfm
+    # r20: RFM scores fused into global_ntile_multi — one per-score
+    # bucket window each, still range-bucket-clustered on the data path
+    for score in ("r_score", "f_score", "m_score"):
+        assert f"hashpartitioning(__bkt_{score}" in rfm
     assert "ntile" not in rfm
 
 
