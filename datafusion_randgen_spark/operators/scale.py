@@ -402,54 +402,74 @@ def exact_percentiles(
     ``(group_col, p, pct_value)``.
     """
     df = df.filter(F.col(value_col).isNotNull())
-    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("__k"))
+    base = df.groupBy(group_col, value_col).agg(F.count("*").alias("__k"))
     cum_w = (
         Window.partitionBy(group_col)
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    hist = hist.withColumn("__c", F.sum("__k").over(cum_w))
-    totals = hist.groupBy(group_col).agg(F.max("__c").alias("__n"))
+    hist = base.withColumn("__c", F.sum("__k").over(cum_w))
+    # group sizes from the PRE-window histogram (sum of counts — no
+    # window needed), so the totals subtree shares the histogram
+    # shuffle via AQE stage reuse instead of re-running the cumulative
+    # window (r20, guide §2.4)
+    totals = base.groupBy(group_col).agg(F.sum("__k").alias("__n"))
 
-    # (group, p) rank frame: tiny — groups × len(ps) rows
+    # (group, p, side) lookup frame: tiny — groups × len(ps) × 2 rows.
+    # Both ordinal positions (floor/ceil of the continuous rank) ride
+    # ONE side-tagged frame so a SINGLE broadcast range join resolves
+    # lo and hi together — the pre-r20 form ran one join per side and
+    # re-joined the two results, so the histogram pipeline appeared
+    # twice more in the plan (measured on the two percentile entries:
+    # see OPTIMIZATION_r20.md)
     p_lit = F.array(*[F.lit(float(p)) for p in ps])
     ranks = (
         totals.select(group_col, "__n", F.explode(p_lit).alias("p"))
         .withColumn("__r", F.lit(1.0) + F.col("p") * (F.col("__n") - 1))
-        .withColumn("__k1", F.floor("__r").cast("long"))
-        .withColumn("__k2", F.ceil("__r").cast("long"))
-        .withColumn("__frac", F.col("__r") - F.col("__k1"))
-    )
-
-    def _value_at(pos_col: str, out: str) -> DataFrame:
-        """value at ordinal ``pos`` = the histogram row covering it."""
-        rk = ranks.select(
+        .withColumn("__frac", F.col("__r") - F.floor("__r"))
+        .select(
             F.col(group_col).alias("__g"),
             "p",
-            F.col(pos_col).alias("__pos"),
             "__frac",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.floor("__r").cast("long").alias("__pos"),
+                        F.lit("lo").alias("__side"),
+                    ),
+                    F.struct(
+                        F.ceil("__r").cast("long").alias("__pos"),
+                        F.lit("hi").alias("__side"),
+                    ),
+                )
+            ).alias("__e"),
         )
-        return (
-            hist.join(
-                F.broadcast(rk),
-                on=[
-                    F.col(group_col) == F.col("__g"),
-                    F.col("__pos") > F.col("__c") - F.col("__k"),
-                    F.col("__pos") <= F.col("__c"),
-                ],
-            )
-            .select(
-                group_col,
-                "p",
-                "__frac",
-                F.col(value_col).cast("double").alias(out),
-            )
-        )
-
-    lo = _value_at("__k1", "__lo")
-    hi = _value_at("__k2", "__hi").drop("__frac")
+        .select("__g", "p", "__frac", "__e.__pos", "__e.__side")
+    )
+    # value at ordinal pos = the histogram row covering it: a row with
+    # cumulative count c and count k covers positions (c-k, c]
+    looked = hist.join(
+        F.broadcast(ranks),
+        on=[
+            F.col(group_col) == F.col("__g"),
+            F.col("__pos") > F.col("__c") - F.col("__k"),
+            F.col("__pos") <= F.col("__c"),
+        ],
+    ).select(
+        group_col,
+        "p",
+        "__frac",
+        "__side",
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    side_v = lambda s: F.max(F.when(F.col("__side") == s, F.col("__v")))  # noqa: E731
     return (
-        lo.join(hi, [group_col, "p"])
+        looked.groupBy(group_col, "p")
+        .agg(
+            side_v("lo").alias("__lo"),
+            side_v("hi").alias("__hi"),
+            F.max("__frac").alias("__frac"),
+        )
         .select(
             group_col,
             "p",
