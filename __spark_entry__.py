@@ -165,12 +165,46 @@ _NAMED_WEIGHT = {
 # and `q_correlated_scalar_subquery` lowered its multiplier 1.2 → 1.01
 # in BOTH the Spark SQL and the oracle (the old value matched nothing
 # at any test SF, so the r19 green hash-pinned an empty result).  Both
-# must re-earn their rows ahead of unchanged greens.  Window check
-# (computed): d_minhash_lsh_pairs is itself r15-vintage, so the window
-# is all 25 r15 greens (VERDICT r19 task 2) + the 24 oldest r16s + the
-# r19-green correlated-subquery re-verify — Counter({15: 25, 16: 24,
-# 19: 1}); no entry's latest green is older than r16 after r20.
-_REVERIFY: set[str] = {"d_minhash_lsh_pairs", "q_correlated_scalar_subquery"}
+# must re-earn their rows ahead of unchanged greens.
+# r20 OPTIMIZATION pass (same round, later session): the operator
+# restructures below are all result-identical (each A/B'd cell-for-cell
+# and oracle-checked at sf0.01 before commit), but every entry whose
+# computation path changed re-verifies ahead of unchanged greens:
+# - clustering.kmeans / kmeans_exact_quantized single-job reduce →
+#   s_kmeans_embeddings, s_kmeans_exact_replay, and the consumers
+#   d_semantic_dedup, d_semdedup_exact_replay, s_ann_ivf_recall,
+#   s_ivfpq_search, s_ivfpq_recall_curve, s_ivfpq_exact_replay;
+# - graph.pagerank pinned-leaf iteration / bfs_distances 1-job hops →
+#   q_pagerank_transitions, q_bfs_shortest_path;
+# - dedup.connected_components monotone-sum probe →
+#   d_connected_components, d_dedup_clusters, d_dedup_keep_best;
+# - scale.global_ntile_multi fusion → q_rfm_segmentation;
+# - scale.exact_percentiles lo/hi single-join → q_exact_pctl_histogram,
+#   q_median_impute.
+# Window check: 18 re-verifies + the 25 r15-vintage rotations
+# (VERDICT r19 task 2; d_minhash_lsh_pairs and 5 re-verifies are
+# themselves r15-vintage) still fit the 50-entry window with room for
+# the oldest r16 refreshes.
+_REVERIFY: set[str] = {
+    "d_minhash_lsh_pairs",
+    "q_correlated_scalar_subquery",
+    "s_kmeans_embeddings",
+    "s_kmeans_exact_replay",
+    "d_semantic_dedup",
+    "d_semdedup_exact_replay",
+    "s_ann_ivf_recall",
+    "s_ivfpq_search",
+    "s_ivfpq_recall_curve",
+    "s_ivfpq_exact_replay",
+    "q_pagerank_transitions",
+    "q_bfs_shortest_path",
+    "d_connected_components",
+    "d_dedup_clusters",
+    "d_dedup_keep_best",
+    "q_rfm_segmentation",
+    "q_exact_pctl_histogram",
+    "q_median_impute",
+}
 
 
 def _past_results() -> tuple[set[str], set[str], dict[str, int]]:
