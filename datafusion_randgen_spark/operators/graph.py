@@ -25,6 +25,14 @@ from datafusion_randgen_spark.pinning import (
 
 __all__ = ["pagerank", "bfs_distances"]
 
+# BFS visited-set fold window (localCheckpoint mode): the leaf union is
+# compacted into one checkpoint every this-many hops.  Measured on the
+# sf0.1 q_bfs_shortest_path entry (~16 live hops): no fold = 1.25× of
+# the pre-r20 eager-re-pin loop (plan grows a cached leaf per hop);
+# fold-every-6 recovers it while copying the visited set only
+# hops/6 times instead of every hop.
+_VISITED_FOLD_EVERY = 6
+
 
 def pagerank(
     edges: DataFrame,
@@ -124,13 +132,19 @@ def bfs_distances(
     (r20 — guide §1.2 "the distributed algorithm" / §5 driver work):
     ONE Spark job per hop.  The new frontier is pinned LAZILY and
     materialized by the ``count()`` emptiness probe, and ``visited``
-    is the logical UNION of the per-hop checkpoint leaves — it is
-    never re-materialized.  The pre-r20 loop ran 3 jobs per hop
-    (eager frontier checkpoint, ``isEmpty`` probe, eager
+    is the logical UNION of the per-hop checkpoint leaves, FOLDED into
+    a single checkpoint every ``_VISITED_FOLD_EVERY`` hops (the fold
+    pin is itself lazy — the next hop's probe job materializes it, so
+    the 1-job/hop contract holds).  The pre-r20 loop ran 3 jobs per
+    hop (eager frontier checkpoint, ``isEmpty`` probe, eager
     ``visited ∪ frontier`` re-checkpoint), and the visited re-pin
     re-copied the ENTIRE visited set every hop — O(V) extra work per
-    round, O(V·hops) total.  The union's plan stays shallow: one
-    cached leaf per hop, bounded by ``max_hops``.
+    round, O(V·hops) total.  The pure union-of-leaves variant (first
+    r20 cut) never re-copies, but its per-hop plan carries one leaf
+    per PRIOR hop and the growing analysis/scan overhead measured
+    1.25× on the sf0.1 entry (interleaved A/B, 4 pairs).  The fold
+    bounds both: plan depth ≤ fold window, visited copied
+    O(V·hops/window) instead of O(V·hops).
 
     Under ``persist`` the pre-r20 loop is kept verbatim: lineage is
     not truncated there, so a union-of-pins visited set would nest
@@ -164,12 +178,21 @@ def bfs_distances(
         )
 
     if get_pin_strategy() == LOCAL_CHECKPOINT:
+        leaves = 0
         for hop in range(1, max_hops + 1):
             nxt = pin(_expand(frontier, visited, hop), eager=False)
             if nxt.count() == 0:  # materializes the lazy pin, one job
                 break
             frontier = nxt
             visited = visited.union(nxt)
+            leaves += 1
+            if leaves >= _VISITED_FOLD_EVERY:
+                # fold the leaf union into ONE lazy checkpoint (next
+                # hop's probe job materializes it): plan depth stays
+                # ≤ _VISITED_FOLD_EVERY leaves, visited is copied only
+                # every window instead of every hop
+                visited = pin(visited, eager=False)
+                leaves = 0
         return visited
 
     for hop in range(1, max_hops + 1):

@@ -132,6 +132,22 @@ def test_bfs_max_hops_truncates(spark):
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_bfs_distances_exact_across_visited_fold_boundaries(spark):
+    """r20 fold window: a chain strictly longer than two
+    ``_VISITED_FOLD_EVERY`` windows crosses ≥2 lazy visited-set folds
+    (localCheckpoint mode); every hop's distance — including the hops
+    immediately after each fold, where the anti-join reads the folded
+    checkpoint instead of the leaf union — must stay exact, and nodes
+    already folded must not be rediscovered at a larger distance."""
+    n = 2 * graph._VISITED_FOLD_EVERY + 3
+    e = _long_edges(spark, [(i, i + 1) for i in range(n)])
+    got = {
+        r.node: r.dist
+        for r in graph.bfs_distances(e, 0, max_hops=n + 1).collect()
+    }
+    assert got == {i: i for i in range(n + 1)}
+
+
 def test_argmin_d2_chunked_matches_full():
     """The centroid-chunked assign kernel must agree with the
     full-matrix path (same argmin everywhere, distances equal to
