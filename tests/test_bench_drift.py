@@ -175,7 +175,7 @@ def test_fam_cost_classes_cover_all_bench_families():
     declaration, and each declares at least shuffle (all families run
     JVM jobs)."""
     for fam in ("gen", "tpch", "events", "dedup", "iterative",
-                "similarity", "text"):
+                "similarity", "text", "scaling"):
         classes = bench.FAM_COST_CLASSES[fam]
         assert "shuffle" in classes
         assert set(classes) <= set(bench.PROBE_CLASSES)

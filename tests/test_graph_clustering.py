@@ -148,6 +148,20 @@ def test_bfs_distances_exact_across_visited_fold_boundaries(spark):
     assert got == {i: i for i in range(n + 1)}
 
 
+def test_bfs_fold_skipped_on_final_hop_still_exact(spark):
+    """ADVICE r20: the visited fold is skipped when the loop ends with
+    max_hops exhausted exactly on a fold boundary (no further probe
+    reads it).  Distances on a chain cut at precisely the fold-window
+    hop must be exact and complete up to max_hops."""
+    n = graph._VISITED_FOLD_EVERY
+    e = _long_edges(spark, [(i, i + 1) for i in range(2 * n)])
+    got = {
+        r.node: r.dist
+        for r in graph.bfs_distances(e, 0, max_hops=n).collect()
+    }
+    assert got == {i: i for i in range(n + 1)}
+
+
 def test_argmin_d2_chunked_matches_full():
     """The centroid-chunked assign kernel must agree with the
     full-matrix path (same argmin everywhere, distances equal to

@@ -930,6 +930,38 @@ def test_bpe_train_matches_reference_simulation(spark):
     assert got_words == table
 
 
+def test_bpe_train_restores_session_conf(spark):
+    """r21: the merge loop runs with AQE off and a small shuffle-
+    partition count (the pair-group space is bounded by
+    (alphabet+n_merges)², see bpe_train); both settings must be
+    RESTORED after training — including when the input is pathological
+    — so later queries in the session keep their configuration."""
+    from datafusion_randgen_spark.operators import bpe
+
+    conf = spark.conf
+    before = (
+        conf.get("spark.sql.adaptive.enabled"),
+        conf.get("spark.sql.shuffle.partitions"),
+    )
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd")], "doc_id long, text string"
+    )
+    merges, _ = bpe.bpe_train(docs, n_merges=3)
+    merges.collect()
+    after = (
+        conf.get("spark.sql.adaptive.enabled"),
+        conf.get("spark.sql.shuffle.partitions"),
+    )
+    assert after == before
+    # vocabulary exhaustion mid-loop (early break) restores too
+    docs1 = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    bpe.bpe_train(docs1, n_merges=5)
+    assert (
+        conf.get("spark.sql.adaptive.enabled"),
+        conf.get("spark.sql.shuffle.partitions"),
+    ) == before
+
+
 def test_bpe_apply_merge_rejects_non_alphabet_symbols(spark):
     """apply_merge interpolates symbols into SQL, so it must refuse
     anything outside the [a-z0-9]+ trainer alphabet (ADVICE r7)."""
