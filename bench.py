@@ -909,18 +909,26 @@ def main() -> None:
         """Compute-bound core-scaling probe (VERDICT r20 task 3): a
         fixed amount of embarrassingly-parallel JVM codegen work — 64M
         rows × a 24-round xxhash64 chain, partitioned 4× the core
-        count, reduced map-side to one row.  Sized so executor compute
-        dominates the ~0.4s fixed overhead (24M rows measured only
-        1.67× at 4× cores; 64M measured 2.56× — 1.11s at 32 cores vs
-        2.85s at 8).  Every other sf0.1 entry is
-        per-entry-overhead-dominated (~17 MB of data), so their 8-vs-32
-        core ratios sit at ≈1 and the driver's scaling block cannot
-        SEE parallelism; this entry's timed region is ~100% executor
-        compute with no Python boundary and one 1-row exchange, so its
-        runtime is expected to scale near-linearly with
-        $SPARK_GRAFT_CPUS.  Total work is constant across core counts
-        (same rows, same chain) — only the partition count follows the
-        core count, exactly how a scan parallelizes on a cluster."""
+        count, reduced map-side to 64 groups.  Sized so executor
+        compute dominates the ~0.4s fixed overhead (24M rows measured
+        only 1.67× at 4× cores; 64M reads 2.50× — 1.35s at 32 cores
+        vs 3.38s at 8, count()-driven 3-rep medians).  Every other
+        sf0.1 entry is per-entry-overhead-dominated (~17 MB of data),
+        so their 8-vs-32 core ratios sit at ≈1 and the driver's
+        scaling block cannot SEE parallelism; this entry's timed
+        region is ~100% executor compute with no Python boundary and
+        one 64-row exchange, so its runtime is expected to scale
+        near-linearly with $SPARK_GRAFT_CPUS.  Total work is constant
+        across core counts (same rows, same chain) — only the
+        partition count follows the core count, exactly how a scan
+        parallelizes on a cluster.
+
+        The hash chain feeds the GROUP KEY (pmod 64), not an ungrouped
+        aggregate: the bench's timed action is ``count()``, and Spark
+        prunes a global aggregate's functions under count() (measured:
+        0.31s pruned vs 2.94s computed at 8 cores).  With the chain in
+        the key, the row count depends on every hash — the work cannot
+        be optimized away."""
         from pyspark.sql import functions as F
 
         h = F.col("id")
@@ -928,10 +936,8 @@ def main() -> None:
             h = F.xxhash64(h, F.lit(i))
         return (
             spark.range(0, 64_000_000, 1, int(cpus) * 4)
-            .select(h.alias("h"))
-            # bit_xor: order-insensitive, deterministic, and cannot
-            # overflow (sum() of 24M hashes trips ANSI long overflow)
-            .agg(F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n"))
+            .groupBy(F.pmod(h, F.lit(64)).alias("g"))
+            .agg(F.count("*").alias("n"))
         )
 
     bench_queries = {
