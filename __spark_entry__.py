@@ -181,29 +181,31 @@ _NAMED_WEIGHT = {
 # - scale.global_ntile_multi fusion → q_rfm_segmentation;
 # - scale.exact_percentiles lo/hi single-join → q_exact_pctl_histogram,
 #   q_median_impute.
-# Window check: 18 re-verifies + the 25 r15-vintage rotations
-# (VERDICT r19 task 2; d_minhash_lsh_pairs and 5 re-verifies are
-# themselves r15-vintage) still fit the 50-entry window with room for
-# the oldest r16 refreshes.
+# r21 OPTIMIZATION round: the queue is REPLACED with this round's
+# touched computation paths (r20's queue did its job — all 18 entries
+# re-earned green rows in CORRECTNESS_r20):
+# - bpe.bpe_train merge-loop discipline (AQE-off loop, bounded reduce
+#   partitions, measured-coalesce pin, lazy in-loop pins) →
+#   t_bpe_merge_vocab, t_bpe_vocab_stats, t_bpe_encode;
+# - dedup.minhash guard probe over the persisted bucket frame →
+#   d_minhash_lsh_pairs and consumers d_dedup_clusters,
+#   d_dedup_keep_best;
+# - graph.bfs_distances terminal-fold skip (ADVICE r20) →
+#   q_bfs_shortest_path;
+# - s_ann_ivf_recall was restructured and REVERTED in-round (final
+#   code identical to r20 modulo docstring) — queued anyway since its
+#   query function was touched.
+# Window check: 8 re-verifies fit the 50-entry window with plenty of
+# room for the stalest-green rotation.
 _REVERIFY: set[str] = {
+    "t_bpe_merge_vocab",
+    "t_bpe_vocab_stats",
+    "t_bpe_encode",
     "d_minhash_lsh_pairs",
-    "q_correlated_scalar_subquery",
-    "s_kmeans_embeddings",
-    "s_kmeans_exact_replay",
-    "d_semantic_dedup",
-    "d_semdedup_exact_replay",
-    "s_ann_ivf_recall",
-    "s_ivfpq_search",
-    "s_ivfpq_recall_curve",
-    "s_ivfpq_exact_replay",
-    "q_pagerank_transitions",
-    "q_bfs_shortest_path",
-    "d_connected_components",
     "d_dedup_clusters",
     "d_dedup_keep_best",
-    "q_rfm_segmentation",
-    "q_exact_pctl_histogram",
-    "q_median_impute",
+    "q_bfs_shortest_path",
+    "s_ann_ivf_recall",
 }
 
 
